@@ -1,0 +1,214 @@
+"""Deterministic image+caption table generator (FIXTURES.md F1) and the
+fake codecs used in this container (no PIL/libjpeg available).
+
+Schema (BASELINE.json input_hint, exact):
+  (image_id:string, bytes:binary, w:int32, h:int32, fmt:string,
+   caption:string, phash:int64)
+
+Codecs:
+  - "png":  zlib(raw RGB) — LOSSLESS, exact pixel round-trip.
+  - "jpeg": 4-bit-per-channel quantization + zlib — LOSSY but
+    deterministic; decoded pixels differ from the source by < 16/255
+    per channel, i.e. PSNR >= 40 dB holds by construction and is
+    asserted in tests (the input_hint's per-row invariant).
+
+The codec interface (encode_image / decode_image) is the single seam
+where a real PIL/libjpeg implementation would plug in; everything
+Ray-side (schema, batch sizing, actor signatures, PSNR gate) is real.
+
+Geometry is DERIVED, not stored (SURVEY.md §7.2): a seeded RNG keyed
+by image_id yields the footprint centroid (lon, lat); extent comes
+from (w, h) at a fixed ground resolution. This mirrors how the
+reference derives raster cells from point x/y
+(/root/reference/src/lasgrid.cpp:303-314).
+"""
+
+from __future__ import annotations
+
+import zlib
+
+import numpy as np
+import pyarrow as pa
+
+from ..kernels.text import stable_hash64
+
+SIZES = (16, 32, 64)
+FMTS = ("png", "jpeg")
+GROUND_RES = 1e-4  # degrees per pixel for footprint extent
+
+_NOUNS = ["tree", "river", "mountain", "house", "car", "bridge", "field", "lake"]
+_PLACES = ["oslo", "quito", "lagos", "perth", "lima", "kyoto", "reno", "turin"]
+
+
+# ---------------------------------------------------------------------------
+# fake codecs
+
+def encode_image(pixels: np.ndarray, fmt: str) -> bytes:
+    """pixels: (h, w, 3) uint8 -> bytes. Header carries shape."""
+    h, w, _ = pixels.shape
+    if fmt == "png":
+        payload = zlib.compress(pixels.tobytes(), 1)
+        tag = b"GPNG"
+    elif fmt == "jpeg":
+        # lossy: uniform quantization with step 5 (max error 2.5/255
+        # per channel -> PSNR ~45 dB, above the 40 dB gate but lossy)
+        q = (pixels.astype(np.uint16) + 2) // 5
+        payload = zlib.compress(q.astype(np.uint8).tobytes(), 1)
+        tag = b"GJPG"
+    else:
+        raise NotImplementedError(f"codec {fmt!r} not available in this container")
+    return tag + w.to_bytes(4, "little") + h.to_bytes(4, "little") + payload
+
+
+def decode_image(data: bytes) -> np.ndarray:
+    tag = data[:4]
+    w = int.from_bytes(data[4:8], "little")
+    h = int.from_bytes(data[8:12], "little")
+    raw = zlib.decompress(data[12:])
+    if tag == b"GPNG":
+        return np.frombuffer(raw, dtype=np.uint8).reshape(h, w, 3)
+    if tag == b"GJPG":
+        q = np.frombuffer(raw, dtype=np.uint8).reshape(h, w, 3)
+        return (q.astype(np.uint16) * 5).clip(0, 255).astype(np.uint8)
+    raise NotImplementedError(f"unknown codec tag {tag!r}")
+
+
+def psnr(a: np.ndarray, b: np.ndarray) -> float:
+    mse = np.mean((a.astype(np.float64) - b.astype(np.float64)) ** 2)
+    if mse == 0:
+        return float("inf")
+    return float(10.0 * np.log10(255.0**2 / mse))
+
+
+def perceptual_hash(pixels: np.ndarray) -> int:
+    """64-bit average-hash of the grayscale image downsampled to 8x8 —
+    deterministic, duplicate images share a phash."""
+    gray = pixels.astype(np.float64).mean(axis=2)
+    h, w = gray.shape
+    # average-pool to 8x8
+    ys = (np.arange(8 + 1) * h) // 8
+    xs = (np.arange(8 + 1) * w) // 8
+    small = np.empty((8, 8))
+    for i in range(8):
+        for j in range(8):
+            small[i, j] = gray[ys[i] : ys[i + 1], xs[j] : xs[j + 1]].mean()
+    bits = (small > small.mean()).ravel()
+    out = 0
+    for i, b in enumerate(bits):
+        if b:
+            out |= 1 << i
+    # map to signed int64 range
+    return out - (1 << 64) if out >= (1 << 63) else out
+
+
+# ---------------------------------------------------------------------------
+# deterministic generation
+
+def _rng_for(image_id: str, seed: int) -> np.random.RandomState:
+    return np.random.RandomState((stable_hash64(image_id.encode(), seed) % (2**31)))
+
+
+def make_image_row(i: int, seed: int = 42, dup_of: int | None = None) -> dict:
+    """One deterministic row. dup_of: generate identical pixels to row
+    `dup_of` (the ~1% duplicate fixture for dedup)."""
+    src = i if dup_of is None else dup_of
+    image_id = f"img{i:012d}"
+    rng = _rng_for(f"img{src:012d}", seed)
+    w = int(SIZES[rng.randint(len(SIZES))])
+    h = int(SIZES[rng.randint(len(SIZES))])
+    fmt = FMTS[src % len(FMTS)]
+    pixels = rng.randint(0, 256, size=(h, w, 3)).astype(np.uint8)
+    data = encode_image(pixels, fmt)
+    caption = (
+        f"a photo of {_NOUNS[src % len(_NOUNS)]} near "
+        f"{_PLACES[(src // len(_NOUNS)) % len(_PLACES)]}"
+    )
+    ph = perceptual_hash(decode_image(data))
+    return {
+        "image_id": image_id,
+        "bytes": data,
+        "w": w,
+        "h": h,
+        "fmt": fmt,
+        "caption": caption,
+        "phash": ph,
+    }
+
+
+def footprint_lonlat(image_ids, seed: int = 42, bbox=(-20.0, -20.0, 20.0, 20.0)):
+    """Derived footprint centroids, vectorized: uniform in bbox keyed by
+    image_id hash (stable under any row order / partitioning)."""
+    minlon, minlat, maxlon, maxlat = bbox
+    hashes = np.array(
+        [stable_hash64(s.encode(), seed ^ 0x5EED) for s in image_ids], dtype=np.uint64
+    )
+    u = (hashes % np.uint64(2**32)).astype(np.float64) / 2**32
+    v = ((hashes >> np.uint64(32)) % np.uint64(2**32)).astype(np.float64) / 2**32
+    lon = minlon + u * (maxlon - minlon)
+    lat = minlat + v * (maxlat - minlat)
+    return lon, lat
+
+
+def footprint_extent(w, h, res: float = GROUND_RES):
+    """Footprint half-extent (degrees) from image pixel dims."""
+    return np.asarray(w) * res / 2.0, np.asarray(h) * res / 2.0
+
+
+IMAGE_SCHEMA = pa.schema(
+    [
+        ("image_id", pa.string()),
+        ("bytes", pa.binary()),
+        ("w", pa.int32()),
+        ("h", pa.int32()),
+        ("fmt", pa.string()),
+        ("caption", pa.string()),
+        ("phash", pa.int64()),
+    ]
+)
+
+
+def generate_image_table(n: int, seed: int = 42, dup_frac: float = 0.01) -> pa.Table:
+    """Deterministic n-row image table; every ~1/dup_frac-th row is a
+    pixel-exact duplicate of an earlier row (dedup fixture)."""
+    rows = []
+    dup_every = int(1 / dup_frac) if dup_frac > 0 else 0
+    for i in range(n):
+        dup_of = None
+        if dup_every and i % dup_every == dup_every - 1 and i >= dup_every:
+            dup_of = i - dup_every
+        rows.append(make_image_row(i, seed=seed, dup_of=dup_of))
+    return pa.Table.from_pylist(rows, schema=IMAGE_SCHEMA)
+
+
+def write_image_table(path: str, n: int, seed: int = 42, rows_per_file: int = 50_000):
+    """Write the synthetic table as a directory of parquet files (or a
+    Lance dataset when the lance package is available)."""
+    import os
+
+    import pyarrow.parquet as pq
+
+    try:
+        import lance  # noqa: F401
+
+        have_lance = True
+    except ImportError:
+        have_lance = False
+
+    os.makedirs(path, exist_ok=True)
+    if have_lance:
+        import lance
+
+        lance.write_dataset(generate_image_table(n, seed), path, mode="overwrite")
+        return path
+    for start in range(0, n, rows_per_file):
+        stop = min(start + rows_per_file, n)
+        rows = []
+        dup_every = 100
+        for i in range(start, stop):
+            dup_of = None
+            if dup_every and i % dup_every == dup_every - 1 and i >= dup_every:
+                dup_of = i - dup_every
+            rows.append(make_image_row(i, seed=seed, dup_of=dup_of))
+        t = pa.Table.from_pylist(rows, schema=IMAGE_SCHEMA)
+        pq.write_table(t, os.path.join(path, f"part-{start:012d}.parquet"))
+    return path
