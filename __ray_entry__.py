@@ -1,44 +1,143 @@
 """Driver contract for the graft builder (Ray Data target).
 
-The driver's verify calls ``entry()`` as a smoke check (Ray is already
-initialised, local mode), runs each ``queries()[name](sf_dir)`` at
-sf=0.01 and compares it against the matching ``oracle_sql()[name]`` via
-DuckDB (row-count + schema + order-insensitive value-hash →
-CORRECTNESS_r{N}.json). Fill these in as you implement operators from
-SURVEY.md §2. Results may be a ``ray.data.Dataset``, a
-``pandas.DataFrame`` or a ``pyarrow.Table``; the driver converts.
+The driver calls ray.init() itself before importing this module:
+nothing here (or in geotools_ray) calls ray.init()/ray.shutdown().
 
-Ray is initialised by the driver BEFORE this module is imported: do not
-call ``ray.init()`` / ``ray.shutdown()`` here, in the library code these
-functions use, or inside the callables.
+- entry(): flagship pipeline over /root/testdata/sf0.001 (grid stats +
+  zonal join over the derived point cloud — the pointstats/zonalstats
+  restatement).
+- queries(): one callable per implemented operator (SURVEY.md §2).
+- oracle_sql(): DuckDB-equivalent SQL per query (omitted for
+  non-SQL-expressible ops -> driver does a rows-only check).
 """
 
 from __future__ import annotations
 
+import os
+import sys
 from collections.abc import Callable
 from typing import Any
 
+sys.path.insert(0, os.path.dirname(os.path.abspath(__file__)))
+
+from geotools_ray import queries as Q  # noqa: E402
+from geotools_ray import queries_text as QT  # noqa: E402
+
 
 def entry() -> Any:
-    """Flagship pipeline on /root/testdata/sf0.001; driver checks rows>=0."""
-    raise NotImplementedError("fill in: read_parquet sf0.001 → run flagship pipeline")
+    """Flagship: zonal stat bundle over the sf0.001 point cloud."""
+    return Q.q_zonal_stats("/root/testdata/sf0.001")
+
+
+def _image_queries() -> dict[str, Callable[[str], Any]]:
+    """Image-table pipelines (synthetic input_hint table; rows-only
+    checks — the per-row invariants are pytest-verified)."""
+    import ray.data
+
+    from geotools_ray.ops import imagepipeline as IP
+    from geotools_ray.sources import images as I
+    from geotools_ray.stages.imaging import DecodeStage
+
+    def _table(sf_dir: str):
+        # deterministic size keyed to the sf tier so the driver's runs
+        # are stable: sf0.001 -> 1000 rows, sf0.01 -> 2000, sf0.1 -> 4000
+        n = {"sf0.001": 1000, "sf0.01": 2000, "sf0.1": 4000}.get(
+            os.path.basename(os.path.normpath(sf_dir)), 1000
+        )
+        return ray.data.from_arrow(I.generate_image_table(n, seed=42))
+
+    def img_flagship(sf_dir: str):
+        return IP.flagship(_table(sf_dir))
+
+    def img_join_pairs(sf_dir: str):
+        return IP.assign_and_join(_table(sf_dir)).select_columns(
+            ["image_id", "polygon_id", "cell_id"]
+        )
+
+    def img_dedup(sf_dir: str):
+        return IP.dedup_by_phash(IP.assign_and_join(_table(sf_dir)))
+
+    def img_decode_features(sf_dir: str):
+        ds = _table(sf_dir)
+        out = ds.map_batches(DecodeStage, batch_format="pyarrow", batch_size=512, concurrency=2)
+        return out.select_columns(["image_id", "w", "h", "fmt", "mean_r", "mean_g", "mean_b"])
+
+    return {
+        "img_flagship": img_flagship,
+        "img_join_pairs": img_join_pairs,
+        "img_dedup": img_dedup,
+        "img_decode_features": img_decode_features,
+    }
 
 
 def queries() -> dict[str, Callable[[str], Any]]:
-    """One entry per implemented operator/pipeline from SURVEY.md §2.
-
-    Each callable takes ``sf_dir`` (e.g. "/root/testdata/sf0.01") and
-    returns a Dataset / pandas DataFrame / pyarrow Table. Name every
-    computed/aggregate column so names match ``oracle_sql``.
-    """
-    return {}
+    qs: dict[str, Callable[[str], Any]] = {
+        # grid / cell stats (lasgrid, pointstats: A1-A11, J2, R1, M1-M3)
+        "grid_count": Q.q_grid_count,
+        "grid_stats": Q.q_grid_stats,
+        "grid_exact": Q.q_grid_exact,
+        "grid_radius": Q.q_grid_radius,
+        "grid_filtered": Q.q_grid_filtered,
+        "gap_fraction": Q.q_gap_fraction,
+        # zonal / clip (pointzonalstats, lasclip: J1, J3, A12)
+        "zonal_stats": Q.q_zonal_stats,
+        "zonal_pairs": Q.q_zonal_pairs,
+        "clip_semi": Q.q_clip_semi,
+        "clip_anti": Q.q_clip_anti,
+        # neighbors (lasvalidate, interpolators: J4, J9)
+        "range_join": Q.q_range_join,
+        "knn": Q.q_knn,
+        # maps / unions / sorts (M5, U1, A16, O2, O4, O6)
+        "class_remap": Q.q_class_remap,
+        "bounds": Q.q_bounds,
+        "return_counts": Q.q_return_counts,
+        "merge_union": Q.q_merge_union,
+        "top_cells": Q.q_top_cells,
+        "sample_hash": Q.q_sample_hash,
+        # documents / embeddings / events (dedup, text, ANN, windows)
+        "dedup_key": QT.q_dedup_key,
+        "token_count": QT.q_token_count,
+        "quality": QT.q_quality,
+        "langid": QT.q_langid,
+        "fingerprint": QT.q_fingerprint,
+        "ann_bruteforce": QT.q_ann_bruteforce,
+        "embed_pairs": QT.q_embed_pairs,
+        "window_hourly": QT.q_window_hourly,
+        "sessionize": QT.q_sessionize,
+    }
+    qs.update(_image_queries())
+    return qs
 
 
 def oracle_sql() -> dict[str, str]:
-    """For each key in ``queries()``, equivalent ANSI SQL runnable by
-    DuckDB on the same parquet tables (pre-registered views: region
-    nation customer supplier part orders lineitem events documents
-    embeddings). Omit for non-SQL-expressible ops → driver records a
-    weaker rows-only check.
-    """
-    return {}
+    return {
+        "grid_count": Q.SQL_GRID_COUNT,
+        "grid_stats": Q.SQL_GRID_STATS,
+        "grid_exact": Q.SQL_GRID_EXACT,
+        "grid_radius": Q.SQL_GRID_RADIUS,
+        "grid_filtered": Q.SQL_GRID_FILTERED,
+        "gap_fraction": Q.SQL_GAP_FRACTION,
+        "zonal_stats": Q.SQL_ZONAL_STATS,
+        "zonal_pairs": Q.SQL_ZONAL_PAIRS,
+        "clip_semi": Q.SQL_CLIP_SEMI,
+        "clip_anti": Q.SQL_CLIP_ANTI,
+        "range_join": Q.SQL_RANGE_JOIN,
+        "knn": Q.SQL_KNN,
+        "class_remap": Q.SQL_CLASS_REMAP,
+        "bounds": Q.SQL_BOUNDS,
+        "return_counts": Q.SQL_RETURN_COUNTS,
+        "merge_union": Q.SQL_MERGE_UNION,
+        "top_cells": Q.SQL_TOP_CELLS,
+        "sample_hash": Q.SQL_SAMPLE_HASH,
+        "dedup_key": QT.SQL_DEDUP_KEY,
+        "token_count": QT.SQL_TOKEN_COUNT,
+        "quality": QT.SQL_QUALITY,
+        "langid": QT.SQL_LANGID,
+        "fingerprint": QT.SQL_FINGERPRINT,
+        "ann_bruteforce": QT.SQL_ANN,
+        "embed_pairs": QT.SQL_EMBED_PAIRS,
+        "window_hourly": QT.SQL_WINDOW_HOURLY,
+        "sessionize": QT.SQL_SESSIONIZE,
+        # img_* queries: non-SQL-expressible (synthetic binary input) ->
+        # rows-only driver check; pixel/caption invariants live in tests/
+    }

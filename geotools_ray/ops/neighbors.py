@@ -1,0 +1,123 @@
+"""Range join (J4) and kNN lookup (J9).
+
+Range join — `lasvalidate`'s sample-radius join (reference
+src/lasvalidate.cpp:296-316: every point joins every survey sample
+within radius d). The sample side is small -> broadcast via ray.put;
+each map_batches task computes a (batch x samples) distance matrix and
+emits the pairs. For a LARGE right side, use the cell-prefilter
+variant (ops/celljoin.py).
+
+kNN — `Interpolators.cpp:330-345` KD-tree knnSearch restated
+distributed: each batch computes its local top-k candidates per query
+(np.argpartition on the distance matrix), then a tiny
+groupby(query).map_groups merges candidates into the global top-k.
+The shuffle moves O(#queries x k x #blocks) candidate rows, never the
+point cloud.
+
+All comparisons and orderings use SQUARED distance (dx*dx + dy*dy):
+the operands derive from exact integer arithmetic, so the engine and
+the SQL oracle compute bit-identical doubles and rank ties break
+deterministically on (d2, *point_cols).
+"""
+
+from __future__ import annotations
+
+import numpy as np
+import pandas as pd
+import pyarrow as pa
+import ray
+import ray.data
+
+
+def range_join(
+    points: ray.data.Dataset,
+    samples: pa.Table,
+    radius: float,
+    point_cols: tuple[str, ...] = ("l_orderkey", "l_linenumber"),
+    sample_key: str = "s_suppkey",
+    sx: str = "sx",
+    sy: str = "sy",
+) -> ray.data.Dataset:
+    """-> (point_cols..., sample_key, dist) for every pair with
+    d2 <= radius^2."""
+    ref = ray.put(
+        {
+            "sx": samples[sx].to_numpy(zero_copy_only=False),
+            "sy": samples[sy].to_numpy(zero_copy_only=False),
+            "key": samples[sample_key].to_numpy(zero_copy_only=False),
+        }
+    )
+    r2 = radius * radius
+
+    def fn(t: pa.Table) -> pa.Table:
+        s = ray.get(ref)
+        x = t["x"].to_numpy(zero_copy_only=False)
+        y = t["y"].to_numpy(zero_copy_only=False)
+        dx = x[:, None] - s["sx"][None, :]
+        dy = y[:, None] - s["sy"][None, :]
+        d2 = dx * dx + dy * dy
+        pi, sj = np.nonzero(d2 <= r2)
+        cols = {c: t[c].to_numpy(zero_copy_only=False)[pi] for c in point_cols}
+        cols[sample_key] = s["key"][sj]
+        cols["dist"] = np.sqrt(d2[pi, sj])
+        return pa.table(cols)
+
+    return points.map_batches(fn, batch_format="pyarrow")
+
+
+def knn_join(
+    points: ray.data.Dataset,
+    queries: pa.Table,
+    k: int,
+    point_cols: tuple[str, ...] = ("l_orderkey", "l_linenumber"),
+    query_key: str = "s_suppkey",
+    qx: str = "sx",
+    qy: str = "sy",
+) -> ray.data.Dataset:
+    """-> (query_key, rank 1..k, point_cols..., dist): the k nearest
+    points per query, ranked by (d2, *point_cols)."""
+    ref = ray.put(
+        {
+            "qx": queries[qx].to_numpy(zero_copy_only=False),
+            "qy": queries[qy].to_numpy(zero_copy_only=False),
+            "key": queries[query_key].to_numpy(zero_copy_only=False),
+        }
+    )
+    tiebreak = list(point_cols)
+
+    def local_topk(t: pa.Table) -> pa.Table:
+        q = ray.get(ref)
+        x = t["x"].to_numpy(zero_copy_only=False)
+        y = t["y"].to_numpy(zero_copy_only=False)
+        n = len(x)
+        nq = len(q["key"])
+        dx = x[:, None] - q["qx"][None, :]
+        dy = y[:, None] - q["qy"][None, :]
+        d2 = dx * dx + dy * dy
+        kk = min(k, n)
+        tb = {c: t[c].to_numpy(zero_copy_only=False) for c in point_cols}
+        out_cols: dict[str, list] = {c: [] for c in (query_key, "d2", *point_cols)}
+        for j in range(nq):
+            if kk < n:
+                idx = np.argpartition(d2[:, j], kk - 1)[:kk]
+                dmax = d2[idx, j].max()
+                idx = np.nonzero(d2[:, j] <= dmax)[0]  # include k-th ties
+            else:
+                idx = np.arange(n)
+            order = np.lexsort(tuple(tb[c][idx] for c in reversed(tiebreak)) + (d2[idx, j],))
+            idx = idx[order[:kk]]
+            out_cols[query_key].append(np.full(len(idx), q["key"][j]))
+            out_cols["d2"].append(d2[idx, j])
+            for c in point_cols:
+                out_cols[c].append(tb[c][idx])
+        return pa.table({c: np.concatenate(v) for c, v in out_cols.items()})
+
+    candidates = points.map_batches(local_topk, batch_format="pyarrow")
+
+    def merge(g: pd.DataFrame) -> pd.DataFrame:
+        g = g.sort_values(["d2", *tiebreak]).head(k).reset_index(drop=True)
+        g["rank"] = np.arange(1, len(g) + 1, dtype=np.int64)
+        g["dist"] = np.sqrt(g["d2"].to_numpy())
+        return g.drop(columns=["d2"])
+
+    return candidates.groupby(query_key).map_groups(merge, batch_format="pandas")

@@ -1,0 +1,116 @@
+"""Zonal join + stats and clip — the Ray Data restatement of
+`pointzonalstats` (reference src/pointzonalstats.cpp:393-410 nested
+loop over GEOS contains) and `lasclip` (src/lasclip.cpp:99-183).
+
+The polygon side is SMALL relative to the point cloud; it is broadcast
+once via ray.put and every map_batches task runs the vectorized
+even-odd PIP kernel against all points of its batch — no shuffle.
+A point may match many polygons (the reference emits one output row
+per match, src/pointzonalstats.cpp:406-409); semi-clip keeps a point
+iff it falls in ANY polygon, anti-clip the complement.
+"""
+
+from __future__ import annotations
+
+from dataclasses import dataclass
+
+import numpy as np
+import pandas as pd
+import pyarrow as pa
+import ray
+import ray.data
+
+from ..kernels import stats as K
+from ..kernels.geom import points_in_polygon, polygon_bbox
+
+
+@dataclass(frozen=True)
+class Polygon:
+    polygon_id: int
+    rings: tuple  # tuple of rings; ring = tuple of (x, y)
+
+
+def rect(polygon_id: int, minx: float, miny: float, maxx: float, maxy: float) -> Polygon:
+    return Polygon(polygon_id, (((minx, miny), (maxx, miny), (maxx, maxy), (minx, maxy)),))
+
+
+def _match_matrix(t: pa.Table, polys: list[Polygon]) -> np.ndarray:
+    """(n_points, n_polys) bool matrix via vectorized PIP per polygon."""
+    x = t["x"].to_numpy(zero_copy_only=False)
+    y = t["y"].to_numpy(zero_copy_only=False)
+    m = np.zeros((len(x), len(polys)), dtype=bool)
+    for j, p in enumerate(polys):
+        m[:, j] = points_in_polygon(x, y, p.rings)
+    return m
+
+
+def zonal_join(
+    points: ray.data.Dataset,
+    polygons: list[Polygon],
+    keep_cols: tuple[str, ...],
+) -> ray.data.Dataset:
+    """-> one row per (point, containing polygon) pair."""
+    polys_ref = ray.put(polygons)
+
+    def fn(t: pa.Table) -> pa.Table:
+        polys = ray.get(polys_ref)
+        m = _match_matrix(t, polys)
+        pi, pj = np.nonzero(m)
+        cols = {c: t[c].to_numpy(zero_copy_only=False)[pi] for c in keep_cols}
+        cols["polygon_id"] = np.array([polys[j].polygon_id for j in range(len(polys))], dtype=np.int64)[pj]
+        return pa.table(cols)
+
+    return points.map_batches(fn, batch_format="pyarrow")
+
+
+def clip(
+    points: ray.data.Dataset, polygons: list[Polygon], anti: bool = False
+) -> ray.data.Dataset:
+    """Semi-join (keep iff inside any polygon) or anti-join."""
+    polys_ref = ray.put(polygons)
+
+    def fn(t: pa.Table) -> pa.Table:
+        polys = ray.get(polys_ref)
+        m = _match_matrix(t, polys).any(axis=1)
+        if anti:
+            m = ~m
+        return t.filter(pa.array(m))
+
+    return points.map_batches(fn, batch_format="pyarrow")
+
+
+def zonal_stats(
+    points: ray.data.Dataset,
+    polygons: list[Polygon],
+    value_col: str = "z",
+    by_cls: bool = False,
+    quantiles: int = 4,
+) -> ray.data.Dataset:
+    """A12 zonal stat bundle per (polygon[, cls]): count, sum, min, max,
+    mean, median, variance, stddev, q1..q{n} with the reference's exact
+    quantile-index formula (src/pointzonalstats.cpp:67-308)."""
+    keep = (value_col, "cls") if by_cls else (value_col,)
+    joined = zonal_join(points, polygons, keep_cols=keep)
+    keys = ["polygon_id", "cls"] if by_cls else ["polygon_id"]
+
+    def per_zone(g: pd.DataFrame) -> pd.DataFrame:
+        v = g[value_col].to_numpy(dtype=np.float64)
+        n = len(v)
+        row = {k: [g[k].iloc[0]] for k in keys}
+        row.update(
+            {
+                "n": [float(n)],
+                "sum_v": [float(v.sum())],
+                "min_v": [float(v.min())],
+                "max_v": [float(v.max())],
+                "mean_v": [float(v.sum() / n)],
+                "median_v": [K.ref_median(v)],
+                "var_v": [K.ref_variance(v, sample=True)],
+                "stddev_v": [K.ref_stddev(v, sample=True)],
+            }
+        )
+        for i in range(1, quantiles + 1):
+            row[f"q{i}"] = [K.ref_quantile(v, i, quantiles)]
+        return pd.DataFrame(row)
+
+    return joined.groupby(keys).map_groups(per_zone, batch_format="pandas")

@@ -1,0 +1,351 @@
+"""Training-data-pipeline queries over documents / embeddings / events:
+dedup, text analysis, ANN similarity search, windowed/sessionized
+events.  Same lockstep-with-DuckDB discipline as queries.py.
+"""
+
+from __future__ import annotations
+
+import hashlib
+
+import numpy as np
+import pandas as pd
+import pyarrow as pa
+import pyarrow.compute as pc
+import ray
+import ray.data
+
+from .queries import _round_away
+
+R6 = 6
+
+
+# ---------------------------------------------------------------------------
+# documents
+
+def q_dedup_key(sf_dir: str):
+    """U4 exact dedup by derived key (lang, token count): keep the
+    min doc_id per group — hash-partitioned groupby + first."""
+    ds = ray.data.read_parquet(f"{sf_dir}/documents.parquet", columns=["doc_id", "text", "lang"])
+
+    def key(t: pa.Table) -> pa.Table:
+        ntok = pc.list_value_length(pc.split_pattern(t["text"], pattern=" "))
+        return pa.table(
+            {
+                "doc_id": t["doc_id"],
+                "lang": t["lang"],
+                "n_tokens": ntok.cast(pa.int64()),
+            }
+        )
+
+    from ray.data.aggregate import Count, Min
+
+    return (
+        ds.map_batches(key, batch_format="pyarrow")
+        .groupby(["lang", "n_tokens"])
+        .aggregate(Min("doc_id", alias_name="keep_doc_id"), Count(alias_name="n_dups"))
+    )
+
+
+SQL_DEDUP_KEY = """
+SELECT lang, len(str_split(text, ' '))::BIGINT AS n_tokens,
+       min(doc_id) AS keep_doc_id, count(*) AS n_dups
+FROM documents GROUP BY 1, 2"""
+
+
+def q_token_count(sf_dir: str):
+    ds = ray.data.read_parquet(f"{sf_dir}/documents.parquet", columns=["doc_id", "text"])
+
+    def fn(t: pa.Table) -> pa.Table:
+        ntok = pc.list_value_length(pc.split_pattern(t["text"], pattern=" "))
+        return pa.table({"doc_id": t["doc_id"], "n_tokens": ntok.cast(pa.int64())})
+
+    return ds.map_batches(fn, batch_format="pyarrow")
+
+
+SQL_TOKEN_COUNT = "SELECT doc_id, len(str_split(text, ' '))::BIGINT AS n_tokens FROM documents"
+
+
+def q_quality(sf_dir: str):
+    """Quality-score features: lengths and character-class ratios."""
+    ds = ray.data.read_parquet(f"{sf_dir}/documents.parquet", columns=["doc_id", "text"])
+
+    def fn(t: pa.Table) -> pa.Table:
+        s = pd.Series(t["text"].to_pylist())
+        n = s.str.len().to_numpy(dtype=np.float64)
+        alpha = s.str.replace(r"[^a-zA-Z]", "", regex=True).str.len().to_numpy(dtype=np.float64)
+        digit = s.str.replace(r"[^0-9]", "", regex=True).str.len().to_numpy(dtype=np.float64)
+        spaces = (n - s.str.replace(" ", "", regex=False).str.len().to_numpy(dtype=np.float64))
+        with np.errstate(divide="ignore", invalid="ignore"):
+            out = pa.table(
+                {
+                    "doc_id": t["doc_id"],
+                    "n_chars": n.astype(np.int64),
+                    "alpha_ratio": _round_away(np.where(n > 0, alpha / n, 0.0), R6),
+                    "digit_ratio": _round_away(np.where(n > 0, digit / n, 0.0), R6),
+                    "space_ratio": _round_away(np.where(n > 0, spaces / n, 0.0), R6),
+                }
+            )
+        return out
+
+    return ds.map_batches(fn, batch_format="pyarrow")
+
+
+SQL_QUALITY = f"""
+SELECT doc_id, length(text)::BIGINT AS n_chars,
+  round(CASE WHEN length(text) > 0 THEN length(regexp_replace(text, '[^a-zA-Z]', '', 'g'))::DOUBLE / length(text) ELSE 0.0 END, {R6}) AS alpha_ratio,
+  round(CASE WHEN length(text) > 0 THEN length(regexp_replace(text, '[^0-9]', '', 'g'))::DOUBLE / length(text) ELSE 0.0 END, {R6}) AS digit_ratio,
+  round(CASE WHEN length(text) > 0 THEN (length(text) - length(replace(text, ' ', '')))::DOUBLE / length(text) ELSE 0.0 END, {R6}) AS space_ratio
+FROM documents"""
+
+
+LANG_MARKERS_SQL = {
+    "en": [" the ", " and ", " of "],
+    "fr": [" le ", " la ", " et "],
+    "de": [" der ", " und ", " die "],
+    "es": [" el ", " de ", " y "],
+}
+
+
+def q_langid(sf_dir: str):
+    """Marker-word language ID (n-gram heuristic, SQL-checkable)."""
+    ds = ray.data.read_parquet(f"{sf_dir}/documents.parquet", columns=["doc_id", "text"])
+
+    def fn(t: pa.Table) -> pa.Table:
+        s = " " + pd.Series(t["text"].to_pylist()).str.lower() + " "
+        scores = {}
+        for lang, markers in LANG_MARKERS_SQL.items():
+            total = np.zeros(len(s), dtype=np.int64)
+            for m in markers:
+                total += (
+                    (s.str.len() - s.str.replace(m, "", regex=False).str.len()) // len(m)
+                ).to_numpy(dtype=np.int64)
+            scores[lang] = total
+        en, fr, de, es = scores["en"], scores["fr"], scores["de"], scores["es"]
+        pred = np.where(
+            (en >= fr) & (en >= de) & (en >= es) & (en > 0),
+            "en",
+            np.where(
+                (fr >= de) & (fr >= es) & (fr > 0),
+                "fr",
+                np.where((de >= es) & (de > 0), "de", np.where(es > 0, "es", "und")),
+            ),
+        )
+        return pa.table(
+            {
+                "doc_id": t["doc_id"],
+                "en_score": en,
+                "fr_score": fr,
+                "de_score": de,
+                "es_score": es,
+                "pred_lang": pred,
+            }
+        )
+
+    return ds.map_batches(fn, batch_format="pyarrow")
+
+
+def _marker_count_sql(markers: list[str]) -> str:
+    padded = "(' ' || lower(text) || ' ')"
+    terms = [
+        f"((length({padded}) - length(replace({padded}, '{m}', ''))) // {len(m)})" for m in markers
+    ]
+    return "(" + " + ".join(terms) + ")::BIGINT"
+
+
+SQL_LANGID = f"""
+WITH s AS (
+  SELECT doc_id,
+    {_marker_count_sql(LANG_MARKERS_SQL["en"])} AS en_score,
+    {_marker_count_sql(LANG_MARKERS_SQL["fr"])} AS fr_score,
+    {_marker_count_sql(LANG_MARKERS_SQL["de"])} AS de_score,
+    {_marker_count_sql(LANG_MARKERS_SQL["es"])} AS es_score
+  FROM documents)
+SELECT doc_id, en_score, fr_score, de_score, es_score,
+  CASE WHEN en_score >= fr_score AND en_score >= de_score AND en_score >= es_score AND en_score > 0 THEN 'en'
+       WHEN fr_score >= de_score AND fr_score >= es_score AND fr_score > 0 THEN 'fr'
+       WHEN de_score >= es_score AND de_score > 0 THEN 'de'
+       WHEN es_score > 0 THEN 'es' ELSE 'und' END AS pred_lang
+FROM s"""
+
+
+def q_fingerprint(sf_dir: str):
+    """Document fingerprint = md5 (matches DuckDB md5())."""
+    ds = ray.data.read_parquet(f"{sf_dir}/documents.parquet", columns=["doc_id", "text"])
+
+    def fn(t: pa.Table) -> pa.Table:
+        fps = [hashlib.md5(x.encode("utf-8")).hexdigest() for x in t["text"].to_pylist()]
+        return pa.table({"doc_id": t["doc_id"], "fp": pa.array(fps)})
+
+    return ds.map_batches(fn, batch_format="pyarrow")
+
+
+SQL_FINGERPRINT = "SELECT doc_id, md5(text) AS fp FROM documents"
+
+
+# ---------------------------------------------------------------------------
+# embeddings: ANN / near-dup
+
+def _load_queries(sf_dir: str, n: int = 5):
+    import pyarrow.parquet as pq
+
+    t = pq.read_table(f"{sf_dir}/embeddings.parquet")
+    t = t.filter(pc.less(t["vec_id"], n))
+    q = np.stack([np.asarray(v, dtype=np.float64) for v in t["embedding"].to_pylist()])
+    return t["vec_id"].to_numpy(zero_copy_only=False).astype(np.int64), q
+
+
+def q_ann_bruteforce(sf_dir: str, k: int = 10):
+    """Brute-force cosine top-k per query vector (queries = vec_id < 5),
+    rank ordered by (round(sim, 6) desc, vec_id). Partial top-k per
+    batch -> tiny merge; the matrix product is the batch hot loop."""
+    qids, qmat = _load_queries(sf_dir)
+    qnorm = qmat / np.linalg.norm(qmat, axis=1, keepdims=True)
+    ref = ray.put((qids, qnorm))
+    ds = ray.data.read_parquet(f"{sf_dir}/embeddings.parquet", columns=["vec_id", "embedding"])
+
+    def local_topk(t: pa.Table) -> pa.Table:
+        qids_, qn = ray.get(ref)
+        vid = t["vec_id"].to_numpy(zero_copy_only=False).astype(np.int64)
+        E = np.stack([np.asarray(v, dtype=np.float64) for v in t["embedding"].to_pylist()])
+        En = E / np.linalg.norm(E, axis=1, keepdims=True)
+        sims = En @ qn.T  # (n, nq)
+        out = {"q_id": [], "vec_id": [], "sim": []}
+        kk = min(k, len(vid))
+        for j in range(len(qids_)):
+            idx = np.lexsort((vid, -sims[:, j]))[:kk]
+            out["q_id"].append(np.full(len(idx), qids_[j]))
+            out["vec_id"].append(vid[idx])
+            out["sim"].append(sims[idx, j])
+        return pa.table({c: np.concatenate(v) for c, v in out.items()})
+
+    cand = ds.map_batches(local_topk, batch_format="pyarrow")
+
+    def merge(g: pd.DataFrame) -> pd.DataFrame:
+        g = g.sort_values(["sim", "vec_id"], ascending=[False, True]).head(k).reset_index(drop=True)
+        g["rank"] = np.arange(1, len(g) + 1, dtype=np.int64)
+        # sim itself is engine-noise-sensitive (f32 SIMD accumulation in
+        # the oracle); the rank order is stable -> emit rank only
+        return g.drop(columns=["sim"])
+
+    return cand.groupby("q_id").map_groups(merge, batch_format="pandas")
+
+
+SQL_ANN = """
+WITH q AS (SELECT vec_id AS q_id, embedding AS qe FROM embeddings WHERE vec_id < 5),
+sims AS (
+  SELECT q.q_id, e.vec_id,
+         list_cosine_similarity(e.embedding, q.qe) AS sim
+  FROM embeddings e CROSS JOIN q),
+ranked AS (
+  SELECT q_id, vec_id,
+         row_number() OVER (PARTITION BY q_id ORDER BY sim DESC, vec_id) AS rank
+  FROM sims)
+SELECT q_id, vec_id, rank FROM ranked WHERE rank <= 10"""
+
+
+def q_embed_pairs(sf_dir: str, threshold: float = 0.35):
+    """Embedding near-dup pair mining: all (i < j) pairs with rounded
+    cosine >= threshold. Blocked matmul of each batch against the full
+    (broadcast) normalized matrix — O(n^2) work without an O(n^2) shuffle."""
+    import pyarrow.parquet as pq
+
+    t = pq.read_table(f"{sf_dir}/embeddings.parquet", columns=["vec_id", "embedding"])
+    vid_all = t["vec_id"].to_numpy(zero_copy_only=False).astype(np.int64)
+    E = np.stack([np.asarray(v, dtype=np.float64) for v in t["embedding"].to_pylist()])
+    En = E / np.linalg.norm(E, axis=1, keepdims=True)
+    ref = ray.put((vid_all, En))
+    ds = ray.data.read_parquet(f"{sf_dir}/embeddings.parquet", columns=["vec_id", "embedding"])
+
+    def fn(batch: pa.Table) -> pa.Table:
+        vids, Mn = ray.get(ref)
+        vid = batch["vec_id"].to_numpy(zero_copy_only=False).astype(np.int64)
+        B = np.stack([np.asarray(v, dtype=np.float64) for v in batch["embedding"].to_pylist()])
+        Bn = B / np.linalg.norm(B, axis=1, keepdims=True)
+        sims = Bn @ Mn.T
+        bi, mj = np.nonzero((sims >= threshold) & (vid[:, None] < vids[None, :]))
+        # sim values differ between engines at ~1e-7 (f32 SIMD oracle);
+        # the pair SET at a threshold far from the sim distribution's
+        # noise floor is stable -> emit the pair ids only
+        return pa.table({"id_a": vid[bi], "id_b": vids[mj]})
+
+    return ds.map_batches(fn, batch_format="pyarrow")
+
+
+SQL_EMBED_PAIRS = """
+SELECT a.vec_id AS id_a, b.vec_id AS id_b
+FROM embeddings a JOIN embeddings b ON a.vec_id < b.vec_id
+WHERE list_cosine_similarity(a.embedding, b.embedding) >= 0.35"""
+
+
+# ---------------------------------------------------------------------------
+# events: windows / sessionization (M8 analog, §2.11)
+
+def q_window_hourly(sf_dir: str):
+    """Tumbling 1h window per event_type (groupby on truncated ts)."""
+    ds = ray.data.read_parquet(f"{sf_dir}/events.parquet", columns=["event_type", "ts", "value"])
+
+    def fn(t: pa.Table) -> pa.Table:
+        us = t["ts"].cast(pa.int64()).to_numpy(zero_copy_only=False)
+        hour = (us // 3_600_000_000) * 3600  # int64 epoch seconds
+        return pa.table(
+            {
+                "event_type": t["event_type"],
+                "hour_ts": pa.array(hour),
+                "value": t["value"],
+            }
+        )
+
+    from ray.data.aggregate import Count, Sum
+
+    out = (
+        ds.map_batches(fn, batch_format="pyarrow")
+        .groupby(["event_type", "hour_ts"])
+        .aggregate(Count(alias_name="n"), Sum("value", alias_name="sum_value"))
+    )
+
+    def rnd(t: pa.Table) -> pa.Table:
+        i = t.schema.get_field_index("sum_value")
+        return t.set_column(
+            i, "sum_value", pa.array(_round_away(t["sum_value"].to_numpy(zero_copy_only=False), R6))
+        )
+
+    return out.map_batches(rnd, batch_format="pyarrow")
+
+
+SQL_WINDOW_HOURLY = f"""
+SELECT event_type, CAST(floor(epoch(date_trunc('hour', ts))) AS BIGINT) AS hour_ts, count(*) AS n,
+       round(sum(value), {R6}) AS sum_value
+FROM events GROUP BY 1, 2"""
+
+
+def q_sessionize(sf_dir: str, gap_s: int = 600):
+    """M8 flight-line segmentation analog: split each user's ordered
+    event stream on gaps > gap_s; emit sessions-per-user + event count.
+    Ordered map_groups per user (sort inside the group, never global)."""
+    ds = ray.data.read_parquet(f"{sf_dir}/events.parquet", columns=["user_id", "ts", "event_id"])
+    gap_us = gap_s * 1_000_000
+
+    def per_user(g: pd.DataFrame) -> pd.DataFrame:
+        g = g.sort_values(["ts", "event_id"])
+        us = g["ts"].astype("int64").to_numpy()
+        new = np.ones(len(us), dtype=np.int64)
+        new[1:] = (np.diff(us) > gap_us).astype(np.int64)
+        return pd.DataFrame(
+            {
+                "user_id": [g["user_id"].iloc[0]],
+                "n_sessions": [np.int64(new.sum())],
+                "n_events": [np.int64(len(us))],
+            }
+        )
+
+    return ds.groupby("user_id").map_groups(per_user, batch_format="pandas")
+
+
+SQL_SESSIONIZE = """
+WITH e AS (
+  SELECT user_id, ts,
+    CASE WHEN lag(ts) OVER w IS NULL
+           OR date_diff('microsecond', lag(ts) OVER w, ts) > 600000000 THEN 1 ELSE 0 END AS new_sess
+  FROM events WINDOW w AS (PARTITION BY user_id ORDER BY ts, event_id))
+SELECT user_id, sum(new_sess)::BIGINT AS n_sessions, count(*) AS n_events
+FROM e GROUP BY user_id"""
