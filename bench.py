@@ -1,0 +1,263 @@
+"""Benchmark harness (driver-run per round; see BASELINE.md).
+
+Prints ONE JSON line:
+  {"metric": "images_per_sec_flagship", "value": <headline sec>,
+   "unit": "sec", "images_per_sec": ..., "queries": {name: sec, ...},
+   "sf": ..., "num_cpus": N}
+
+Headline = the flagship image pipeline (tile assignment + cell-prefiltered
+PIP join + phash dedup + parent-cell rollup) over a deterministic
+synthetic image+caption table (input_hint schema), cached as parquet in
+/tmp after first generation.  `--scaling` re-runs the headline in fresh
+processes at 8 and 32 CPUs on the same cached input and reports
+throughput at both plus efficiency = (T32/T8)/4.
+
+Env: GRAFT_SF_DIR (default /root/testdata/sf0.1), RAY_GRAFT_CPUS
+(default 32), GRAFT_BENCH_IMAGES (default 100000).
+"""
+
+from __future__ import annotations
+
+import json
+import os
+import subprocess
+import sys
+import time
+
+REPO = os.path.dirname(os.path.abspath(__file__))
+sys.path.insert(0, REPO)
+
+SF_DIR = os.environ.get("GRAFT_SF_DIR", "/root/testdata/sf0.1")
+NUM_CPUS = int(os.environ.get("RAY_GRAFT_CPUS", "32"))
+N_IMAGES = int(os.environ.get("GRAFT_BENCH_IMAGES", "500000"))
+CACHE = f"/tmp/geotools_ray_bench/images_n{N_IMAGES}_seed42"
+
+
+def ensure_image_cache():
+    """Generate the synthetic image table once (distributed) and cache
+    as parquet; subsequent runs just read it."""
+    done = os.path.join(CACHE, "_DONE")
+    if os.path.exists(done):
+        return
+    import pyarrow as pa
+    import ray.data
+
+    from geotools_ray.sources.images import IMAGE_SCHEMA, make_image_row
+
+    def gen(batch):
+        ids = batch["id"].tolist()
+        rows = []
+        for i in ids:
+            dup_of = i - 100 if (i % 100 == 99 and i >= 100) else None
+            rows.append(make_image_row(int(i), seed=42, dup_of=dup_of))
+        return pa.Table.from_pylist(rows, schema=IMAGE_SCHEMA)
+
+    os.makedirs(CACHE, exist_ok=True)
+    (
+        ray.data.range(N_IMAGES)
+        .map_batches(gen, batch_format="numpy", batch_size=2048)
+        .write_parquet(CACHE)
+    )
+    with open(done, "w") as f:
+        f.write("ok")
+
+
+def run_headline() -> dict:
+    """Headline = decode+verify (actor pool) -> tile assignment -> PIP
+    join -> dedup -> rollup, end to end over the full image table.
+    Also reports the join-only path (tile assignment throughput with
+    pixels pruned at the read)."""
+    import ray.data
+
+    from geotools_ray.ops import imagepipeline as IP
+
+    ensure_image_cache()
+    # block count is a property of the DATA (≈8k images per block), not
+    # of the worker count — keeps the 8- and 32-cpu runs comparable
+    nb = max(16, N_IMAGES // 8000)
+    # warm the page cache so we measure compute + shuffle, not cold disk
+    ray.data.read_parquet(CACHE).count()
+
+    t0 = time.time()
+    images = ray.data.read_parquet(CACHE, override_num_blocks=nb)
+    out = IP.flagship_full(images)  # fused stateless decode
+    n_out = out.count()  # consumes the stream
+    dt = time.time() - t0
+
+    # join-only secondary metric: pixels pruned at the read
+    t1 = time.time()
+    narrow = ray.data.read_parquet(CACHE, columns=["image_id", "phash"], override_num_blocks=nb)
+    IP.flagship(narrow).count()
+    dt_join = time.time() - t1
+    return {
+        "sec": dt,
+        "images": N_IMAGES,
+        "images_per_sec": N_IMAGES / dt,
+        "out_rows": n_out,
+        "join_only_sec": dt_join,
+        "join_only_images_per_sec": N_IMAGES / dt_join,
+    }
+
+
+
+def run_compute_probe() -> dict:
+    """Compute-dense scaling probe: brute-force cosine top-k (the ANN
+    baseline path) over deterministically generated embeddings — no
+    disk read, high FLOP/byte, so it isolates CORE scaling from the
+    single-box memory-bandwidth ceiling that byte-heavy decode hits.
+    (On a real N->4N NODE cluster, disk and memory bandwidth scale
+    with nodes; on one box 32 cores share one bus.)"""
+    import numpy as np
+    import pyarrow as pa
+    import ray
+    import ray.data
+
+    n_vec = int(os.environ.get("GRAFT_PROBE_VECS", "400000"))
+    dim, n_q, k = 64, 512, 10
+    rng = np.random.RandomState(7)
+    Q = rng.standard_normal((n_q, dim))
+    Q /= np.linalg.norm(Q, axis=1, keepdims=True)
+    qref = ray.put(Q)
+
+    def gen_and_topk(batch):
+        ids = batch["id"].astype(np.int64)
+        r = np.random.RandomState(int(ids[0]) % (2**31))
+        E = r.standard_normal((len(ids), dim))
+        E /= np.linalg.norm(E, axis=1, keepdims=True)
+        q = ray.get(qref)
+        sims = E @ q.T
+        kk = min(k, len(ids))
+        part = np.partition(-sims, kk - 1, axis=0)[:kk]
+        thresh = -part[kk - 1, :]
+        pi, qj = np.nonzero(sims >= thresh[None, :])
+        return pa.table({"q_id": qj.astype(np.int64), "vec_id": ids[pi], "sim": sims[pi, qj]})
+
+    t0 = time.time()
+    cand = ray.data.range(n_vec, override_num_blocks=64).map_batches(
+        gen_and_topk, batch_format="numpy", batch_size=8192
+    )
+    import pandas as pd
+
+    def merge(g: pd.DataFrame) -> pd.DataFrame:
+        g = g.sort_values("sim", ascending=False).head(k)
+        return g
+
+    cand.groupby("q_id").map_groups(merge, batch_format="pandas").count()
+    dt = time.time() - t0
+    return {"sec": dt, "vecs": n_vec, "vecs_per_sec": n_vec / dt}
+
+
+def run_queries() -> dict:
+    import __ray_entry__ as E
+
+    import ray.data
+
+    out = {}
+    for name, fn in E.queries().items():
+        t0 = time.time()
+        try:
+            res = fn(SF_DIR)
+            if isinstance(res, ray.data.Dataset):
+                res.count()
+            out[name] = round(time.time() - t0, 3)
+        except Exception as e:  # a failing query should show up, not crash bench
+            out[name] = f"ERROR: {type(e).__name__}: {e}"
+    return out
+
+
+def init_ray(ncpu: int):
+    import ray
+
+    ray.init(
+        address="local",
+        num_cpus=ncpu,
+        include_dashboard=False,
+        ignore_reinit_error=True,
+        logging_level="ERROR",
+    )
+    from ray.data import DataContext
+
+    ctx = DataContext.get_current()
+    ctx.enable_progress_bars = False
+
+
+def main():
+    if "--scaling" in sys.argv:
+        # generate the cache once in the parent so both children measure
+        # the same warm input
+        init_ray(NUM_CPUS)
+        ensure_image_cache()
+        import ray
+
+        ray.shutdown()
+        results = {}
+        for ncpu in (8, 32):
+            env = dict(os.environ, RAY_GRAFT_CPUS=str(ncpu))
+            out = subprocess.run(
+                [sys.executable, __file__, "--headline-only"],
+                env=env,
+                capture_output=True,
+                text=True,
+                check=True,
+            ).stdout
+            results[ncpu] = json.loads(out.strip().splitlines()[-1])
+        t8 = results[8]["headline"]["sec"]
+        t32 = results[32]["headline"]["sec"]
+        eff = (t8 / t32) / (32 / 8)
+        j8 = results[8]["headline"]["join_only_sec"]
+        j32 = results[32]["headline"]["join_only_sec"]
+        print(
+            json.dumps(
+                {
+                    "metric": "scaling_efficiency_8_to_32",
+                    "value": round(eff, 3),
+                    "unit": "ratio",
+                    "sec_8": round(t8, 3),
+                    "sec_32": round(t32, 3),
+                    "images_per_sec_8": round(results[8]["headline"]["images_per_sec"], 1),
+                    "images_per_sec_32": round(results[32]["headline"]["images_per_sec"], 1),
+                    "join_only_sec_8": round(j8, 3),
+                    "join_only_sec_32": round(j32, 3),
+                    "join_only_efficiency": round((j8 / j32) / 4, 3),
+                    "probe_sec_8": round(results[8]["headline"]["probe"]["sec"], 3),
+                    "probe_sec_32": round(results[32]["headline"]["probe"]["sec"], 3),
+                    "probe_efficiency": round(
+                        (results[8]["headline"]["probe"]["sec"]
+                         / results[32]["headline"]["probe"]["sec"]) / 4, 3),
+                    "images": N_IMAGES,
+                }
+            )
+        )
+        return
+
+    init_ray(NUM_CPUS)
+    headline = run_headline()
+    if "--headline-only" in sys.argv:
+        headline["probe"] = run_compute_probe()
+        print(json.dumps({"headline": headline, "num_cpus": NUM_CPUS}))
+        import ray
+
+        ray.shutdown()
+        return
+    queries = run_queries()
+    import ray
+
+    ray.shutdown()
+    print(
+        json.dumps(
+            {
+                "metric": "flagship_image_pipeline_sec",
+                "value": round(headline["sec"], 3),
+                "unit": "sec",
+                "images_per_sec": round(headline["images_per_sec"], 1),
+                "images": headline["images"],
+                "queries": queries,
+                "sf": SF_DIR,
+                "num_cpus": NUM_CPUS,
+            }
+        )
+    )
+
+
+if __name__ == "__main__":
+    main()

@@ -65,6 +65,42 @@ def stable_hash64(data: bytes, seed: int = 0) -> int:
     return h
 
 
+def stable_hash64_array(strings, seed: int = 0):
+    """Vectorized FNV-1a over an arrow/numpy array of strings —
+    bit-identical to stable_hash64(s.encode(), seed) per element.
+    Loops over BYTE POSITIONS (max string length, ~15 for image ids),
+    vectorized across rows; the hot-path replacement for per-row
+    hashing in footprint derivation."""
+    import pyarrow as pa
+
+    if not isinstance(strings, (pa.Array, pa.ChunkedArray)):
+        strings = pa.array(list(strings), type=pa.string())
+    if isinstance(strings, pa.ChunkedArray):
+        strings = strings.combine_chunks()
+    if len(strings) == 0:
+        return np.empty(0, dtype=np.uint64)
+    strings = strings.cast(pa.large_string())
+    bufs = strings.buffers()
+    off = np.frombuffer(bufs[1], dtype=np.int64)[
+        strings.offset : strings.offset + len(strings) + 1
+    ]
+    data = np.frombuffer(bufs[2], dtype=np.uint8)
+    starts = off[:-1]
+    lengths = off[1:] - off[:-1]
+    h = np.full(len(strings), np.uint64(0xCBF29CE484222325 ^ seed), dtype=np.uint64)
+    prime = np.uint64(0x100000001B3)
+    maxlen = int(lengths.max()) if len(lengths) else 0
+    with np.errstate(over="ignore"):
+        for pos in range(maxlen):
+            active = lengths > pos
+            idx = starts[active] + pos
+            ha = h[active]
+            ha = ha ^ data[idx].astype(np.uint64)
+            ha = ha * prime
+            h[active] = ha
+    return h
+
+
 def shingles(text: str, k: int = 5) -> set[str]:
     """Word k-shingles."""
     words = text.split()

@@ -91,34 +91,110 @@ def assign_and_join(
     return narrow.map_batches(fn, batch_format="pyarrow")
 
 
-def dedup_by_phash(joined: ray.data.Dataset) -> ray.data.Dataset:
+def dedup_by_phash(joined: ray.data.Dataset, num_parts: int | None = None) -> ray.data.Dataset:
     """Exact dedup (U4): keep the lexicographically-first image_id per
-    (phash, polygon_id) — hash-partitioned groupby, permutation-safe."""
+    (phash, polygon_id), permutation-safe and fully vectorized.
 
-    def first(g: pd.DataFrame) -> pd.DataFrame:
-        return g.sort_values("image_id").head(1)
+    Two-phase: (1) batch-local combiner drops duplicates inside each
+    batch (shrinks the shuffle), then (2) grouped_map hash-partitions
+    by key and drops duplicates per partition — ONE shuffle, Python
+    dispatch per partition rather than per key (a per-group map_groups
+    here cost ~30 s at 100k images / 50k keys; this path is ~1 s)."""
+    from ..stages.grouped import grouped_map
 
-    return joined.groupby(["phash", "polygon_id"]).map_groups(first, batch_format="pandas")
+    from ..stages.grouped import hash_columns
+
+    def dedup_arrow(t: pa.Table) -> pa.Table:
+        import pyarrow.compute as pc
+
+        order = pc.sort_indices(t, sort_keys=[("image_id", "ascending")])
+        t2 = t.take(order)
+        key = hash_columns(t2, ["phash", "polygon_id"])
+        _, first = np.unique(key, return_index=True)  # first occurrence in id order
+        return t2.take(np.sort(first))
+
+    # batch-local combine is skipped: dups are ~1% so it wouldn't shrink
+    # the shuffle; the single grouped_map shuffle does all the work
+    return grouped_map(
+        joined, ["phash", "polygon_id"], dedup_arrow, num_parts=num_parts, batch_format="pyarrow"
+    )
 
 
-def cell_rollup(joined: ray.data.Dataset) -> ray.data.Dataset:
+def cell_rollup(joined: ray.data.Dataset, shuffle_blocks: int | None = None) -> ray.data.Dataset:
     """Images per (polygon, parent cell at level-2) — the compaction-
-    style rollup (ST7)."""
+    style rollup (ST7). Partial-aggregates per batch first so the
+    shuffle moves one row per (polygon, parent) per batch."""
 
-    def add_parent(t: pa.Table) -> pa.Table:
+    def partial(t: pa.Table) -> pa.Table:
         cell = t["cell_id"].to_numpy(zero_copy_only=False)
-        return t.append_column("parent_cell", pa.array(ci.parent(cell, 2)))
+        pid = t["polygon_id"].to_numpy(zero_copy_only=False)
+        par = ci.parent(cell, 2)
+        key = (pid.astype(np.int64) << np.int64(40)) ^ par  # pack for unique
+        uniq, inv, cnt = np.unique(key, return_inverse=True, return_counts=True)
+        first = np.zeros(len(uniq), dtype=np.int64)
+        first[inv[::-1]] = np.arange(len(key))[::-1]
+        return pa.table(
+            {
+                "polygon_id": pid[first],
+                "parent_cell": par[first],
+                "pn": cnt.astype(np.int64),
+            }
+        )
 
-    from ray.data.aggregate import Count
+    from ..stages.grouped import grouped_map
 
-    return (
-        joined.map_batches(add_parent, batch_format="pyarrow")
-        .groupby(["polygon_id", "parent_cell"])
-        .aggregate(Count(alias_name="n_images"))
+    def final(t: pa.Table) -> pa.Table:
+        out = t.group_by(["polygon_id", "parent_cell"]).aggregate([("pn", "sum")])
+        return out.rename_columns(["polygon_id", "parent_cell", "n_images"])
+
+    partials = joined.map_batches(partial, batch_format="pyarrow")
+    return grouped_map(
+        partials, ["polygon_id", "parent_cell"], final, num_parts=shuffle_blocks, batch_format="pyarrow"
     )
 
 
 def flagship(images: ray.data.Dataset, level: int = DEFAULT_LEVEL) -> ray.data.Dataset:
     joined = assign_and_join(images, level=level)
+    deduped = dedup_by_phash(joined)
+    return cell_rollup(deduped)
+
+
+def flagship_full(
+    images: ray.data.Dataset,
+    level: int = DEFAULT_LEVEL,
+    decode_concurrency: int | tuple | None = None,
+    decode_batch_size: int = 1024,
+) -> ray.data.Dataset:
+    """The end-to-end metric pipeline (BASELINE.md headline):
+    decode + verify (phash recompute, the per-row input_hint
+    invariant) -> footprint/cell tile assignment -> cell-prefiltered
+    PIP join -> phash dedup -> parent-cell rollup.
+
+    The decode fn is STATELESS so Ray fuses it into the read task —
+    pixel bytes never cross the object store; only the narrow
+    (image_id, phash) projection flows on. Pass decode_concurrency to
+    run it as an actor pool instead (model-style decoders)."""
+    from ..stages.imaging import DecodeStage, decode_features_batch
+
+    if decode_concurrency is None:
+        decoded = images.map_batches(
+            decode_features_batch, batch_format="pyarrow", batch_size=decode_batch_size
+        ).select_columns(["image_id", "phash"])
+    else:
+        decoded = images.map_batches(
+            DecodeStage,
+            batch_format="pyarrow",
+            batch_size=decode_batch_size,
+            concurrency=decode_concurrency,
+            num_cpus=1,
+        ).select_columns(["image_id", "phash"])
+    joined = assign_and_join(decoded, level=level)
+    # checkpoint the NARROW join output before the shuffle stages: the
+    # streaming executor schedules an AllToAll chained directly after
+    # the heavy fused decode-map very poorly (measured 6x slowdown at
+    # 8 cpus: 97 s lazy vs 16 s checkpointed); at design scale this
+    # boundary is the per-partition parquet checkpoint, here the
+    # object store holds it (~40 B/row)
+    joined = joined.materialize()
     deduped = dedup_by_phash(joined)
     return cell_rollup(deduped)

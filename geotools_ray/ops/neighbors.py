@@ -53,13 +53,28 @@ def range_join(
         s = ray.get(ref)
         x = t["x"].to_numpy(zero_copy_only=False)
         y = t["y"].to_numpy(zero_copy_only=False)
-        dx = x[:, None] - s["sx"][None, :]
-        dy = y[:, None] - s["sy"][None, :]
-        d2 = dx * dx + dy * dy
-        pi, sj = np.nonzero(d2 <= r2)
+        n, m = len(x), len(s["sx"])
+        # chunk both axes so the distance matrix stays ~16 MB per slab
+        # regardless of batch/sample sizes (1000 samples x 40k points
+        # unchunked would be ~1 GB of temporaries per task)
+        pcs, scs = 8192, 256
+        out_pi, out_sj, out_d2 = [], [], []
+        for p0 in range(0, n, pcs):
+            xc = x[p0 : p0 + pcs, None]
+            yc = y[p0 : p0 + pcs, None]
+            for s0 in range(0, m, scs):
+                dx = xc - s["sx"][None, s0 : s0 + scs]
+                dy = yc - s["sy"][None, s0 : s0 + scs]
+                d2 = dx * dx + dy * dy
+                pi, sj = np.nonzero(d2 <= r2)
+                out_pi.append(pi + p0)
+                out_sj.append(sj + s0)
+                out_d2.append(d2[pi, sj])
+        pi = np.concatenate(out_pi)
+        sj = np.concatenate(out_sj)
         cols = {c: t[c].to_numpy(zero_copy_only=False)[pi] for c in point_cols}
         cols[sample_key] = s["key"][sj]
-        cols["dist"] = np.sqrt(d2[pi, sj])
+        cols["dist"] = np.sqrt(np.concatenate(out_d2))
         return pa.table(cols)
 
     return points.map_batches(fn, batch_format="pyarrow")
@@ -86,30 +101,34 @@ def knn_join(
     tiebreak = list(point_cols)
 
     def local_topk(t: pa.Table) -> pa.Table:
+        """Emit a SUPERSET of each query's batch-local top-k (all points
+        with d2 <= the k-th smallest, ties included) — the merge stage
+        does the exact sort/trim, so no per-query python loop is needed
+        here: argpartition runs vectorized across query columns."""
         q = ray.get(ref)
         x = t["x"].to_numpy(zero_copy_only=False)
         y = t["y"].to_numpy(zero_copy_only=False)
         n = len(x)
-        nq = len(q["key"])
-        dx = x[:, None] - q["qx"][None, :]
-        dy = y[:, None] - q["qy"][None, :]
-        d2 = dx * dx + dy * dy
         kk = min(k, n)
         tb = {c: t[c].to_numpy(zero_copy_only=False) for c in point_cols}
         out_cols: dict[str, list] = {c: [] for c in (query_key, "d2", *point_cols)}
-        for j in range(nq):
+        qcs = 256  # query-column chunk: d2 slab stays ~ n x 256 doubles
+        for q0 in range(0, len(q["key"]), qcs):
+            qx_ = q["qx"][None, q0 : q0 + qcs]
+            qy_ = q["qy"][None, q0 : q0 + qcs]
+            dx = x[:, None] - qx_
+            dy = y[:, None] - qy_
+            d2 = dx * dx + dy * dy
             if kk < n:
-                idx = np.argpartition(d2[:, j], kk - 1)[:kk]
-                dmax = d2[idx, j].max()
-                idx = np.nonzero(d2[:, j] <= dmax)[0]  # include k-th ties
+                part = np.partition(d2, kk - 1, axis=0)
+                dmax = part[kk - 1, :]  # k-th smallest per query
             else:
-                idx = np.arange(n)
-            order = np.lexsort(tuple(tb[c][idx] for c in reversed(tiebreak)) + (d2[idx, j],))
-            idx = idx[order[:kk]]
-            out_cols[query_key].append(np.full(len(idx), q["key"][j]))
-            out_cols["d2"].append(d2[idx, j])
+                dmax = d2.max(axis=0) if n else np.zeros(d2.shape[1])
+            pi, qj = np.nonzero(d2 <= dmax[None, :])
+            out_cols[query_key].append(q["key"][q0 + qj])
+            out_cols["d2"].append(d2[pi, qj])
             for c in point_cols:
-                out_cols[c].append(tb[c][idx])
+                out_cols[c].append(tb[c][pi])
         return pa.table({c: np.concatenate(v) for c, v in out_cols.items()})
 
     candidates = points.map_batches(local_topk, batch_format="pyarrow")

@@ -85,13 +85,17 @@ def perceptual_hash(pixels: np.ndarray) -> int:
     deterministic, duplicate images share a phash."""
     gray = pixels.astype(np.float64).mean(axis=2)
     h, w = gray.shape
-    # average-pool to 8x8
-    ys = (np.arange(8 + 1) * h) // 8
-    xs = (np.arange(8 + 1) * w) // 8
-    small = np.empty((8, 8))
-    for i in range(8):
-        for j in range(8):
-            small[i, j] = gray[ys[i] : ys[i + 1], xs[j] : xs[j + 1]].mean()
+    if h % 8 == 0 and w % 8 == 0:
+        # fast path: block means via reshape (all generator sizes are
+        # multiples of 8)
+        small = gray.reshape(8, h // 8, 8, w // 8).mean(axis=(1, 3))
+    else:
+        ys = (np.arange(8 + 1) * h) // 8
+        xs = (np.arange(8 + 1) * w) // 8
+        small = np.empty((8, 8))
+        for i in range(8):
+            for j in range(8):
+                small[i, j] = gray[ys[i] : ys[i + 1], xs[j] : xs[j + 1]].mean()
     bits = (small > small.mean()).ravel()
     out = 0
     for i, b in enumerate(bits):
@@ -137,11 +141,12 @@ def make_image_row(i: int, seed: int = 42, dup_of: int | None = None) -> dict:
 
 def footprint_lonlat(image_ids, seed: int = 42, bbox=(-20.0, -20.0, 20.0, 20.0)):
     """Derived footprint centroids, vectorized: uniform in bbox keyed by
-    image_id hash (stable under any row order / partitioning)."""
+    image_id hash (stable under any row order / partitioning).
+    Accepts a list of str, numpy array, or pyarrow (Chunked)Array."""
+    from ..kernels.text import stable_hash64_array
+
     minlon, minlat, maxlon, maxlat = bbox
-    hashes = np.array(
-        [stable_hash64(s.encode(), seed ^ 0x5EED) for s in image_ids], dtype=np.uint64
-    )
+    hashes = stable_hash64_array(image_ids, seed ^ 0x5EED)
     u = (hashes % np.uint64(2**32)).astype(np.float64) / 2**32
     v = ((hashes >> np.uint64(32)) % np.uint64(2**32)).astype(np.float64) / 2**32
     lon = minlon + u * (maxlon - minlon)
