@@ -1,0 +1,443 @@
+"""Tile-parallel raster operators over tile-row Datasets (SURVEY §1.3):
+
+    (trow:int64, tcol:int64, h:int32, w:int32, data:list<float64>)
+
+A full raster = a Dataset of disjoint tiles of a global H x W grid.
+Windowed ops exchange HALOS: each tile flat-maps the border strips its
+neighbours need, a grouped_map by tile key assembles the padded tile,
+the numpy kernel runs on it, and only the interior is emitted — the
+Ray Data restatement of the reference's strip/tile + buffer pattern
+(src/raster.cpp:237-257 strips, src/mosaic.cpp:296-357 tiles,
+src/treetops.cpp:172-232 strips).
+
+All tile ops are tested for EXACT equality against the full-grid
+kernels in kernels/raster.py.
+"""
+
+from __future__ import annotations
+
+import numpy as np
+import pandas as pd
+import pyarrow as pa
+import ray.data
+
+from ..kernels import raster as KR
+from ..stages.grouped import grouped_map
+
+NODATA = KR.NODATA
+
+
+# ---------------------------------------------------------------------------
+# tile <-> grid helpers (driver-side, used by tests and export edges)
+
+def grid_to_tiles(grid: np.ndarray, tile: int) -> pa.Table:
+    H, W = grid.shape
+    rows = []
+    for tr in range(0, H, tile):
+        for tc in range(0, W, tile):
+            sub = grid[tr : tr + tile, tc : tc + tile]
+            rows.append(
+                {
+                    "trow": tr // tile,
+                    "tcol": tc // tile,
+                    "h": sub.shape[0],
+                    "w": sub.shape[1],
+                    "data": sub.ravel().tolist(),
+                }
+            )
+    return pa.Table.from_pylist(rows)
+
+
+def tiles_to_grid(df: pd.DataFrame, H: int, W: int, tile: int, nodata: float = NODATA) -> np.ndarray:
+    out = np.full((H, W), nodata, dtype=np.float64)
+    for _, r in df.iterrows():
+        tr, tc = int(r["trow"]), int(r["tcol"])
+        h, w = int(r["h"]), int(r["w"])
+        out[tr * tile : tr * tile + h, tc * tile : tc * tile + w] = np.asarray(
+            r["data"], dtype=np.float64
+        ).reshape(h, w)
+    return out
+
+
+# ---------------------------------------------------------------------------
+# halo exchange
+
+def tile_map_with_halo(
+    tiles: ray.data.Dataset,
+    fn,
+    halo: int,
+    H: int,
+    W: int,
+    tile: int,
+    nodata: float = NODATA,
+    num_parts: int | None = None,
+) -> ray.data.Dataset:
+    """fn(padded, halo, gr0, gc0) -> interior array (h x w) for the
+    tile whose global origin is (gr0, gc0). `padded` is the tile plus
+    `halo` cells of context on every side (nodata beyond the grid)."""
+    ntr = (H + tile - 1) // tile
+    ntc = (W + tile - 1) // tile
+
+    def emit_pieces(t: pa.Table) -> pa.Table:
+        out = []
+        for i in range(len(t)):
+            tr = t["trow"][i].as_py()
+            tc = t["tcol"][i].as_py()
+            h = t["h"][i].as_py()
+            w = t["w"][i].as_py()
+            data = np.asarray(t["data"][i].as_py(), dtype=np.float64).reshape(h, w)
+            # this tile's global extent
+            gr0, gc0 = tr * tile, tc * tile
+            for dr in (-1, 0, 1):
+                for dc in (-1, 0, 1):
+                    ttr, ttc = tr + dr, tc + dc
+                    if not (0 <= ttr < ntr and 0 <= ttc < ntc):
+                        continue
+                    # neighbour's padded region in global coords
+                    pr0, pc0 = ttr * tile - halo, ttc * tile - halo
+                    pr1 = min(ttr * tile + tile, H) + halo
+                    pc1 = min(ttc * tile + tile, W) + halo
+                    # overlap with this tile
+                    or0, oc0 = max(gr0, pr0), max(gc0, pc0)
+                    or1, oc1 = min(gr0 + h, pr1), min(gc0 + w, pc1)
+                    if or0 >= or1 or oc0 >= oc1:
+                        continue
+                    sub = data[or0 - gr0 : or1 - gr0, oc0 - gc0 : oc1 - gc0]
+                    out.append(
+                        {
+                            "trow": ttr,
+                            "tcol": ttc,
+                            "y": or0 - pr0,
+                            "x": oc0 - pc0,
+                            "ph": sub.shape[0],
+                            "pw": sub.shape[1],
+                            "data": sub.ravel().tolist(),
+                        }
+                    )
+        return pa.Table.from_pylist(out) if out else pa.table(
+            {"trow": pa.array([], pa.int64()), "tcol": pa.array([], pa.int64()),
+             "y": pa.array([], pa.int64()), "x": pa.array([], pa.int64()),
+             "ph": pa.array([], pa.int64()), "pw": pa.array([], pa.int64()),
+             "data": pa.array([], pa.list_(pa.float64()))}
+        )
+
+    pieces = tiles.map_batches(emit_pieces, batch_format="pyarrow")
+
+    def assemble(df: pd.DataFrame) -> pd.DataFrame:
+        rows = []
+        for (tr, tc), g in df.groupby(["trow", "tcol"], sort=False):
+            gr0, gc0 = int(tr) * tile, int(tc) * tile
+            h = min(tile, H - gr0)
+            w = min(tile, W - gc0)
+            padded = np.full((h + 2 * halo, w + 2 * halo), nodata, dtype=np.float64)
+            for _, p in g.iterrows():
+                y, x, ph, pw = int(p["y"]), int(p["x"]), int(p["ph"]), int(p["pw"])
+                padded[y : y + ph, x : x + pw] = np.asarray(
+                    p["data"], dtype=np.float64
+                ).reshape(ph, pw)
+            interior = fn(padded, halo, gr0, gc0)
+            rows.append(
+                {
+                    "trow": int(tr),
+                    "tcol": int(tc),
+                    "h": h,
+                    "w": w,
+                    "data": interior.ravel().tolist(),
+                }
+            )
+        return pd.DataFrame(rows)
+
+    return grouped_map(pieces, ["trow", "tcol"], assemble, num_parts=num_parts)
+
+
+# ---------------------------------------------------------------------------
+# W1 smooth
+
+def smooth_tiles(tiles, sigma, size, H, W, tile, nodata=NODATA, **kw):
+    """Gaussian smooth (src/raster.cpp:224-300) tile-parallel; exact
+    incl. the reference's one-short far-edge quirk (see kernels)."""
+    if size % 2 == 0:
+        size += 1
+    half = size // 2
+    weights = KR.gaussian_weights(size, sigma)
+
+    def fn(padded, halo, gr0, gc0):
+        ph, pw = padded.shape
+        h, w = ph - 2 * halo, pw - 2 * halo
+        out = np.full((h, w), nodata)
+        if ph < size or pw < size:
+            return out
+        valid = padded != nodata
+        sw = np.lib.stride_tricks.sliding_window_view(padded, (size, size))
+        vw = np.lib.stride_tricks.sliding_window_view(valid, (size, size))
+        conv = np.einsum("ijkl,kl->ij", sw, weights)
+        res = np.where(vw.all(axis=(2, 3)), conv, nodata)
+        # res[i,j] is the value at padded[i+half, j+half]; interior cell
+        # (r, c) (tile coords) = padded[r+halo, c+halo] -> res index
+        # (r + halo - half, c + halo - half)
+        for r in range(h):
+            for c in range(w):
+                gr, gc = gr0 + r, gc0 + c
+                # reference writes centers with start in [0, dim-size)
+                if not (half <= gr <= H - half - 2 and half <= gc <= W - half - 2):
+                    continue
+                out[r, c] = res[r + halo - half, c + halo - half]
+        return out
+
+    return tile_map_with_halo(tiles, fn, halo=half, H=H, W=W, tile=tile, nodata=nodata, **kw)
+
+
+# ---------------------------------------------------------------------------
+# O3 treetop local maxima
+
+def local_maxima_tiles(tiles, window, min_height, H, W, tile, nodata=NODATA, **kw):
+    """Windowed top-1 detection; emits (col, row, z) rows (the tops
+    table that replaces the reference's SQLite sink, ST4)."""
+    half = window // 2
+    halo = window
+
+    def assemble_tops(df: pd.DataFrame) -> pd.DataFrame:
+        rows = []
+        for (tr, tc), g in df.groupby(["trow", "tcol"], sort=False):
+            gr0, gc0 = int(tr) * tile, int(tc) * tile
+            h = min(tile, H - gr0)
+            w = min(tile, W - gc0)
+            padded = np.full((h + 2 * halo, w + 2 * halo), nodata, dtype=np.float64)
+            for _, p in g.iterrows():
+                y, x, ph, pw = int(p["y"]), int(p["x"]), int(p["ph"]), int(p["pw"])
+                padded[y : y + ph, x : x + pw] = np.asarray(p["data"], dtype=np.float64).reshape(ph, pw)
+            tops = KR.local_maxima(padded, window, min_height, nodata)
+            for c, r, z in tops:
+                gr, gc = gr0 + (r - halo), gc0 + (c - halo)
+                # keep interior tops only; enforce the global-range quirk
+                if not (0 <= gr - gr0 < h and 0 <= gc - gc0 < w):
+                    continue
+                if not (half <= gr <= H - window + half - 1 and half <= gc <= W - window + half - 1):
+                    continue
+                rows.append({"col": gc, "row": gr, "z": z})
+        return pd.DataFrame(rows, columns=["col", "row", "z"]).astype(
+            {"col": np.int64, "row": np.int64, "z": np.float64}
+        )
+
+    return _pieces_grouped(tiles, halo, H, W, tile, nodata, assemble_tops, **kw)
+
+
+# ---------------------------------------------------------------------------
+# O5 minima seeds
+
+def minima_tiles(tiles, H, W, tile, nodata=NODATA, **kw):
+    def assemble(df: pd.DataFrame) -> pd.DataFrame:
+        halo = 1
+        rows = []
+        for (tr, tc), g in df.groupby(["trow", "tcol"], sort=False):
+            gr0, gc0 = int(tr) * tile, int(tc) * tile
+            h = min(tile, H - gr0)
+            w = min(tile, W - gc0)
+            padded = np.full((h + 2, w + 2), nodata, dtype=np.float64)
+            for _, p in g.iterrows():
+                y, x, ph, pw = int(p["y"]), int(p["x"]), int(p["ph"]), int(p["pw"])
+                padded[y : y + ph, x : x + pw] = np.asarray(p["data"], dtype=np.float64).reshape(ph, pw)
+            for c, r, z in KR.find_minima(padded, nodata):
+                rr, cc = r - halo, c - halo
+                if 0 <= rr < h and 0 <= cc < w:
+                    rows.append({"col": gc0 + cc, "row": gr0 + rr, "z": z})
+        return pd.DataFrame(rows, columns=["col", "row", "z"]).astype(
+            {"col": np.int64, "row": np.int64, "z": np.float64}
+        )
+
+    return _pieces_grouped(tiles, 1, H, W, tile, nodata, assemble, **kw)
+
+
+def _pieces_grouped(tiles, halo, H, W, tile, nodata, assemble, **kw):
+    ntr = (H + tile - 1) // tile
+    ntc = (W + tile - 1) // tile
+
+    def emit(t: pa.Table) -> pa.Table:
+        out = []
+        for i in range(len(t)):
+            tr = t["trow"][i].as_py(); tc = t["tcol"][i].as_py()
+            h = t["h"][i].as_py(); w = t["w"][i].as_py()
+            data = np.asarray(t["data"][i].as_py(), dtype=np.float64).reshape(h, w)
+            gr0, gc0 = tr * tile, tc * tile
+            for dr in (-1, 0, 1):
+                for dc in (-1, 0, 1):
+                    ttr, ttc = tr + dr, tc + dc
+                    if not (0 <= ttr < ntr and 0 <= ttc < ntc):
+                        continue
+                    pr0, pc0 = ttr * tile - halo, ttc * tile - halo
+                    pr1 = min(ttr * tile + tile, H) + halo
+                    pc1 = min(ttc * tile + tile, W) + halo
+                    or0, oc0 = max(gr0, pr0), max(gc0, pc0)
+                    or1, oc1 = min(gr0 + h, pr1), min(gc0 + w, pc1)
+                    if or0 >= or1 or oc0 >= oc1:
+                        continue
+                    sub = data[or0 - gr0 : or1 - gr0, oc0 - gc0 : oc1 - gc0]
+                    out.append({"trow": ttr, "tcol": ttc, "y": or0 - pr0, "x": oc0 - pc0,
+                                "ph": sub.shape[0], "pw": sub.shape[1],
+                                "data": sub.ravel().tolist()})
+        return pa.Table.from_pylist(out)
+
+    pieces = tiles.map_batches(emit, batch_format="pyarrow")
+    return grouped_map(pieces, ["trow", "tcol"], assemble, **kw)
+
+
+# ---------------------------------------------------------------------------
+# W3 mosaic feather + blend (per overlay, tile-parallel)
+
+def mosaic_tiles(base_tiles, overlay_tiles, distance, resolution, H, W, tile,
+                 nodata=NODATA, **kw):
+    """One overlay blended into the base (src/mosaic.cpp:211-367).
+    halo = steps + 2 bounds the feather erosion's reach; feather runs
+    on the padded overlay, blend writes the tile interior only."""
+    steps = max(1.0, distance / resolution)
+    halo = int(steps) + 2
+
+    # tag the two sides, union, and assemble pairs per tile
+    def tag(name):
+        def fn(t: pa.Table) -> pa.Table:
+            return t.append_column("side", pa.array([name] * len(t)))
+        return fn
+
+    both = base_tiles.map_batches(tag("base"), batch_format="pyarrow").union(
+        overlay_tiles.map_batches(tag("over"), batch_format="pyarrow")
+    )
+
+    ntr = (H + tile - 1) // tile
+    ntc = (W + tile - 1) // tile
+
+    def emit(t: pa.Table) -> pa.Table:
+        out = []
+        for i in range(len(t)):
+            side = t["side"][i].as_py()
+            tr = t["trow"][i].as_py(); tc = t["tcol"][i].as_py()
+            h = t["h"][i].as_py(); w = t["w"][i].as_py()
+            data = np.asarray(t["data"][i].as_py(), dtype=np.float64).reshape(h, w)
+            gr0, gc0 = tr * tile, tc * tile
+            hal = halo if side == "over" else 0  # base needs no halo
+            for dr in (-1, 0, 1):
+                for dc in (-1, 0, 1):
+                    if side == "base" and (dr or dc):
+                        continue
+                    ttr, ttc = tr + dr, tc + dc
+                    if not (0 <= ttr < ntr and 0 <= ttc < ntc):
+                        continue
+                    pr0, pc0 = ttr * tile - hal, ttc * tile - hal
+                    pr1 = min(ttr * tile + tile, H) + hal
+                    pc1 = min(ttc * tile + tile, W) + hal
+                    or0, oc0 = max(gr0, pr0), max(gc0, pc0)
+                    or1, oc1 = min(gr0 + h, pr1), min(gc0 + w, pc1)
+                    if or0 >= or1 or oc0 >= oc1:
+                        continue
+                    sub = data[or0 - gr0 : or1 - gr0, oc0 - gc0 : oc1 - gc0]
+                    out.append({"trow": ttr, "tcol": ttc, "side": side,
+                                "y": or0 - pr0, "x": oc0 - pc0,
+                                "ph": sub.shape[0], "pw": sub.shape[1],
+                                "data": sub.ravel().tolist()})
+        return pa.Table.from_pylist(out)
+
+    pieces = both.map_batches(emit, batch_format="pyarrow")
+
+    def assemble(df: pd.DataFrame) -> pd.DataFrame:
+        rows = []
+        for (tr, tc), g in df.groupby(["trow", "tcol"], sort=False):
+            gr0, gc0 = int(tr) * tile, int(tc) * tile
+            h = min(tile, H - gr0)
+            w = min(tile, W - gc0)
+            over = np.full((h + 2 * halo, w + 2 * halo), nodata, dtype=np.float64)
+            base = np.full((h, w), nodata, dtype=np.float64)
+            for _, p in g.iterrows():
+                y, x, ph, pw = int(p["y"]), int(p["x"]), int(p["ph"]), int(p["pw"])
+                arr = np.asarray(p["data"], dtype=np.float64).reshape(ph, pw)
+                if p["side"] == "over":
+                    over[y : y + ph, x : x + pw] = arr
+                else:
+                    base[y : y + ph, x : x + pw] = arr
+            alpha = KR.feather(over, distance, resolution, nodata)
+            merged = base
+            if alpha is not None:
+                blended = KR.blend(over, np.pad(base, halo, constant_values=nodata),
+                                   alpha, nodata, nodata, buffer=0)
+                merged = blended[halo : halo + h, halo : halo + w]
+            rows.append({"trow": int(tr), "tcol": int(tc), "h": h, "w": w,
+                         "data": merged.ravel().tolist()})
+        return pd.DataFrame(rows)
+
+    return grouped_map(pieces, ["trow", "tcol"], assemble, **kw)
+
+
+# ---------------------------------------------------------------------------
+# W4 flood fill with cross-tile label union (the iterative operator)
+
+def flood_label_tiles(tiles_df: pd.DataFrame, elevation, H, W, tile, nodata=NODATA):
+    """Distributed-shaped flood fill: local labels per tile + boundary
+    label-union merged with a driver-side union-find (bounded label
+    count).  Takes/returns driver-side DataFrames for the label map;
+    the per-tile labeling is the parallelizable part (kept simple here
+    since the union step is inherently iterative; at scale the local
+    step runs in grouped_map and only (label, label) edge pairs move).
+
+    Returns an int32 (H, W) global label grid, labels canonicalized to
+    the scan-order ids the full-grid reference kernel would produce.
+    """
+    # local labels
+    local = {}
+    offsets = {}
+    nxt = 0
+    for _, r in tiles_df.iterrows():
+        tr, tc = int(r["trow"]), int(r["tcol"])
+        h, w = int(r["h"]), int(r["w"])
+        sub = np.asarray(r["data"], dtype=np.float64).reshape(h, w)
+        lab = KR.flood_fill_label(sub, elevation, nodata)
+        local[(tr, tc)] = lab
+        offsets[(tr, tc)] = nxt
+        nxt += int(lab.max())
+    # global ids = local + offset
+    glob = np.zeros((H, W), dtype=np.int64)
+    for (tr, tc), lab in local.items():
+        off = offsets[(tr, tc)]
+        g = np.where(lab > 0, lab + off, 0)
+        glob[tr * tile : tr * tile + lab.shape[0], tc * tile : tc * tile + lab.shape[1]] = g
+    # union across tile boundaries (4-connectivity)
+    parent = list(range(nxt + 1))
+
+    def find(a):
+        while parent[a] != a:
+            parent[a] = parent[parent[a]]
+            a = parent[a]
+        return a
+
+    def union(a, b):
+        ra, rb = find(a), find(b)
+        if ra != rb:
+            parent[max(ra, rb)] = min(ra, rb)
+
+    for tr in range((H + tile - 1) // tile):
+        r_edge = tr * tile
+        if 0 < r_edge < H:
+            a = glob[r_edge - 1, :]
+            b = glob[r_edge, :]
+            for x in np.nonzero((a > 0) & (b > 0))[0]:
+                union(int(a[x]), int(b[x]))
+    for tc in range((W + tile - 1) // tile):
+        c_edge = tc * tile
+        if 0 < c_edge < W:
+            a = glob[:, c_edge - 1]
+            b = glob[:, c_edge]
+            for y in np.nonzero((a > 0) & (b > 0))[0]:
+                union(int(a[y]), int(b[y]))
+    roots = np.array([find(i) for i in range(nxt + 1)])
+    merged = np.where(glob > 0, roots[glob], 0)
+    # canonicalize to scan-order ids (match the full-grid kernel)
+    out = np.zeros_like(merged, dtype=np.int32)
+    seen = {}
+    k = 0
+    flat = merged.ravel()
+    canon = np.zeros(flat.shape, dtype=np.int32)
+    for i, v in enumerate(flat):
+        if v == 0:
+            continue
+        if v not in seen:
+            k += 1
+            seen[v] = k
+        canon[i] = seen[v]
+    return canon.reshape(H, W)

@@ -1,0 +1,136 @@
+"""Tile-parallel raster ops must EXACTLY reproduce the full-grid
+kernels (which themselves transcribe the reference formulas)."""
+
+import numpy as np
+import pandas as pd
+import pytest
+
+from geotools_ray.kernels import raster as KR
+
+NODATA = KR.NODATA
+
+
+def make_grid(h=23, w=31, holes=True, seed=0):
+    rng = np.random.RandomState(seed)
+    g = rng.uniform(0, 30, (h, w))
+    if holes:
+        mask = rng.rand(h, w) < 0.1
+        g[mask] = NODATA
+    return g
+
+
+@pytest.fixture(scope="module")
+def ray_ctx(ray_session):
+    import ray.data
+
+    return ray.data
+
+
+def _tiles_ds(ray_data, grid, tile):
+    from geotools_ray.ops.raster import grid_to_tiles
+
+    return ray_data.from_arrow(grid_to_tiles(grid, tile))
+
+
+def test_smooth_tiles_match_kernel(ray_ctx):
+    from geotools_ray.ops.raster import smooth_tiles, tiles_to_grid
+
+    g = make_grid()
+    want = KR.smooth(g, sigma=1.2, size=5)
+    for tile in (8, 16):
+        ds = _tiles_ds(ray_ctx, g, tile)
+        out = smooth_tiles(ds, 1.2, 5, g.shape[0], g.shape[1], tile, num_parts=4)
+        got = tiles_to_grid(out.to_pandas(), g.shape[0], g.shape[1], tile)
+        np.testing.assert_allclose(got, want, rtol=0, atol=1e-12)
+
+
+def test_local_maxima_tiles_match_kernel(ray_ctx):
+    from geotools_ray.ops.raster import local_maxima_tiles
+
+    g = make_grid(29, 37, holes=True, seed=3)
+    want = sorted(KR.local_maxima(g, window=5, min_height=5.0))
+    for tile in (8, 16):
+        ds = _tiles_ds(ray_ctx, g, tile)
+        out = local_maxima_tiles(ds, 5, 5.0, g.shape[0], g.shape[1], tile, num_parts=4)
+        df = out.to_pandas()
+        got = sorted(zip(df["col"], df["row"], df["z"]))
+        assert got == want
+
+
+def test_minima_tiles_match_kernel(ray_ctx):
+    from geotools_ray.ops.raster import minima_tiles
+
+    g = make_grid(20, 25, holes=True, seed=5)
+    want = sorted(KR.find_minima(g))
+    ds = _tiles_ds(ray_ctx, g, 8)
+    out = minima_tiles(ds, g.shape[0], g.shape[1], 8, num_parts=4)
+    df = out.to_pandas()
+    got = sorted(zip(df["col"], df["row"], df["z"]))
+    assert got == want
+
+
+def test_mosaic_tiles_match_kernel(ray_ctx):
+    from geotools_ray.ops.raster import mosaic_tiles, tiles_to_grid
+
+    rng = np.random.RandomState(7)
+    H, W = 24, 30
+    base = rng.uniform(0, 10, (H, W))
+    over = np.full((H, W), NODATA)
+    over[6:18, 8:26] = rng.uniform(20, 30, (12, 18))  # an overlay patch
+    # full-grid oracle: feather overlay, blend into base
+    alpha = KR.feather(over, distance=3.0, resolution=1.0)
+    want = KR.blend(over, base, alpha, NODATA, NODATA, buffer=0)
+    tile = 8
+    b = _tiles_ds(ray_ctx, base, tile)
+    o = _tiles_ds(ray_ctx, over, tile)
+    out = mosaic_tiles(b, o, 3.0, 1.0, H, W, tile, num_parts=4)
+    got = tiles_to_grid(out.to_pandas(), H, W, tile)
+    np.testing.assert_allclose(got, want, rtol=0, atol=1e-12)
+
+
+def test_flood_labels_match_kernel():
+    from geotools_ray.ops.raster import flood_label_tiles, grid_to_tiles
+
+    g = make_grid(21, 27, holes=False, seed=11)
+    elev = 12.0
+    want = KR.flood_fill_label(g, elev)
+    tiles_df = grid_to_tiles(g, 8).to_pandas()
+    got = flood_label_tiles(tiles_df, elev, 21, 27, 8)
+    # same partition structure and same scan-order canonical ids
+    np.testing.assert_array_equal(got, want)
+
+
+def test_spill_points_and_edges():
+    g = np.full((9, 12), 50.0)
+    g[2:4, 2:4] = 1.0   # basin A
+    g[5:7, 8:10] = 2.0  # basin B
+    labels = KR.flood_fill_label(g, 5.0)
+    assert labels.max() == 2
+    sp = KR.spill_points(labels, max_dist=20.0)
+    assert len(sp) > 0
+    # nearest pair distance is between the adjacent corners
+    dmin = min(s[-1] for s in sp)
+    assert dmin == pytest.approx(np.sqrt((8 - 3) ** 2 + (5 - 3) ** 2))
+
+
+def test_void_fill_idw():
+    g = make_grid(12, 14, holes=False, seed=2)
+    g[5, 6] = NODATA
+    out = KR.void_fill_idw(g, radius=2.0, count=3, exp=1.0)
+    assert out[5, 6] != NODATA
+    # transcription check: weights 1/d2 over valid neighbours in radius
+    a = b = 0.0
+    for r in range(3, 8):
+        for c in range(4, 9):
+            d2 = (c - 6) ** 2.0 + (r - 5) ** 2.0
+            if 0 < d2 <= 4.0:
+                a += (1.0 / d2) * g[r, c]
+                b += 1.0 / d2
+    assert out[5, 6] == pytest.approx(a / b)
+
+
+def test_gaussian_weights_formula():
+    wts = KR.gaussian_weights(5, 1.0)
+    # center weight = 1/(2*pi*sigma^2)
+    assert wts[2, 2] == pytest.approx(1.0 / (2 * np.pi))
+    assert wts[0, 0] == pytest.approx((1.0 / (2 * np.pi)) * np.exp(-(8) / 2.0))
