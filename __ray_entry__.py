@@ -21,6 +21,7 @@ from typing import Any
 sys.path.insert(0, os.path.dirname(os.path.abspath(__file__)))
 
 from geotools_ray import queries as Q  # noqa: E402
+from geotools_ray import queries_ops as QO  # noqa: E402
 from geotools_ray import queries_text as QT  # noqa: E402
 
 
@@ -104,6 +105,23 @@ def queries() -> dict[str, Callable[[str], Any]]:
         "embed_pairs": QT.q_embed_pairs,
         "window_hourly": QT.q_window_hourly,
         "sessionize": QT.q_sessionize,
+        # interpolators / flight-lines (R2-R4, M8)
+        "idw": QO.q_idw,
+        "avg_knn": QO.q_avg_knn,
+        "flightline": QO.q_flightline,
+        "planar_fit": QO.q_planar_fit,
+        # raster pipelines (W1, W3, W4, O3) — rows-only, pytest-verified
+        "raster_smooth": QO.q_raster_smooth,
+        "treetops": QO.q_treetops,
+        "flood_basins": QO.q_flood_basins,
+        "mosaic": QO.q_mosaic,
+        # stateful / structural (M6, M7) — rows-only
+        "datum_transform": QO.q_datum_transform,
+        "normalize_height": QO.q_normalize_height,
+        # near-dup family (U4 extensions) — rows-only
+        "minhash_dedup": QO.q_minhash_dedup,
+        "simhash_pairs": QO.q_simhash_pairs,
+        "ngram_pairs": QO.q_ngram_pairs,
     }
     qs.update(_image_queries())
     return qs
@@ -138,6 +156,9 @@ def oracle_sql() -> dict[str, str]:
         "embed_pairs": QT.SQL_EMBED_PAIRS,
         "window_hourly": QT.SQL_WINDOW_HOURLY,
         "sessionize": QT.SQL_SESSIONIZE,
+        "idw": QO.SQL_IDW,
+        "avg_knn": QO.SQL_AVG_KNN,
+        "flightline": QO.SQL_FLIGHTLINE,
         # img_* queries: non-SQL-expressible (synthetic binary input) ->
         # rows-only driver check; pixel/caption invariants live in tests/
     }

@@ -1,0 +1,455 @@
+"""Second query batch: interpolators, flight-lines (oracle-checked)
+and the raster / dedup / datum pipelines (rows-only — semantics are
+pytest-verified against kernel oracles; results here are
+deterministic so the driver's row counts are stable).
+"""
+
+from __future__ import annotations
+
+import numpy as np
+import pandas as pd
+import pyarrow as pa
+import ray.data
+
+from .kernels.grid import cell_centroids
+from .ops.gridstats import GridConfig, compute_bounds, grid_stats
+from .queries import R6, RES, _round_away
+from .stages import tpch
+
+# ---------------------------------------------------------------------------
+# R2 IDW / R3 avg-kNN at every grid cell centroid (oracle-checked)
+
+def _all_cells_table(b, res):
+    cols = b.cols(res)
+    rows = b.rows(res)
+    cid = np.arange(cols * rows, dtype=np.int64)
+    cx, cy = cell_centroids(cid, b, res)
+    return pa.table({"cell_id": cid, "cx": cx, "cy": cy})
+
+
+def q_idw(sf_dir: str):
+    from .ops.interp import idw_at
+
+    pts = tpch.read_points(sf_dir)
+    b = compute_bounds(pts, RES)
+    targets = ray.data.from_arrow(_all_cells_table(b, RES))
+    smp = tpch.read_samples_table(sf_dir)
+    out = idw_at(targets, smp, exponent=1.0)
+
+    def fin(t: pa.Table) -> pa.Table:
+        return pa.table(
+            {
+                "cell_id": t["cell_id"].to_numpy(zero_copy_only=False),
+                "idw_z": _round_away(t["idw_z"].to_numpy(zero_copy_only=False), R6),
+            }
+        )
+
+    return out.map_batches(fin, batch_format="pyarrow")
+
+
+SQL_IDW = f"""
+WITH pts AS ({tpch.PTS_SQL}),
+b AS (
+  SELECT floor(min(x)/{RES})*{RES} AS minx, floor(min(y)/{RES})*{RES} AS miny,
+         floor(max(x)/{RES})*{RES}+{RES} AS maxx, floor(max(y)/{RES})*{RES}+{RES} AS maxy
+  FROM pts),
+g AS (
+  SELECT greatest(1, CAST(ceil((maxx-minx)/{RES}) AS BIGINT)) AS ncols,
+         greatest(1, CAST(ceil((maxy-miny)/{RES}) AS BIGINT)) AS nrows,
+         minx, miny FROM b),
+allcells AS (
+  SELECT (r.r * g.ncols + c.c) AS cell_id,
+         g.minx + c.c*{RES} + {RES}*0.5 AS cx,
+         g.miny + (g.nrows - r.r - 1)*{RES} + {RES}*0.5 AS cy
+  FROM g, generate_series(0, 63) c(c), generate_series(0, 63) r(r)
+  WHERE c.c < g.ncols AND r.r < g.nrows),
+smp AS ({tpch.SAMPLES_SQL})
+SELECT a.cell_id,
+  round(sum(s.sz / ((a.cx-s.sx)*(a.cx-s.sx) + (a.cy-s.sy)*(a.cy-s.sy)))
+        / sum(1.0 / ((a.cx-s.sx)*(a.cx-s.sx) + (a.cy-s.sy)*(a.cy-s.sy))), {R6}) AS idw_z
+FROM allcells a CROSS JOIN smp s
+GROUP BY a.cell_id"""
+
+
+def q_avg_knn(sf_dir: str):
+    """R3 kNN-mean at each sample location from the big point cloud's
+    5 nearest samples — here: mean sz of each CELL's 5 nearest
+    samples."""
+    from .ops.interp import avg_at
+
+    pts = tpch.read_points(sf_dir)
+    b = compute_bounds(pts, RES)
+    targets = ray.data.from_arrow(_all_cells_table(b, RES))
+    smp = tpch.read_samples_table(sf_dir)
+    out = avg_at(targets, smp, neighbours=5)
+
+    def fin(t: pa.Table) -> pa.Table:
+        return pa.table(
+            {
+                "cell_id": t["cell_id"].to_numpy(zero_copy_only=False),
+                "avg_z": _round_away(t["avg_z"].to_numpy(zero_copy_only=False), R6),
+            }
+        )
+
+    return out.map_batches(fin, batch_format="pyarrow")
+
+
+SQL_AVG_KNN = f"""
+WITH pts AS ({tpch.PTS_SQL}),
+b AS (
+  SELECT floor(min(x)/{RES})*{RES} AS minx, floor(min(y)/{RES})*{RES} AS miny,
+         floor(max(x)/{RES})*{RES}+{RES} AS maxx, floor(max(y)/{RES})*{RES}+{RES} AS maxy
+  FROM pts),
+g AS (
+  SELECT greatest(1, CAST(ceil((maxx-minx)/{RES}) AS BIGINT)) AS ncols,
+         greatest(1, CAST(ceil((maxy-miny)/{RES}) AS BIGINT)) AS nrows,
+         minx, miny FROM b),
+allcells AS (
+  SELECT (r.r * g.ncols + c.c) AS cell_id,
+         g.minx + c.c*{RES} + {RES}*0.5 AS cx,
+         g.miny + (g.nrows - r.r - 1)*{RES} + {RES}*0.5 AS cy
+  FROM g, generate_series(0, 63) c(c), generate_series(0, 63) r(r)
+  WHERE c.c < g.ncols AND r.r < g.nrows),
+smp AS ({tpch.SAMPLES_SQL}),
+ranked AS (
+  SELECT a.cell_id, s.sz,
+         row_number() OVER (
+           PARTITION BY a.cell_id
+           ORDER BY (a.cx-s.sx)*(a.cx-s.sx) + (a.cy-s.sy)*(a.cy-s.sy), s.s_suppkey) AS rn
+  FROM allcells a CROSS JOIN smp s)
+SELECT cell_id, round(avg(sz), {R6}) AS avg_z FROM ranked WHERE rn <= 5 GROUP BY cell_id"""
+
+
+# NOTE on cell_id in the two queries above: targets enumerate cells in
+# ROW-MAJOR TOP-FIRST order (cell_id = top_row*ncols + col), matching
+# cell_centroids' inverse mapping.
+
+
+# ---------------------------------------------------------------------------
+# M8 flight-line segmentation (oracle-checked interval merge)
+
+TIME_GAP_DAYS = 30.0
+
+
+def _stream_points(sf_dir: str):
+    ds = ray.data.read_parquet(
+        f"{sf_dir}/lineitem.parquet",
+        columns=["l_orderkey", "l_linenumber", "l_suppkey", "l_shipdate"],
+    )
+
+    def fn(t: pa.Table) -> pa.Table:
+        sk = t["l_suppkey"].to_numpy(zero_copy_only=False).astype(np.int64)
+        us = t["l_shipdate"].cast(pa.int64()).to_numpy(zero_copy_only=False)
+        return pa.table(
+            {
+                "l_orderkey": t["l_orderkey"],
+                "l_linenumber": t["l_linenumber"],
+                "file": sk % 5,
+                "gps_time": us / 1e6 / 86400.0,
+            }
+        )
+
+    return ds.map_batches(fn, batch_format="pyarrow")
+
+
+def q_flightline(sf_dir: str):
+    from .ops.flightline import grouped_map, merge_segments
+
+    pts = _stream_points(sf_dir)
+
+    def per_file(df: pd.DataFrame) -> pd.DataFrame:
+        out = []
+        for f, g in df.groupby("file", sort=False):
+            g = g.sort_values(["gps_time", "l_orderkey", "l_linenumber"])
+            times = g["gps_time"].to_numpy()
+            start = end = 0.0
+            started = False
+            for t in times:
+                if not started:
+                    start = end = t
+                    started = True
+                else:
+                    if t - end < 0.0 or t - end > TIME_GAP_DAYS:
+                        out.append({"t_start": start, "t_end": end})
+                        start = t
+                    end = t
+            if started and end != start:
+                out.append({"t_start": start, "t_end": end})
+        return pd.DataFrame(out, columns=["t_start", "t_end"])
+
+    raw = grouped_map(pts, ["file"], per_file).to_pandas()
+    merged = merge_segments(list(zip(raw["t_start"], raw["t_end"])))
+    return pd.DataFrame(
+        {
+            "flightline_id": [m[0] for m in merged],
+            "t_start": [float(_round_away(m[1], R6)) for m in merged],
+            "t_end": [float(_round_away(m[2], R6)) for m in merged],
+        }
+    )
+
+
+SQL_FLIGHTLINE = f"""
+WITH e AS (
+  SELECT (l_suppkey % 5) AS f, epoch(l_shipdate)/86400.0 AS t, l_orderkey, l_linenumber
+  FROM lineitem),
+o AS (
+  SELECT f, t,
+    CASE WHEN lag(t) OVER w IS NULL OR t - lag(t) OVER w > {TIME_GAP_DAYS} THEN 1 ELSE 0 END AS brk
+  FROM e WINDOW w AS (PARTITION BY f ORDER BY t, l_orderkey, l_linenumber)),
+i AS (
+  SELECT f, t, sum(brk) OVER (PARTITION BY f ORDER BY t ROWS UNBOUNDED PRECEDING) AS seg
+  FROM o),
+segs AS (SELECT f, seg, min(t) AS s, max(t) AS e FROM i GROUP BY f, seg),
+segs2 AS (
+  SELECT s, e FROM segs
+  WHERE NOT (seg = (SELECT max(seg) FROM segs x WHERE x.f = segs.f) AND s = e)),
+m AS (
+  SELECT s, e,
+    CASE WHEN max(e) OVER (ORDER BY s, e ROWS BETWEEN UNBOUNDED PRECEDING AND 1 PRECEDING) IS NULL
+           OR s >= max(e) OVER (ORDER BY s, e ROWS BETWEEN UNBOUNDED PRECEDING AND 1 PRECEDING) + 1.0
+         THEN 1 ELSE 0 END AS brk
+  FROM segs2),
+fl AS (SELECT s, e, sum(brk) OVER (ORDER BY s, e ROWS UNBOUNDED PRECEDING) AS fid FROM m)
+SELECT fid AS flightline_id, round(min(s), {R6}) AS t_start, round(max(e), {R6}) AS t_end
+FROM fl GROUP BY fid"""
+
+
+# ---------------------------------------------------------------------------
+# rows-only pipelines (deterministic; semantics pytest-verified)
+
+def _mean_grid(sf_dir: str, res: float = 2.0):
+    """Driver-side dense mean-z grid from the distributed grid stats
+    (small at these scales; raster assembly edge)."""
+    pts = tpch.read_points(sf_dir)
+    b = compute_bounds(pts, res)
+    stats = grid_stats(pts, GridConfig(res=res, bounds=b, stats=("mean",))).to_pandas()
+    cols = b.cols(res)
+    rows = b.rows(res)
+    grid = np.full(cols * rows, -9999.0)
+    grid[stats["cell_id"].to_numpy()] = stats["mean"].to_numpy()
+    return grid.reshape(rows, cols), b
+
+
+def _tile_checksums(out, H, W, tile):
+    def fin(df: pd.DataFrame) -> pd.DataFrame:
+        rows = []
+        for _, r in df.iterrows():
+            d = np.asarray(r["data"], dtype=np.float64)
+            valid = d != -9999.0
+            rows.append(
+                {
+                    "trow": int(r["trow"]),
+                    "tcol": int(r["tcol"]),
+                    "n_valid": int(valid.sum()),
+                    "checksum": float(_round_away(d[valid].sum(), 4)) if valid.any() else 0.0,
+                }
+            )
+        return pd.DataFrame(rows, columns=["trow", "tcol", "n_valid", "checksum"])
+
+    return out.map_batches(fin, batch_format="pandas")
+
+
+def q_raster_smooth(sf_dir: str):
+    """W1 gaussian smooth of the mean-z raster, tile-parallel."""
+    from .ops.raster import grid_to_tiles, smooth_tiles
+
+    grid, b = _mean_grid(sf_dir)
+    H, W = grid.shape
+    tiles = ray.data.from_arrow(grid_to_tiles(grid, 16))
+    out = smooth_tiles(tiles, sigma=1.0, size=3, H=H, W=W, tile=16, num_parts=8)
+    return _tile_checksums(out, H, W, 16)
+
+
+def q_treetops(sf_dir: str):
+    """O3 local-max detection over the smoothed mean-z raster."""
+    from .kernels.raster import smooth
+    from .ops.raster import grid_to_tiles, local_maxima_tiles
+
+    grid, b = _mean_grid(sf_dir)
+    sm = smooth(grid, 1.0, 3)
+    H, W = sm.shape
+    tiles = ray.data.from_arrow(grid_to_tiles(sm, 16))
+    out = local_maxima_tiles(tiles, window=3, min_height=20.0, H=H, W=W, tile=16, num_parts=8)
+
+    def fin(df: pd.DataFrame) -> pd.DataFrame:
+        df = df.copy()
+        df["z"] = _round_away(df["z"].to_numpy(), 4)
+        return df
+
+    return out.map_batches(fin, batch_format="pandas")
+
+
+def q_flood_basins(sf_dir: str):
+    """W4 flood-fill basin labeling (iterative cross-tile union)."""
+    from .ops.raster import flood_label_tiles, grid_to_tiles
+
+    grid, b = _mean_grid(sf_dir)
+    H, W = grid.shape
+    elev = 20.0
+    tiles_df = grid_to_tiles(np.where(grid == -9999.0, 1e9, grid), 16).to_pandas()
+    labels = flood_label_tiles(tiles_df, elev, H, W, 16)
+    ids, counts = np.unique(labels[labels > 0], return_counts=True)
+    return pd.DataFrame({"basin": ids.astype(np.int64), "area": counts.astype(np.int64)})
+
+
+def q_mosaic(sf_dir: str):
+    """W3 feather+blend of the count raster over the mean raster."""
+    from .ops.raster import grid_to_tiles, mosaic_tiles
+
+    pts = tpch.read_points(sf_dir)
+    res = 2.0
+    b = compute_bounds(pts, res)
+    stats = grid_stats(pts, GridConfig(res=res, bounds=b, stats=("mean", "count"))).to_pandas()
+    cols = b.cols(res)
+    rows = b.rows(res)
+    base = np.full(cols * rows, -9999.0)
+    base[stats["cell_id"].to_numpy()] = stats["mean"].to_numpy()
+    base = base.reshape(rows, cols)
+    over = np.full(cols * rows, -9999.0)
+    # overlay: counts, only in the left half (a partial image)
+    half = stats[stats["cell_id"] % cols < cols // 2]
+    over[half["cell_id"].to_numpy()] = half["count"].to_numpy()
+    over = over.reshape(rows, cols)
+    H, W = base.shape
+    bt = ray.data.from_arrow(grid_to_tiles(base, 16))
+    ot = ray.data.from_arrow(grid_to_tiles(over, 16))
+    out = mosaic_tiles(bt, ot, distance=3.0, resolution=1.0, H=H, W=W, tile=16, num_parts=8)
+    return _tile_checksums(out, H, W, 16)
+
+
+def q_datum_transform(sf_dir: str):
+    """M6: transform derived UTM12 coords itrf2000@1986 -> CSRS@2011."""
+    from .ops.datum import datum_transform
+
+    pts = tpch.read_points(sf_dir)
+
+    def to_utm(t: pa.Table) -> pa.Table:
+        x = t["x"].to_numpy(zero_copy_only=False) * 100.0 + 460000.0
+        y = t["y"].to_numpy(zero_copy_only=False) * 100.0 + 6510000.0
+        return pa.table(
+            {
+                "l_orderkey": t["l_orderkey"],
+                "l_linenumber": t["l_linenumber"],
+                "x": x,
+                "y": y,
+                "z": t["z"].to_numpy(zero_copy_only=False),
+            }
+        )
+
+    utm = pts.map_batches(to_utm, batch_format="pyarrow")
+    out = datum_transform(utm, "itrf2000", 1986.0, 2011.0, 26912, 2956, concurrency=2)
+
+    def fin(t: pa.Table) -> pa.Table:
+        return pa.table(
+            {
+                "l_orderkey": t["l_orderkey"],
+                "l_linenumber": t["l_linenumber"],
+                "x": _round_away(t["x"].to_numpy(zero_copy_only=False), 4),
+                "y": _round_away(t["y"].to_numpy(zero_copy_only=False), 4),
+                "z": _round_away(t["z"].to_numpy(zero_copy_only=False), 4),
+            }
+        )
+
+    return out.map_batches(fin, batch_format="pyarrow")
+
+
+def q_normalize_height(sf_dir: str):
+    """M7: TIN height normalization per 25-unit cell; per-cell rollup."""
+    from .ops.gridstats import assign_cells
+    from .ops.interp import normalize_height
+
+    pts = tpch.read_points(sf_dir)
+    res = 25.0
+    b = compute_bounds(pts, res)
+    cells = assign_cells(
+        pts, GridConfig(res=res, stats=("count",)), b, keep_cols=("cls",)
+    )
+
+    def attach_xy(t: pa.Table) -> pa.Table:
+        return t
+
+    # assign_cells outputs (cell_id, v=value, cls); we need x/y too —
+    # recompute from the source with coordinates kept
+    def with_cells(t: pa.Table) -> pa.Table:
+        from .kernels.grid import cell_id_of_points
+
+        x = t["x"].to_numpy(zero_copy_only=False)
+        y = t["y"].to_numpy(zero_copy_only=False)
+        cid = cell_id_of_points(x, y, b, res)
+        return pa.table(
+            {
+                "cell_id": cid,
+                "x": x,
+                "y": y,
+                "z": t["z"].to_numpy(zero_copy_only=False),
+                "cls": t["cls"].to_numpy(zero_copy_only=False),
+            }
+        )
+
+    pc = pts.map_batches(with_cells, batch_format="pyarrow")
+    out = normalize_height(pc, num_parts=8)
+
+    def rollup(df: pd.DataFrame) -> pd.DataFrame:
+        g = df.groupby("cell_id", sort=False)["z"]
+        res_df = pd.DataFrame(
+            {
+                "cell_id": list(g.groups.keys()),
+                "n": g.count().to_numpy().astype(np.int64),
+                "sum_nz": _round_away(g.sum().to_numpy(), 4),
+            }
+        )
+        return res_df
+
+    from .stages.grouped import grouped_map
+
+    return grouped_map(out, ["cell_id"], rollup, num_parts=8)
+
+
+def q_minhash_dedup(sf_dir: str):
+    from .ops.dedup import minhash_lsh_dedup
+
+    docs = ray.data.read_parquet(f"{sf_dir}/documents.parquet", columns=["doc_id", "text"])
+    return minhash_lsh_dedup(docs, threshold=0.5)
+
+
+def q_simhash_pairs(sf_dir: str):
+    from .ops.dedup import simhash_pairs
+
+    docs = ray.data.read_parquet(f"{sf_dir}/documents.parquet", columns=["doc_id", "text"])
+    return simhash_pairs(docs, max_hamming=10)
+
+
+def q_ngram_pairs(sf_dir: str):
+    from .ops.dedup import ngram_jaccard_pairs
+
+    docs = ray.data.read_parquet(f"{sf_dir}/documents.parquet", columns=["doc_id", "text"])
+    out = ngram_jaccard_pairs(docs, n=3, threshold=0.3)
+
+    def fin(t: pa.Table) -> pa.Table:
+        i = t.schema.get_field_index("jaccard")
+        return t.set_column(
+            i, "jaccard", pa.array(_round_away(t["jaccard"].to_numpy(zero_copy_only=False), 6))
+        )
+
+    return out.map_batches(fin, batch_format="pyarrow")
+
+
+def q_planar_fit(sf_dir: str):
+    """R4: plane fit over the samples, evaluated at cell centroids."""
+    from .ops.interp import planar_at
+
+    pts = tpch.read_points(sf_dir)
+    b = compute_bounds(pts, RES)
+    targets = ray.data.from_arrow(_all_cells_table(b, RES))
+    smp = tpch.read_samples_table(sf_dir)
+    out = planar_at(targets, smp)
+
+    def fin(t: pa.Table) -> pa.Table:
+        return pa.table(
+            {
+                "cell_id": t["cell_id"].to_numpy(zero_copy_only=False),
+                "plane_z": _round_away(t["plane_z"].to_numpy(zero_copy_only=False), R6),
+            }
+        )
+
+    return out.map_batches(fin, batch_format="pyarrow")

@@ -1,0 +1,73 @@
+"""Near-dup pipelines with planted duplicates."""
+
+import numpy as np
+import pandas as pd
+import pytest
+
+
+def make_docs(ray_session):
+    import ray.data
+
+    rng = np.random.RandomState(0)
+    vocab = ["alpha", "bravo", "charlie", "delta", "echo", "foxtrot", "golf",
+             "hotel", "india", "juliet", "kilo", "lima"]
+    rows = []
+    for i in range(60):
+        words = [vocab[rng.randint(len(vocab))] for _ in range(30)]
+        rows.append({"doc_id": i, "text": " ".join(words)})
+    # planted near-dups: 100 and 101 are copies of 0 with 2 words changed;
+    # 102 is an exact copy of 1
+    base0 = rows[0]["text"].split()
+    near = list(base0)
+    near[5] = "zulu"
+    rows.append({"doc_id": 100, "text": " ".join(near)})
+    near2 = list(base0)
+    near2[7] = "yankee"
+    rows.append({"doc_id": 101, "text": " ".join(near2)})
+    rows.append({"doc_id": 102, "text": rows[1]["text"]})
+    return ray.data.from_items(rows)
+
+
+def test_minhash_lsh_dedup_finds_planted(ray_session):
+    from geotools_ray.ops.dedup import minhash_lsh_dedup
+
+    docs = make_docs(ray_session)
+    out = minhash_lsh_dedup(docs, threshold=0.6).to_pandas()
+    clusters = dict(zip(out["doc_id"], out["cluster"]))
+    assert clusters.get(100) == clusters.get(0) == clusters.get(101)
+    assert clusters.get(102) == clusters.get(1)
+    # unrelated docs are not clustered together with doc 0
+    assert clusters.get(2) is None or clusters[2] != clusters[0]
+
+
+def test_simhash_pairs_finds_exact_copy(ray_session):
+    from geotools_ray.ops.dedup import simhash_pairs
+
+    docs = make_docs(ray_session)
+    out = simhash_pairs(docs, max_hamming=8).to_pandas()
+    pairs = set(zip(out["id_a"], out["id_b"]))
+    assert (1, 102) in pairs  # exact copy -> hamming 0
+    assert out[(out["id_a"] == 1) & (out["id_b"] == 102)]["hamming"].iloc[0] == 0
+
+
+def test_ngram_jaccard_pairs(ray_session):
+    from geotools_ray.ops.dedup import ngram_jaccard_pairs
+
+    docs = make_docs(ray_session)
+    out = ngram_jaccard_pairs(docs, n=3, threshold=0.5).to_pandas()
+    pairs = set(zip(out["id_a"], out["id_b"]))
+    assert (0, 100) in pairs and (0, 101) in pairs and (1, 102) in pairs
+    # jaccard of the exact pair is 1.0
+    assert out[(out["id_a"] == 1) & (out["id_b"] == 102)]["jaccard"].iloc[0] == pytest.approx(1.0)
+
+
+def test_exact_dedup(ray_session):
+    import ray.data
+
+    from geotools_ray.ops.dedup import exact_dedup
+
+    rows = [{"k": i % 5, "v": f"r{i:03d}"} for i in range(40)]
+    ds = ray.data.from_items(rows)
+    out = exact_dedup(ds, ["k"], "v").to_pandas().sort_values("k")
+    assert len(out) == 5
+    assert list(out["v"]) == [f"r{i:03d}" for i in range(5)]

@@ -1,0 +1,112 @@
+import numpy as np
+import pandas as pd
+import pytest
+
+
+def test_delaunay_square_and_interp():
+    from geotools_ray.kernels.delaunay import delaunay, interp_tin
+
+    pts = np.array([[0, 0], [1, 0], [1, 1], [0, 1], [0.5, 0.5]])
+    tris = delaunay(pts)
+    assert len(tris) == 4  # fan around the center point
+    # planar z -> TIN interpolation is exact
+    z = 2.0 * pts[:, 0] + 3.0 * pts[:, 1] + 1.0
+    q = interp_tin(np.array([0.3, 0.7]), np.array([0.4, 0.2]), pts, z)
+    np.testing.assert_allclose(q, [2 * 0.3 + 3 * 0.4 + 1, 2 * 0.7 + 3 * 0.2 + 1], atol=1e-12)
+    # outside hull -> nan
+    assert np.isnan(interp_tin(np.array([5.0]), np.array([5.0]), pts, z)[0])
+
+
+def _samples_table():
+    import pyarrow as pa
+
+    rng = np.random.RandomState(0)
+    n = 50
+    return pa.table(
+        {
+            "s_suppkey": np.arange(n),
+            "sx": rng.uniform(0, 100, n),
+            "sy": rng.uniform(0, 100, n),
+            "sz": rng.uniform(0, 30, n),
+        }
+    )
+
+
+def test_idw_matches_reference_formula(ray_session):
+    import ray.data
+
+    from geotools_ray.ops.interp import idw_at
+
+    smp = _samples_table()
+    targets = ray.data.from_items([{"tid": i, "cx": 10.0 + i, "cy": 20.0 + i} for i in range(5)])
+    out = idw_at(targets, smp, exponent=1.0).to_pandas().sort_values("tid")
+    sx = smp["sx"].to_numpy()
+    sy = smp["sy"].to_numpy()
+    sz = smp["sz"].to_numpy()
+    for i in range(5):
+        d2 = (10.0 + i - sx) ** 2 + (20.0 + i - sy) ** 2
+        want = np.sum(sz / d2) / np.sum(1.0 / d2)
+        assert out["idw_z"].iloc[i] == pytest.approx(want, rel=1e-12)
+
+
+def test_idw_knn_and_avg(ray_session):
+    import ray.data
+
+    from geotools_ray.ops.interp import avg_at, idw_at
+
+    smp = _samples_table()
+    targets = ray.data.from_items([{"tid": 0, "cx": 50.0, "cy": 50.0}])
+    out = idw_at(targets, smp, exponent=1.0, neighbours=5).to_pandas()
+    sx = smp["sx"].to_numpy(); sy = smp["sy"].to_numpy(); sz = smp["sz"].to_numpy()
+    d2 = (50.0 - sx) ** 2 + (50.0 - sy) ** 2
+    idx = np.argsort(d2)[:5]
+    want = np.sum(sz[idx] / d2[idx]) / np.sum(1.0 / d2[idx])
+    assert out["idw_z"].iloc[0] == pytest.approx(want, rel=1e-12)
+
+    out2 = avg_at(targets, smp, neighbours=5).to_pandas()
+    assert out2["avg_z"].iloc[0] == pytest.approx(sz[idx].mean())
+    out3 = avg_at(targets, smp).to_pandas()
+    assert out3["avg_z"].iloc[0] == pytest.approx(np.sum(sz) / len(sz))
+
+
+def test_planar_fit_recovers_plane(ray_session):
+    import pyarrow as pa
+    import ray.data
+
+    from geotools_ray.ops.interp import planar_at
+
+    rng = np.random.RandomState(1)
+    n = 80
+    x = rng.uniform(0, 100, n)
+    y = rng.uniform(0, 100, n)
+    z = 0.5 * x - 0.25 * y + 7.0
+    smp = pa.table({"sx": x, "sy": y, "sz": z})
+    targets = ray.data.from_items([{"tid": 0, "cx": 30.0, "cy": 60.0}])
+    out = planar_at(targets, smp).to_pandas()
+    assert out["plane_z"].iloc[0] == pytest.approx(0.5 * 30 - 0.25 * 60 + 7.0, abs=1e-9)
+
+
+def test_normalize_height(ray_session):
+    import ray.data
+
+    from geotools_ray.ops.interp import normalize_height
+
+    # one cell: ground plane z = 5 + 0.1x, canopy points 10 above it
+    rng = np.random.RandomState(2)
+    rows = []
+    for i in range(40):
+        x, y = rng.uniform(0, 10), rng.uniform(0, 10)
+        rows.append({"pid": i, "cell_id": 1, "x": x, "y": y, "z": 5 + 0.1 * x, "cls": 2})
+    # put ground corners to guarantee hull coverage
+    for j, (x, y) in enumerate([(0, 0), (10, 0), (10, 10), (0, 10)]):
+        rows.append({"pid": 100 + j, "cell_id": 1, "x": float(x), "y": float(y), "z": 5 + 0.1 * x, "cls": 2})
+    canopy = []
+    for i in range(20):
+        x, y = rng.uniform(1, 9), rng.uniform(1, 9)
+        canopy.append({"pid": 200 + i, "cell_id": 1, "x": x, "y": y, "z": 5 + 0.1 * x + 10.0, "cls": 1})
+    ds = ray.data.from_items(rows + canopy)
+    out = normalize_height(ds).to_pandas()
+    can = out[out["cls"] == 1]
+    np.testing.assert_allclose(can["z"].to_numpy(), 10.0, atol=1e-9)
+    gnd = out[out["cls"] == 2]
+    np.testing.assert_allclose(gnd["z"].to_numpy(), 0.0, atol=1e-9)
