@@ -122,6 +122,14 @@ def queries() -> dict[str, Callable[[str], Any]]:
         "minhash_dedup": QO.q_minhash_dedup,
         "simhash_pairs": QO.q_simhash_pairs,
         "ngram_pairs": QO.q_ngram_pairs,
+        # crowns / boundary / spectral / raster diff / void fill /
+        # rugosity (W6, W7, J5, J6+A14, W2, A10) — rows-only
+        "crowns": QO.q_crowns,
+        "boundary": QO.q_boundary,
+        "spectral": QO.q_spectral,
+        "raster_diff": QO.q_raster_diff,
+        "void_fill": QO.q_void_fill,
+        "rugosity": QO.q_rugosity,
     }
     qs.update(_image_queries())
     return qs

@@ -295,3 +295,72 @@ def normalize_grid(grid: np.ndarray, nodata: float = NODATA) -> np.ndarray:
     from .stats import normalize_reference
 
     return normalize_reference(grid.ravel(), grid.size, nodata).reshape(grid.shape)
+
+
+def crown_growth(
+    grid: np.ndarray,
+    tops: list[tuple[int, int, int, float]],
+    min_height: float,
+    height_fraction: float,
+    radius: float,
+    nodata: float = NODATA,
+) -> np.ndarray:
+    """Treetop crown delineation (src/treetops.cpp:279-408): multi-
+    source FIFO BFS from `tops` [(id, col, row, z), ...], 8-neighbour
+    offsets in the reference's order, claiming a neighbour cell iff
+      v != nodata AND v < current.z AND v >= min_height AND
+      v / top.z >= height_fraction AND
+      (dc^2 + dr^2) <= radius^2 from the top.
+    Cells are claimed once (visited on enqueue); each popped node
+    stamps its id (later pops overwrite — reproduced).
+    Returns an int64 id grid (0 = unclaimed)."""
+    from collections import deque
+
+    h, w = grid.shape
+    out = np.zeros((h, w), dtype=np.int64)
+    visited = np.zeros((h, w), dtype=bool)
+    offsets = [(-1, -1), (-1, 0), (-1, 1), (0, -1), (0, 1), (1, -1), (1, 0), (1, 1)]
+    q = deque()
+    for tid, c, r, z in tops:
+        q.append((tid, c, r, z, c, r, z))  # id, c, r, z, top_c, top_r, top_z
+    r2 = radius * radius
+    while q:
+        tid, c, r, z, tc, tr, tz = q.popleft()
+        out[r, c] = tid
+        for dc, dr in offsets:
+            cc, rr = c + dc, r + dr
+            if not (0 <= rr < h and 0 <= cc < w) or visited[rr, cc]:
+                continue
+            v = grid[rr, cc]
+            if (
+                v != nodata
+                and v < z
+                and v >= min_height
+                and (v / tz) >= height_fraction
+                and (tc - cc) ** 2 + (tr - rr) ** 2 <= r2
+            ):
+                q.append((tid, cc, rr, v, tc, tr, tz))
+                visited[rr, cc] = True
+    return out
+
+
+def edge_cells_boundary(occ: np.ndarray) -> list[tuple[int, int]]:
+    """lasboundary edge cells (src/lasboundary.cpp:85-99): occupied
+    cells that do NOT have all 8 neighbours occupied (grid-border
+    occupied cells are always edges)."""
+    h, w = occ.shape
+    out = []
+    for r in range(h):
+        for c in range(w):
+            if not occ[r, c]:
+                continue
+            if c == 0 or r == 0 or c >= w - 1 or r >= h - 1:
+                out.append((c, r))
+                continue
+            if not (
+                occ[r - 1, c - 1] and occ[r - 1, c] and occ[r - 1, c + 1]
+                and occ[r, c - 1] and occ[r, c + 1]
+                and occ[r + 1, c - 1] and occ[r + 1, c] and occ[r + 1, c + 1]
+            ):
+                out.append((c, r))
+    return out

@@ -253,3 +253,64 @@ STAT_KERNELS = {
     "skew": ref_skewness,
     "kurtosis": ref_kurtosis,
 }
+
+
+def ref_rugosity(x: np.ndarray, y: np.ndarray, z: np.ndarray) -> float:
+    """A10 rugosity (ACR, Du Preez 2014; cellstats.hpp:378-462):
+    Delaunay 3-D surface area / area of the xy convex hull lifted onto
+    the PCA best-fit plane of the hull points (fan around the 3-D hull
+    centroid, Heron areas). Density factor is commented out in the
+    reference (:461) — omitted here too."""
+    from .delaunay import delaunay
+    from .geom import convex_hull, tri_area_heron
+
+    n = len(x)
+    if n == 0:
+        return NODATA
+    pts2 = np.column_stack([x, y])
+    tris = delaunay(pts2)
+    tarea = 0.0
+    for t in tris:
+        tarea += float(
+            tri_area_heron(
+                x[t[0]], y[t[0]], z[t[0]],
+                x[t[1]], y[t[1]], z[t[1]],
+                x[t[2]], y[t[2]], z[t[2]],
+            )
+        )
+    hull_xy = convex_hull(pts2)
+    if len(hull_xy) < 3:
+        return NODATA
+    # recover z of hull points (first match per xy)
+    hz = np.empty(len(hull_xy))
+    for i, (hx, hy) in enumerate(hull_xy):
+        j = int(np.nonzero((x == hx) & (y == hy))[0][0])
+        hz[i] = z[j]
+    hull3 = np.column_stack([hull_xy, hz])
+    centroid = hull3.mean(axis=0)
+    # PCA plane of the hull points (CGAL linear_least_squares_fitting_3)
+    cov = np.cov((hull3 - centroid).T)
+    evals, evecs = np.linalg.eigh(cov)
+    a, b, c = evecs[:, 0]  # normal = smallest-eigenvalue direction
+    d = -(a * centroid[0] + b * centroid[1] + c * centroid[2])
+    if c == 0:
+        return NODATA
+
+    def to_plane(px, py):
+        return (px * a + py * b + d) / -c
+
+    parea = 0.0
+    m = len(hull3)
+    for i in range(m):
+        p0 = hull3[i]
+        p1 = hull3[(i + 1) % m]
+        parea += float(
+            tri_area_heron(
+                p0[0], p0[1], to_plane(p0[0], p0[1]),
+                p1[0], p1[1], to_plane(p1[0], p1[1]),
+                centroid[0], centroid[1], centroid[2],
+            )
+        )
+    if parea == 0.0:
+        return NODATA
+    return tarea / parea

@@ -1,0 +1,152 @@
+"""W6 crown region-growing + W7 boundary extraction.
+
+Crowns: tile-parallel with halo = ceil(radius) — growth is bounded by
+`radius` cells from each top (the claim predicate includes the
+distance test), so a tile plus that halo sees every top that can
+claim one of its interior cells; multi-source FIFO BFS order is made
+deterministic by sorting tops by id (the reference's order is its DB
+query order, src/treetops.cpp:352-361).
+
+Boundary: occupancy via the distributed cell count, edge-cell
+detection (fullNeighbours complement, src/lasboundary.cpp:85-99) per
+tile with a 1-cell halo, then Delaunay edges shorter than max_len over
+the (small) edge-cell set in one task (src/lasboundary.cpp:165-194).
+"""
+
+from __future__ import annotations
+
+import numpy as np
+import pandas as pd
+import pyarrow as pa
+import ray
+import ray.data
+
+from ..kernels import raster as KR
+from ..stages.grouped import grouped_map
+from .raster import _pieces_grouped
+
+
+def crown_growth_tiles(
+    tiles: ray.data.Dataset,
+    tops: pa.Table,  # (id:int64, col:int64, row:int64, z:float64)
+    min_height: float,
+    height_fraction: float,
+    radius: float,
+    H: int,
+    W: int,
+    tile: int,
+    nodata: float = KR.NODATA,
+    **kw,
+):
+    """-> tile rows of the crown-id raster (0 = unclaimed)."""
+    halo = int(np.ceil(radius)) + 1
+    tops_ref = ray.put(
+        np.column_stack(
+            [
+                tops["id"].to_numpy(zero_copy_only=False),
+                tops["col"].to_numpy(zero_copy_only=False),
+                tops["row"].to_numpy(zero_copy_only=False),
+            ]
+        ).astype(np.int64)
+    )
+    tops_z_ref = ray.put(tops["z"].to_numpy(zero_copy_only=False).astype(np.float64))
+
+    def assemble(df: pd.DataFrame) -> pd.DataFrame:
+        T = ray.get(tops_ref)
+        TZ = ray.get(tops_z_ref)
+        rows = []
+        for (tr, tc), g in df.groupby(["trow", "tcol"], sort=False):
+            gr0, gc0 = int(tr) * tile, int(tc) * tile
+            h = min(tile, H - gr0)
+            w = min(tile, W - gc0)
+            padded = np.full((h + 2 * halo, w + 2 * halo), nodata, dtype=np.float64)
+            for _, p in g.iterrows():
+                y, x, ph, pw = int(p["y"]), int(p["x"]), int(p["ph"]), int(p["pw"])
+                padded[y : y + ph, x : x + pw] = np.asarray(p["data"], dtype=np.float64).reshape(ph, pw)
+            # tops inside the padded window, converted to padded coords
+            sel = (
+                (T[:, 1] >= gc0 - halo) & (T[:, 1] < gc0 + w + halo)
+                & (T[:, 2] >= gr0 - halo) & (T[:, 2] < gr0 + h + halo)
+            )
+            local = [
+                (int(T[i, 0]), int(T[i, 1] - gc0 + halo), int(T[i, 2] - gr0 + halo), float(TZ[i]))
+                for i in np.nonzero(sel)[0]
+            ]
+            local.sort()  # by id — deterministic seeding order
+            ids = KR.crown_growth(padded, local, min_height, height_fraction, radius, nodata)
+            interior = ids[halo : halo + h, halo : halo + w]
+            rows.append(
+                {"trow": int(tr), "tcol": int(tc), "h": h, "w": w,
+                 "data": interior.astype(np.float64).ravel().tolist()}
+            )
+        return pd.DataFrame(rows)
+
+    return _pieces_grouped(tiles, halo, H, W, tile, nodata, assemble, **kw)
+
+
+# ---------------------------------------------------------------------------
+# W7 boundary
+
+def boundary_edges(
+    points: ray.data.Dataset,
+    res: float,
+    max_len: float = 10.0,
+    class_filter: frozenset | None = None,
+) -> pd.DataFrame:
+    """-> DataFrame of Delaunay edges (x0, y0, x1, y1, length) between
+    edge cells of the occupancy grid — the multiline boundary."""
+    from ray.data.aggregate import Count
+
+    from ..kernels.delaunay import delaunay
+    from ..kernels.grid import Bounds
+    from ..ops.gridstats import compute_bounds
+
+    b = compute_bounds(points, res)
+    cols = b.cols(res)
+    rows = b.rows(res)
+
+    def occupy(t: pa.Table) -> pa.Table:
+        x = t["x"].to_numpy(zero_copy_only=False)
+        y = t["y"].to_numpy(zero_copy_only=False)
+        if class_filter is not None:
+            cls = t["cls"].to_numpy(zero_copy_only=False)
+            m = np.isin(cls, list(class_filter))
+            x, y = x[m], y[m]
+        col = np.floor((x - b.minx) / res).astype(np.int64)
+        row = np.floor((y - b.miny) / res).astype(np.int64)  # bottom-indexed
+        return pa.table({"cell": row * cols + col})
+
+    occ_cells = (
+        points.map_batches(occupy, batch_format="pyarrow")
+        .groupby("cell")
+        .aggregate(Count(alias_name="n"))
+        .to_pandas()
+    )
+    occ = np.zeros((rows, cols), dtype=bool)
+    cid = occ_cells["cell"].to_numpy()
+    occ[cid // cols, cid % cols] = True
+
+    edge = KR.edge_cells_boundary(occ)
+    if len(edge) < 3:
+        return pd.DataFrame(columns=["x0", "y0", "x1", "y1", "length"])
+    # centroid coords per the reference quirk: y uses - res/2
+    pts = np.array(
+        [
+            (c * res + b.minx + res / 2.0, r * res + b.miny - res / 2.0)
+            for c, r in edge
+        ]
+    )
+    tris = delaunay(pts)
+    seen = set()
+    out = []
+    for t in tris:
+        for e in ((t[0], t[1]), (t[1], t[2]), (t[2], t[0])):
+            key = (min(e), max(e))
+            if key in seen:
+                continue
+            seen.add(key)
+            p0, p1 = pts[key[0]], pts[key[1]]
+            ln = float(np.hypot(p1[0] - p0[0], p1[1] - p0[1]))
+            if ln < max_len:
+                out.append({"x0": p0[0], "y0": p0[1], "x1": p1[0], "y1": p1[1], "length": ln})
+    return pd.DataFrame(out, columns=["x0", "y0", "x1", "y1", "length"])

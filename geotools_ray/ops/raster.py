@@ -441,3 +441,47 @@ def flood_label_tiles(tiles_df: pd.DataFrame, elevation, H, W, tile, nodata=NODA
             seen[v] = k
         canon[i] = seen[v]
     return canon.reshape(H, W)
+
+
+# ---------------------------------------------------------------------------
+# W2 void-fill IDW (bounded-radius tile variant)
+
+def void_fill_tiles(tiles, radius, count, exp, H, W, tile, max_radius=None,
+                    nodata=NODATA, **kw):
+    """voidFillIDW tile-parallel. The reference expands the search
+    radius without bound (src/raster.cpp:162-222); a tile op must
+    bound it: `max_radius` caps the expansion (halo = max_radius), and
+    cells still unfilled at the cap stay nodata (the reference would
+    print a warning and continue likewise when its loop exhausts the
+    grid). With max_radius >= the reference's terminal radius the
+    results agree exactly."""
+    max_radius = int(max_radius or radius * 4)
+    halo = max_radius + 1
+
+    def fn(padded, hal, gr0, gc0):
+        h = padded.shape[0] - 2 * hal
+        w = padded.shape[1] - 2 * hal
+        out = padded[hal : hal + h, hal : hal + w].copy()
+        ph, pw = padded.shape
+        for r in range(h):
+            for c in range(w):
+                pr, pc_ = r + hal, c + hal
+                if padded[pr, pc_] != nodata:
+                    continue
+                rad = radius
+                while rad <= max_radius:
+                    d = rad * rad
+                    r0 = int(max(0, pr - rad)); r1 = int(min(ph, pr + rad + 1))
+                    c0 = int(max(0, pc_ - rad)); c1 = int(min(pw, pc_ + rad + 1))
+                    sub = padded[r0:r1, c0:c1]
+                    rr, cc = np.meshgrid(np.arange(r0, r1), np.arange(c0, c1), indexing="ij")
+                    d0 = (cc - pc_) ** 2.0 + (rr - pr) ** 2.0
+                    m = (d0 <= d) & (sub != nodata)
+                    if int(m.sum()) >= count:
+                        dp = 1.0 / np.power(d0[m], exp)
+                        out[r, c] = float(np.sum(dp * sub[m]) / np.sum(dp))
+                        break
+                    rad += 1.0
+        return out
+
+    return tile_map_with_halo(tiles, fn, halo=halo, H=H, W=W, tile=tile, nodata=nodata, **kw)

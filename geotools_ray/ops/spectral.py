@@ -1,0 +1,151 @@
+"""J5 spectral extraction, J6 raster pair diff (A14 per-class stats),
+and the generic tile-zip join they share.
+
+zip_tiles co-partitions two tile Datasets by (trow, tcol) — the
+tile-aligned equi-join of src/spectral.cpp:97-197 (index pixel ids ⋈
+band pixels by coordinate) and src/rasterstats.cpp:188-245 (pairwise
+aligned diff).
+"""
+
+from __future__ import annotations
+
+import numpy as np
+import pandas as pd
+import pyarrow as pa
+import ray.data
+
+from ..kernels import stats as K
+from ..stages.grouped import grouped_map
+
+NODATA = -9999.0
+
+
+def zip_tiles(a: ray.data.Dataset, b: ray.data.Dataset, fn, num_parts=None) -> ray.data.Dataset:
+    """fn(trow, tcol, grid_a, grid_b) -> DataFrame rows; grids are the
+    two sides' tile arrays (nodata-filled when a side lacks a tile)."""
+
+    def tag(side):
+        def t_(t: pa.Table) -> pa.Table:
+            return t.append_column("side", pa.array([side] * len(t)))
+        return t_
+
+    both = a.map_batches(tag("a"), batch_format="pyarrow").union(
+        b.map_batches(tag("b"), batch_format="pyarrow")
+    )
+
+    def per_tile(df: pd.DataFrame) -> pd.DataFrame:
+        out = []
+        for (tr, tc), g in df.groupby(["trow", "tcol"], sort=False):
+            ga = gb = None
+            h = w = None
+            for _, r in g.iterrows():
+                arr = np.asarray(r["data"], dtype=np.float64).reshape(int(r["h"]), int(r["w"]))
+                h, w = arr.shape
+                if r["side"] == "a":
+                    ga = arr
+                else:
+                    gb = arr
+            if ga is None:
+                ga = np.full((h, w), NODATA)
+            if gb is None:
+                gb = np.full((h, w), NODATA)
+            res = fn(int(tr), int(tc), ga, gb)
+            if res is not None and len(res):
+                out.append(res)
+        return pd.concat(out) if out else pd.DataFrame()
+
+    return grouped_map(both, ["trow", "tcol"], per_tile, num_parts=num_parts)
+
+
+def spectral_extract(
+    index_tiles: ray.data.Dataset,
+    band_tiles: ray.data.Dataset,
+    tile: int,
+    res: float = 1.0,
+    minx: float = 0.0,
+    miny: float = 0.0,
+    num_parts=None,
+) -> ray.data.Dataset:
+    """J5: for every pixel with a non-nodata id in the index raster,
+    emit (id, x, y, dn) with the band raster's value at the same
+    pixel (src/spectral.cpp:97-197)."""
+
+    def fn(tr, tc, idx, band):
+        rs, cs = np.nonzero(idx != NODATA)
+        if not len(rs):
+            return None
+        gr = tr * tile + rs
+        gc = tc * tile + cs
+        return pd.DataFrame(
+            {
+                "id": idx[rs, cs].astype(np.int64),
+                "x": gc * res + minx + res / 2.0,
+                "y": gr * res + miny + res / 2.0,
+                "dn": band[rs, cs],
+            }
+        )
+
+    return zip_tiles(index_tiles, band_tiles, fn, num_parts=num_parts)
+
+
+def raster_pair_diff_stats(
+    a_tiles: ray.data.Dataset,
+    b_tiles: ray.data.Dataset,
+    class_tiles: ray.data.Dataset,
+    num_parts=None,
+) -> ray.data.Dataset:
+    """J6/A14: per-pixel diff (a - b) where both valid, grouped by the
+    class raster's value; partial (count, sum, sumsq, min, max) per
+    tile then a tiny final merge -> exact per-class stats
+    (src/rasterstats.cpp:172-267)."""
+
+    # first zip a/b into diff tiles, then zip with classes
+    def diff_fn(tr, tc, ga, gb):
+        ok = (ga != NODATA) & (gb != NODATA)
+        d = np.where(ok, ga - gb, NODATA)
+        return pd.DataFrame(
+            {"trow": [tr], "tcol": [tc], "h": [d.shape[0]], "w": [d.shape[1]],
+             "data": [d.ravel().tolist()]}
+        )
+
+    diff_tiles = zip_tiles(a_tiles, b_tiles, diff_fn, num_parts=num_parts)
+
+    def stat_fn(tr, tc, d, cls):
+        ok = (d != NODATA) & (cls != NODATA)
+        if not ok.any():
+            return None
+        vals = d[ok]
+        cl = cls[ok].astype(np.int64)
+        uniq, inv = np.unique(cl, return_inverse=True)
+        n = np.bincount(inv)
+        s = np.bincount(inv, weights=vals)
+        ss = np.bincount(inv, weights=vals * vals)
+        mn = np.full(len(uniq), np.inf)
+        np.minimum.at(mn, inv, vals)
+        mx = np.full(len(uniq), -np.inf)
+        np.maximum.at(mx, inv, vals)
+        return pd.DataFrame({"cls": uniq, "pn": n, "ps": s, "pss": ss, "pmn": mn, "pmx": mx})
+
+    partials = zip_tiles(diff_tiles, class_tiles, stat_fn, num_parts=num_parts)
+
+    def final(df: pd.DataFrame) -> pd.DataFrame:
+        rows = []
+        for cls, g in df.groupby("cls", sort=False):
+            n = int(g["pn"].sum())
+            s = float(g["ps"].sum())
+            ss = float(g["pss"].sum())
+            mean = s / n
+            var = max(ss - n * mean * mean, 0.0) / n
+            rows.append(
+                {
+                    "cls": int(cls),
+                    "n": n,
+                    "mean_diff": mean,
+                    "stddev_diff": float(np.sqrt(var)),
+                    "min_diff": float(g["pmn"].min()),
+                    "max_diff": float(g["pmx"].max()),
+                }
+            )
+        return pd.DataFrame(rows, columns=["cls", "n", "mean_diff", "stddev_diff", "min_diff", "max_diff"])
+
+    return grouped_map(partials, ["cls"], final, num_parts=8)

@@ -453,3 +453,173 @@ def q_planar_fit(sf_dir: str):
         )
 
     return out.map_batches(fin, batch_format="pyarrow")
+
+
+# ---------------------------------------------------------------------------
+# crown / boundary / spectral / raster-diff / void-fill / rugosity
+# (rows-only; semantics pytest-verified vs kernels)
+
+def q_crowns(sf_dir: str):
+    """O3 + W6: detect tops on the smoothed mean raster, grow crowns."""
+    import pyarrow as pa
+
+    from .kernels.raster import local_maxima, smooth
+    from .ops.crowns import crown_growth_tiles
+    from .ops.raster import grid_to_tiles
+
+    grid, b = _mean_grid(sf_dir)
+    sm = smooth(grid, 1.0, 3)
+    tops_list = local_maxima(sm, window=3, min_height=20.0)
+    tops = pa.table(
+        {
+            "id": np.arange(1, len(tops_list) + 1, dtype=np.int64),
+            "col": np.array([t[0] for t in tops_list], dtype=np.int64),
+            "row": np.array([t[1] for t in tops_list], dtype=np.int64),
+            "z": np.array([t[2] for t in tops_list]),
+        }
+    )
+    H, W = sm.shape
+    tiles = ray.data.from_arrow(grid_to_tiles(sm, 16))
+    out = crown_growth_tiles(tiles, tops, min_height=5.0, height_fraction=0.5,
+                             radius=4.0, H=H, W=W, tile=16, num_parts=8)
+
+    def fin(df: pd.DataFrame) -> pd.DataFrame:
+        rows = []
+        for _, r in df.iterrows():
+            d = np.asarray(r["data"])
+            rows.append({"trow": int(r["trow"]), "tcol": int(r["tcol"]),
+                         "n_claimed": int((d > 0).sum()),
+                         "id_sum": int(d.sum())})
+        return pd.DataFrame(rows, columns=["trow", "tcol", "n_claimed", "id_sum"])
+
+    return out.map_batches(fin, batch_format="pandas")
+
+
+def q_boundary(sf_dir: str):
+    """W7 boundary extraction over the point cloud."""
+    from .ops.crowns import boundary_edges
+
+    pts = tpch.read_points(sf_dir)
+    edges = boundary_edges(pts, res=5.0, max_len=15.0)
+    edges = edges.copy()
+    for c in ("x0", "y0", "x1", "y1", "length"):
+        edges[c] = _round_away(edges[c].to_numpy(), 6)
+    return edges
+
+
+def q_spectral(sf_dir: str):
+    """J5: crown-id raster ⋈ mean raster by pixel."""
+    import pyarrow as pa
+
+    from .kernels.raster import local_maxima, smooth
+    from .kernels.raster import crown_growth
+    from .ops.raster import grid_to_tiles
+    from .ops.spectral import spectral_extract
+
+    grid, b = _mean_grid(sf_dir)
+    sm = smooth(grid, 1.0, 3)
+    tops_list = local_maxima(sm, window=3, min_height=20.0)
+    tops = sorted((i + 1, c, r, float(sm[r, c])) for i, (c, r, _) in enumerate(tops_list))
+    ids = crown_growth(sm, tops, 5.0, 0.5, 4.0)
+    idx = np.where(ids > 0, ids.astype(np.float64), -9999.0)
+    H, W = sm.shape
+    it = ray.data.from_arrow(grid_to_tiles(idx, 16))
+    bt = ray.data.from_arrow(grid_to_tiles(grid, 16))
+    out = spectral_extract(it, bt, 16, res=2.0, minx=b.minx, miny=b.miny)
+
+    def fin(df: pd.DataFrame) -> pd.DataFrame:
+        df = df.copy()
+        for c in ("x", "y", "dn"):
+            df[c] = _round_away(df[c].to_numpy(), 4)
+        return df
+
+    return out.map_batches(fin, batch_format="pandas")
+
+
+def q_raster_diff(sf_dir: str):
+    """J6/A14: per-class stats of (mean - median) rasters."""
+    from .ops.raster import grid_to_tiles
+    from .ops.spectral import raster_pair_diff_stats
+
+    pts = tpch.read_points(sf_dir)
+    res = 2.0
+    b = compute_bounds(pts, res)
+    stats = grid_stats(
+        pts, GridConfig(res=res, bounds=b, stats=("mean", "median", "count"), strategy="exact")
+    ).to_pandas()
+    cols = b.cols(res)
+    rows = b.rows(res)
+
+    def dense(col):
+        g = np.full(cols * rows, -9999.0)
+        g[stats["cell_id"].to_numpy()] = stats[col].to_numpy()
+        return g.reshape(rows, cols)
+
+    a = dense("mean")
+    b2 = dense("median")
+    cls = dense("count")
+    cls = np.where(cls == -9999.0, -9999.0, cls % 4.0 + 1.0)  # 4 classes from count
+    at = ray.data.from_arrow(grid_to_tiles(a, 16))
+    bt = ray.data.from_arrow(grid_to_tiles(b2, 16))
+    ct = ray.data.from_arrow(grid_to_tiles(cls, 16))
+    out = raster_pair_diff_stats(at, bt, ct)
+
+    def fin(df: pd.DataFrame) -> pd.DataFrame:
+        df = df.copy()
+        for c in ("mean_diff", "stddev_diff", "min_diff", "max_diff"):
+            df[c] = _round_away(df[c].to_numpy(), 6)
+        return df
+
+    return out.map_batches(fin, batch_format="pandas")
+
+
+def q_void_fill(sf_dir: str):
+    """W2: fill the mean raster's empty cells by expanding-radius IDW."""
+    from .ops.raster import grid_to_tiles, void_fill_tiles
+
+    grid, b = _mean_grid(sf_dir)
+    H, W = grid.shape
+    tiles = ray.data.from_arrow(grid_to_tiles(grid, 16))
+    out = void_fill_tiles(tiles, radius=2.0, count=3, exp=1.0, H=H, W=W,
+                          tile=16, max_radius=6, num_parts=8)
+    return _tile_checksums(out, H, W, 16)
+
+
+def q_rugosity(sf_dir: str):
+    """A10: per-cell ACR rugosity (Delaunay area / POBF hull area)."""
+    from .kernels.stats import ref_rugosity
+    from .stages.grouped import grouped_map
+
+    pts = tpch.read_points(sf_dir)
+    res = 25.0
+    b = compute_bounds(pts, res)
+
+    import pyarrow as pa
+
+    def with_cells(t: pa.Table) -> pa.Table:
+        from .kernels.grid import cell_id_of_points
+
+        x = t["x"].to_numpy(zero_copy_only=False)
+        y = t["y"].to_numpy(zero_copy_only=False)
+        return pa.table(
+            {
+                "cell_id": cell_id_of_points(x, y, b, res),
+                "x": x,
+                "y": y,
+                "z": t["z"].to_numpy(zero_copy_only=False),
+            }
+        )
+
+    pc = pts.map_batches(with_cells, batch_format="pyarrow")
+
+    def per_cell(df: pd.DataFrame) -> pd.DataFrame:
+        rows = []
+        for cid, g in df.groupby("cell_id", sort=False):
+            g = g.sort_values(["x", "y", "z"])  # deterministic triangulation
+            # subsample for tractability; deterministic head after sort
+            g = g.head(400)
+            r = ref_rugosity(g["x"].to_numpy(), g["y"].to_numpy(), g["z"].to_numpy())
+            rows.append({"cell_id": int(cid), "rugosity": float(_round_away(r, 4))})
+        return pd.DataFrame(rows, columns=["cell_id", "rugosity"])
+
+    return grouped_map(pc, ["cell_id"], per_cell, num_parts=8)

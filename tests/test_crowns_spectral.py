@@ -1,0 +1,142 @@
+import numpy as np
+import pandas as pd
+import pytest
+
+from geotools_ray.kernels import raster as KR
+
+NODATA = KR.NODATA
+
+
+def _chm(seed=0, H=30, W=36):
+    """Synthetic canopy height model: smooth bumps."""
+    rng = np.random.RandomState(seed)
+    yy, xx = np.mgrid[0:H, 0:W]
+    g = np.zeros((H, W))
+    peaks = [(6, 7, 20.0), (15, 22, 25.0), (24, 10, 18.0)]
+    for r0, c0, z in peaks:
+        g += z * np.exp(-(((yy - r0) ** 2 + (xx - c0) ** 2) / 12.0))
+    return g, peaks
+
+
+def test_crown_growth_kernel_claims():
+    g, peaks = _chm()
+    tops = [(i + 1, c, r, g[r, c]) for i, (r, c, _) in enumerate(peaks)]
+    ids = KR.crown_growth(g, tops, min_height=2.0, height_fraction=0.4, radius=6.0)
+    # each top claims its own cell and a region around it
+    for i, (r, c, _) in enumerate(peaks):
+        assert ids[r, c] == i + 1
+        assert (ids == i + 1).sum() > 10
+    # nothing claimed beyond radius from any top
+    rs, cs = np.nonzero(ids)
+    for r, c in zip(rs, cs):
+        dmin = min((r - tr) ** 2 + (c - tc) ** 2 for tr, tc, _ in peaks)
+        assert dmin <= 36.0 + 1e-9
+
+
+def test_crown_tiles_match_kernel(ray_session):
+    import pyarrow as pa
+    import ray.data
+
+    from geotools_ray.ops.crowns import crown_growth_tiles
+    from geotools_ray.ops.raster import grid_to_tiles, tiles_to_grid
+
+    g, peaks = _chm(seed=3)
+    tops_list = sorted((i + 1, c, r, float(g[r, c])) for i, (r, c, _) in enumerate(peaks))
+    want = KR.crown_growth(g, tops_list, 2.0, 0.4, 6.0)
+    H, W = g.shape
+    tops = pa.table(
+        {
+            "id": np.array([t[0] for t in tops_list], dtype=np.int64),
+            "col": np.array([t[1] for t in tops_list], dtype=np.int64),
+            "row": np.array([t[2] for t in tops_list], dtype=np.int64),
+            "z": np.array([t[3] for t in tops_list]),
+        }
+    )
+    tiles = ray.data.from_arrow(grid_to_tiles(g, 12))
+    out = crown_growth_tiles(tiles, tops, 2.0, 0.4, 6.0, H, W, 12, num_parts=4)
+    got = tiles_to_grid(out.to_pandas(), H, W, 12, nodata=0).astype(np.int64)
+    np.testing.assert_array_equal(got, want)
+
+
+def test_boundary_edges(ray_session):
+    import ray.data
+
+    from geotools_ray.ops.crowns import boundary_edges
+
+    rng = np.random.RandomState(5)
+    # a filled disc of points
+    pts = []
+    i = 0
+    while len(pts) < 2000:
+        x, y = rng.uniform(0, 40, 2)
+        if (x - 20) ** 2 + (y - 20) ** 2 < 15**2:
+            pts.append({"pid": i, "x": x, "y": y, "z": 1.0})
+            i += 1
+    ds = ray.data.from_items(pts)
+    edges = boundary_edges(ds, res=2.0, max_len=10.0)
+    assert len(edges) > 10
+    assert (edges["length"] < 10.0).all()
+    # edge endpoints hug the circle (between inner and outer radius)
+    d = np.sqrt((edges["x0"] - 20 - 1) ** 2 + (edges["y0"] - 20 + 1) ** 2)
+    assert d.max() < 19.0
+
+
+def test_spectral_and_pair_diff(ray_session):
+    import ray.data
+
+    from geotools_ray.ops.raster import grid_to_tiles
+    from geotools_ray.ops.spectral import raster_pair_diff_stats, spectral_extract
+
+    rng = np.random.RandomState(7)
+    H, W, tile = 20, 24, 8
+    idx = np.full((H, W), NODATA)
+    idx[3:7, 4:9] = 42.0
+    idx[12:15, 15:20] = 77.0
+    band = rng.uniform(0, 255, (H, W))
+    it = ray.data.from_arrow(grid_to_tiles(idx, tile))
+    bt = ray.data.from_arrow(grid_to_tiles(band, tile))
+    out = spectral_extract(it, bt, tile, res=1.0).to_pandas()
+    assert len(out) == 4 * 5 + 3 * 5
+    sub = out[out["id"] == 42].sort_values(["y", "x"])
+    np.testing.assert_allclose(sub["dn"].to_numpy(), band[3:7, 4:9].ravel())
+
+    # pair diff grouped by class
+    a = rng.uniform(10, 20, (H, W))
+    b = a - 2.5  # constant diff
+    cls = np.where(np.arange(W)[None, :] < W // 2, 1.0, 2.0).repeat(H, axis=0).reshape(H, W)
+    at = ray.data.from_arrow(grid_to_tiles(a, tile))
+    bt2 = ray.data.from_arrow(grid_to_tiles(b, tile))
+    ct = ray.data.from_arrow(grid_to_tiles(cls, tile))
+    stats = raster_pair_diff_stats(at, bt2, ct).to_pandas().sort_values("cls")
+    assert list(stats["cls"]) == [1, 2]
+    np.testing.assert_allclose(stats["mean_diff"], 2.5, atol=1e-9)
+    np.testing.assert_allclose(stats["stddev_diff"], 0.0, atol=1e-6)
+    assert stats["n"].sum() == H * W
+
+
+def test_void_fill_tiles_match_kernel(ray_session):
+    import ray.data
+
+    from geotools_ray.ops.raster import grid_to_tiles, tiles_to_grid, void_fill_tiles
+
+    rng = np.random.RandomState(9)
+    g = rng.uniform(5, 15, (22, 26))
+    holes = rng.rand(22, 26) < 0.08
+    g[holes] = NODATA
+    want = KR.void_fill_idw(g, radius=2.0, count=3, exp=1.0)
+    H, W = g.shape
+    tiles = ray.data.from_arrow(grid_to_tiles(g, 8))
+    out = void_fill_tiles(tiles, 2.0, 3, 1.0, H, W, 8, max_radius=8, num_parts=4)
+    got = tiles_to_grid(out.to_pandas(), H, W, 8)
+    np.testing.assert_allclose(got, want, atol=1e-12)
+
+
+def test_rugosity_registry():
+    from geotools_ray.kernels.stats import ref_rugosity
+
+    rng = np.random.RandomState(1)
+    x = rng.uniform(0, 10, 40)
+    y = rng.uniform(0, 10, 40)
+    assert ref_rugosity(x, y, np.full(40, 3.0)) == pytest.approx(1.0, abs=1e-9)
+    rough = ref_rugosity(x, y, rng.uniform(0, 8, 40))
+    assert rough > 1.1
