@@ -130,6 +130,11 @@ def queries() -> dict[str, Callable[[str], Any]]:
         "raster_diff": QO.q_raster_diff,
         "void_fill": QO.q_void_fill,
         "rugosity": QO.q_rugosity,
+        # ANN scale path, spill points, TIN interp, fragment pruning
+        "ann_ivf": QO.q_ann_ivf,
+        "spill_points": QO.q_spill_points,
+        "tin_interp": QO.q_tin_interp,
+        "bbox_pruned": QO.q_bbox_pruned,
     }
     qs.update(_image_queries())
     return qs
@@ -167,6 +172,7 @@ def oracle_sql() -> dict[str, str]:
         "idw": QO.SQL_IDW,
         "avg_knn": QO.SQL_AVG_KNN,
         "flightline": QO.SQL_FLIGHTLINE,
+        "bbox_pruned": QO.SQL_BBOX_PRUNED,
         # img_* queries: non-SQL-expressible (synthetic binary input) ->
         # rows-only driver check; pixel/caption invariants live in tests/
     }

@@ -623,3 +623,113 @@ def q_rugosity(sf_dir: str):
         return pd.DataFrame(rows, columns=["cell_id", "rugosity"])
 
     return grouped_map(pc, ["cell_id"], per_cell, num_parts=8)
+
+
+def q_ann_ivf(sf_dir: str):
+    """IVF ANN (scale path; recall-vs-exact pytest-checked)."""
+    from .ops.ann import ivf_topk
+
+    import pyarrow.parquet as pq
+    import pyarrow.compute as pc
+
+    t = pq.read_table(f"{sf_dir}/embeddings.parquet")
+    qt = t.filter(pc.less(t["vec_id"], 5))
+    Q = np.stack([np.asarray(v, dtype=np.float64) for v in qt["embedding"].to_pylist()])
+    qids = qt["vec_id"].to_numpy(zero_copy_only=False).astype(np.int64)
+    vecs = ray.data.read_parquet(f"{sf_dir}/embeddings.parquet", columns=["vec_id", "embedding"])
+    out = ivf_topk(vecs, Q, qids, k=10, nlist=8, nprobe=3)
+    return out[["q_id", "vec_id", "rank"]] if hasattr(out, "__getitem__") else out.select_columns(["q_id", "vec_id", "rank"])
+
+
+def q_spill_points(sf_dir: str):
+    """W5: spill points between flood basins."""
+    from .kernels.raster import flood_fill_label, spill_points
+
+    grid, b = _mean_grid(sf_dir)
+    dem = np.where(grid == -9999.0, 1e9, grid)
+    labels = flood_fill_label(dem, 20.0)
+    sp = spill_points(labels, max_dist=4.0)
+    df = pd.DataFrame(sp, columns=["id1", "c1", "r1", "id2", "c2", "r2", "dist"])
+    df["dist"] = _round_away(df["dist"].to_numpy(), 6)
+    return df
+
+
+def q_tin_interp(sf_dir: str):
+    """W8: TIN interpolation of sample z at query points (per-sample
+    Delaunay of the points within radius, barycentric z)."""
+    from .ops.neighbors import range_join
+    from .kernels.delaunay import interp_tin
+    from .stages.grouped import grouped_map
+
+    pts = tpch.read_points(sf_dir)
+    smp = tpch.read_samples_table(sf_dir)
+    import pyarrow as pa
+    import ray as _ray
+
+    sref = _ray.put(
+        {
+            "sx": smp["sx"].to_numpy(zero_copy_only=False),
+            "sy": smp["sy"].to_numpy(zero_copy_only=False),
+            "key": smp["s_suppkey"].to_numpy(zero_copy_only=False),
+        }
+    )
+
+    # points within radius 6 of each sample (J4) carrying x/y/z
+    def near(t: pa.Table) -> pa.Table:
+        s = _ray.get(sref)
+        x = t["x"].to_numpy(zero_copy_only=False)
+        y = t["y"].to_numpy(zero_copy_only=False)
+        z = t["z"].to_numpy(zero_copy_only=False)
+        dx = x[:, None] - s["sx"][None, :]
+        dy = y[:, None] - s["sy"][None, :]
+        d2 = dx * dx + dy * dy
+        pi, sj = np.nonzero(d2 <= 36.0)
+        return pa.table(
+            {"s_suppkey": s["key"][sj], "x": x[pi], "y": y[pi], "z": z[pi]}
+        )
+
+    cand = pts.map_batches(near, batch_format="pyarrow")
+
+    def per_sample(df: pd.DataFrame) -> pd.DataFrame:
+        s = _ray.get(sref)
+        pos = {int(k): i for i, k in enumerate(s["key"])}
+        rows = []
+        for k, g in df.groupby("s_suppkey", sort=False):
+            g = g.sort_values(["x", "y", "z"]).drop_duplicates(["x", "y"])
+            i = pos[int(k)]
+            if len(g) >= 3:
+                z = interp_tin(
+                    np.array([s["sx"][i]]), np.array([s["sy"][i]]),
+                    g[["x", "y"]].to_numpy(), g["z"].to_numpy(),
+                )[0]
+            else:
+                z = np.nan
+            rows.append({"s_suppkey": int(k),
+                         "tin_z": float(_round_away(z, 4)) if not np.isnan(z) else -9999.0})
+        return pd.DataFrame(rows, columns=["s_suppkey", "tin_z"])
+
+    return grouped_map(cand, ["s_suppkey"], per_sample, num_parts=8)
+
+
+def q_bbox_pruned(sf_dir: str):
+    """J7: bbox predicate pushed to the parquet reader (row-group
+    pruning) — verified against a plain SQL WHERE."""
+    from ray.data.aggregate import Count, Sum
+
+    import pyarrow.compute as pc
+
+    ds = ray.data.read_parquet(
+        f"{sf_dir}/lineitem.parquet",
+        columns=["l_orderkey", "l_quantity"],
+        filter=(pc.field("l_orderkey") >= 100) & (pc.field("l_orderkey") <= 2000),
+    )
+    agg = ds.aggregate(Count(), Sum("l_quantity"))
+    return pd.DataFrame(
+        {"n": [np.int64(agg["count()"])],
+         "sum_qty": [float(_round_away(agg["sum(l_quantity)"], 6))]}
+    )
+
+
+SQL_BBOX_PRUNED = """
+SELECT count(*) AS n, round(sum(l_quantity), 6) AS sum_qty
+FROM lineitem WHERE l_orderkey >= 100 AND l_orderkey <= 2000"""

@@ -1,0 +1,87 @@
+"""IO helpers: lance-or-parquet tables, CSV source/sink (S9), and
+bbox fragment pruning (J7).
+
+Lance is the preferred format per the input_hint; this container has
+no lance package, so read_table/write_table fall back to parquet with
+the same call shape (import-try, per the environment contract).
+"""
+
+from __future__ import annotations
+
+import numpy as np
+import pyarrow as pa
+import pyarrow.compute as pc
+import ray.data
+
+try:
+    import lance  # noqa: F401
+
+    HAVE_LANCE = True
+except ImportError:
+    HAVE_LANCE = False
+
+
+def read_table(path: str, columns: list[str] | None = None, **kw) -> ray.data.Dataset:
+    if HAVE_LANCE and path.endswith(".lance"):
+        return ray.data.read_lance(path, columns=columns, **kw)
+    return ray.data.read_parquet(path, columns=columns, **kw)
+
+
+def write_table(ds: ray.data.Dataset, path: str, **kw):
+    if HAVE_LANCE and path.endswith(".lance"):
+        return ds.write_lance(path, **kw)
+    return ds.write_parquet(path, **kw)
+
+
+def read_csv(path: str, **kw) -> ray.data.Dataset:
+    """S9 CSV source (include/csv.hpp:24-60)."""
+    return ray.data.read_csv(path, **kw)
+
+
+def write_csv(ds: ray.data.Dataset, path: str, **kw):
+    """S9 CSV sink (seeds/stats/zonal CSV outputs)."""
+    return ds.write_csv(path, **kw)
+
+
+def read_points_bbox(
+    path: str,
+    minx: float,
+    miny: float,
+    maxx: float,
+    maxy: float,
+    x_col: str = "x",
+    y_col: str = "y",
+    columns: list[str] | None = None,
+) -> ray.data.Dataset:
+    """J7 file/fragment-level pruning: the bbox predicate is pushed to
+    the parquet reader, so row groups whose column statistics fall
+    outside the box never leave storage (the reference's header-bbox
+    prune, src/lasgrid.cpp:197-212 / src/lasclip.cpp:110-134)."""
+    expr = (
+        (pc.field(x_col) >= minx)
+        & (pc.field(x_col) <= maxx)
+        & (pc.field(y_col) >= miny)
+        & (pc.field(y_col) <= maxy)
+    )
+    return ray.data.read_parquet(path, columns=columns, filter=expr)
+
+
+def sort_fragments_spatially(paths: list[str], x_col: str = "x", y_col: str = "y") -> list[str]:
+    """O2: order input fragments by a coarse spatial cell of their
+    bbox centroid (src/pointstats.cpp:253-272 FileSorter) — improves
+    locality of the downstream cell shuffle."""
+    import pyarrow.parquet as pq
+
+    keyed = []
+    for p in paths:
+        md = pq.read_metadata(p)
+        schema_names = md.schema.to_arrow_schema().names
+        xi = schema_names.index(x_col)
+        yi = schema_names.index(y_col)
+        mnx = min(md.row_group(i).column(xi).statistics.min for i in range(md.num_row_groups))
+        mny = min(md.row_group(i).column(yi).statistics.min for i in range(md.num_row_groups))
+        mxx = max(md.row_group(i).column(xi).statistics.max for i in range(md.num_row_groups))
+        mxy = max(md.row_group(i).column(yi).statistics.max for i in range(md.num_row_groups))
+        cx, cy = (mnx + mxx) / 2, (mny + mxy) / 2
+        keyed.append(((int(cy // 100), int(cx // 100)), p))
+    return [p for _, p in sorted(keyed)]

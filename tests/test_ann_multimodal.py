@@ -1,0 +1,139 @@
+import numpy as np
+import pandas as pd
+import pytest
+
+
+def _vectors(ray_session, n=600, dim=32, seed=0):
+    import ray.data
+
+    rng = np.random.RandomState(seed)
+    # clustered vectors so IVF has structure
+    centers = rng.standard_normal((8, dim)) * 3
+    rows = []
+    for i in range(n):
+        c = centers[i % 8]
+        rows.append({"vec_id": i, "embedding": (c + rng.standard_normal(dim)).tolist()})
+    return ray.data.from_items(rows)
+
+
+def test_brute_force_topk_exact(ray_session):
+    from geotools_ray.ops.ann import brute_force_topk
+
+    ds = _vectors(ray_session)
+    df = ds.to_pandas()
+    E = np.stack([np.asarray(v) for v in df["embedding"]])
+    En = E / np.linalg.norm(E, axis=1, keepdims=True)
+    rng = np.random.RandomState(1)
+    Q = rng.standard_normal((3, 32))
+    out = brute_force_topk(ds, Q, np.arange(3), k=5).to_pandas()
+    Qn = Q / np.linalg.norm(Q, axis=1, keepdims=True)
+    for q in range(3):
+        sims = En @ Qn[q]
+        want = np.lexsort((df["vec_id"].to_numpy(), -sims))[:5]
+        got = out[out["q_id"] == q].sort_values("rank")["vec_id"].to_numpy()
+        np.testing.assert_array_equal(got, df["vec_id"].to_numpy()[want])
+
+
+def test_ivf_recall(ray_session):
+    from geotools_ray.ops.ann import brute_force_topk, ivf_topk
+
+    ds = _vectors(ray_session, n=800)
+    rng = np.random.RandomState(2)
+    Q = rng.standard_normal((10, 32))
+    qids = np.arange(10)
+    exact = brute_force_topk(ds, Q, qids, k=10).to_pandas()
+    approx = ivf_topk(ds, Q, qids, k=10, nlist=16, nprobe=6).to_pandas()
+    recalls = []
+    for q in range(10):
+        e = set(exact[exact["q_id"] == q]["vec_id"])
+        a = set(approx[approx["q_id"] == q]["vec_id"])
+        recalls.append(len(e & a) / len(e))
+    assert np.mean(recalls) >= 0.8  # scale path trades little recall
+
+
+def test_audio_stage_plumbing(ray_session):
+    import pyarrow as pa
+    import ray.data
+
+    from geotools_ray.stages.multimodal import AUDIO_SCHEMA, AudioFeatureStage
+
+    rows = [
+        {
+            "clip_id": f"clip{i}",
+            "bytes": bytes([i % 256] * 64),
+            "sample_rate": 16000,
+            "n_samples": 16000,
+            "fmt": "wav",
+        }
+        for i in range(50)
+    ]
+    t = pa.Table.from_pylist(rows, schema=AUDIO_SCHEMA)
+    ds = ray.data.from_arrow(t)
+    out = ds.map_batches(
+        AudioFeatureStage,
+        batch_format="pyarrow",
+        batch_size=16,
+        concurrency=2,
+        fn_constructor_kwargs={"deterministic_fake": True},
+    ).to_pandas()
+    assert len(out) == 50
+    assert {"rms", "zcr"} <= set(out.columns)
+    assert "bytes" not in out.columns  # payload dropped before any shuffle
+    # deterministic across runs
+    out2 = ds.map_batches(
+        AudioFeatureStage, batch_format="pyarrow", batch_size=16, concurrency=2,
+        fn_constructor_kwargs={"deterministic_fake": True},
+    ).to_pandas()
+    m1 = out.sort_values("clip_id")["rms"].to_numpy()
+    m2 = out2.sort_values("clip_id")["rms"].to_numpy()
+    np.testing.assert_allclose(m1, m2)
+
+
+def test_audio_real_codec_raises():
+    import pyarrow as pa
+
+    from geotools_ray.stages.multimodal import AudioFeatureStage
+
+    stage = AudioFeatureStage(deterministic_fake=False)
+    t = pa.table(
+        {
+            "clip_id": ["a"],
+            "bytes": [b"xx"],
+            "sample_rate": pa.array([16000], pa.int32()),
+            "n_samples": pa.array([100], pa.int64()),
+            "fmt": ["wav"],
+        }
+    )
+    with pytest.raises(NotImplementedError):
+        stage(t)
+
+
+def test_video_frame_sampling(ray_session):
+    import pyarrow as pa
+    import ray.data
+
+    from geotools_ray.stages.multimodal import VIDEO_SCHEMA, VideoFrameSampleStage
+
+    rows = [
+        {
+            "video_id": f"v{i}",
+            "bytes": bytes([i] * 32),
+            "w": 64,
+            "h": 48,
+            "fps": 30.0,
+            "n_frames": 90,
+            "fmt": "h264",
+        }
+        for i in range(10)
+    ]
+    ds = ray.data.from_arrow(pa.Table.from_pylist(rows, schema=VIDEO_SCHEMA))
+    out = ds.map_batches(
+        VideoFrameSampleStage,
+        batch_format="pyarrow",
+        batch_size=4,
+        concurrency=2,
+        fn_constructor_kwargs={"stride": 30, "deterministic_fake": True},
+    ).to_pandas()
+    # 3 sampled frames (0, 30, 60) per video
+    assert len(out) == 30
+    assert sorted(out["frame"].unique()) == [0, 30, 60]
