@@ -485,3 +485,59 @@ def void_fill_tiles(tiles, radius, count, exp, H, W, tile, max_radius=None,
         return out
 
     return tile_map_with_halo(tiles, fn, halo=halo, H=H, W=W, tile=tile, nodata=nodata, **kw)
+
+
+# ---------------------------------------------------------------------------
+# distributed raster assembly: cell stats -> tile rows
+
+def tiles_from_cellstats(stats, value_col, cols, rows, tile, nodata=NODATA,
+                         num_parts=None):
+    """Assemble the per-cell stat Dataset (cell_id row-major-from-top)
+    into dense tile rows with nodata fill — the distributed
+    raster-export edge (reference: MemRaster filled via writeBlock,
+    src/pointstats.cpp:360-374). One grouped shuffle by tile key."""
+
+    def key(t: pa.Table) -> pa.Table:
+        cid = t["cell_id"].to_numpy(zero_copy_only=False)
+        r = cid // cols
+        c = cid % cols
+        return pa.table(
+            {
+                "trow": r // tile,
+                "tcol": c // tile,
+                "ir": r % tile,
+                "ic": c % tile,
+                "v": t[value_col].to_numpy(zero_copy_only=False).astype(np.float64),
+            }
+        )
+
+    keyed = stats.map_batches(key, batch_format="pyarrow")
+    ntr = (rows + tile - 1) // tile
+    ntc = (cols + tile - 1) // tile
+
+    def fill(df: pd.DataFrame) -> pd.DataFrame:
+        out = []
+        for (tr, tc), g in df.groupby(["trow", "tcol"], sort=False):
+            h = min(tile, rows - int(tr) * tile)
+            w = min(tile, cols - int(tc) * tile)
+            arr = np.full((h, w), nodata)
+            arr[g["ir"].to_numpy(), g["ic"].to_numpy()] = g["v"].to_numpy()
+            out.append({"trow": int(tr), "tcol": int(tc), "h": h, "w": w,
+                        "data": arr.ravel().tolist()})
+        return pd.DataFrame(out)
+
+    return grouped_map(keyed, ["trow", "tcol"], fill, num_parts=num_parts)
+
+
+def detect_hot_keys(ds, key_col, threshold_frac=0.01, sample_frac=0.05, seed=7):
+    """Skew probe (north_rule): sampled per-key counts; keys whose
+    sampled share exceeds threshold_frac are 'hot' — callers salt them
+    (append key ^ salt in [0,k)) before a grouped shuffle, or route
+    them through the partial-aggregate path which is skew-free."""
+    from ray.data.aggregate import Count
+
+    sampled = ds.random_sample(sample_frac, seed=seed)
+    counts = sampled.groupby(key_col).aggregate(Count(alias_name="n")).to_pandas()
+    total = counts["n"].sum()
+    hot = counts[counts["n"] > threshold_frac * total]
+    return dict(zip(hot[key_col], hot["n"]))

@@ -134,3 +134,28 @@ def test_gaussian_weights_formula():
     # center weight = 1/(2*pi*sigma^2)
     assert wts[2, 2] == pytest.approx(1.0 / (2 * np.pi))
     assert wts[0, 0] == pytest.approx((1.0 / (2 * np.pi)) * np.exp(-(8) / 2.0))
+
+
+def test_tiles_from_cellstats_roundtrip(ray_ctx):
+    from geotools_ray.ops.raster import tiles_from_cellstats, tiles_to_grid
+
+    rng = np.random.RandomState(3)
+    cols, rows = 30, 20
+    cid = rng.choice(cols * rows, 300, replace=False)
+    vals = rng.uniform(0, 9, 300)
+    ds = ray_ctx.from_items(
+        [{"cell_id": int(c), "mean": float(v)} for c, v in zip(cid, vals)]
+    )
+    tiles = tiles_from_cellstats(ds, "mean", cols, rows, tile=8, num_parts=4)
+    g = tiles_to_grid(tiles.to_pandas(), rows, cols, 8)
+    want = np.full(cols * rows, NODATA)
+    want[cid] = vals
+    np.testing.assert_allclose(g.ravel(), want)
+
+
+def test_detect_hot_keys(ray_ctx):
+    from geotools_ray.ops.raster import detect_hot_keys
+
+    skew = ray_ctx.from_items([{"k": 1 if i < 5000 else i, "v": i} for i in range(10000)])
+    hot = detect_hot_keys(skew, "k", threshold_frac=0.1, sample_frac=0.5)
+    assert 1 in hot and len(hot) == 1
