@@ -190,8 +190,10 @@ def main():
         import ray
 
         ray.shutdown()
+        lo = int(os.environ.get("GRAFT_SCALE_LO", "4"))
+        hi = int(os.environ.get("GRAFT_SCALE_HI", "16"))
         results = {}
-        for ncpu in (8, 32):
+        for ncpu in (lo, hi):
             env = dict(os.environ, RAY_GRAFT_CPUS=str(ncpu))
             out = subprocess.run(
                 [sys.executable, __file__, "--headline-only"],
@@ -201,29 +203,30 @@ def main():
                 check=True,
             ).stdout
             results[ncpu] = json.loads(out.strip().splitlines()[-1])
-        t8 = results[8]["headline"]["sec"]
-        t32 = results[32]["headline"]["sec"]
-        eff = (t8 / t32) / (32 / 8)
-        j8 = results[8]["headline"]["join_only_sec"]
-        j32 = results[32]["headline"]["join_only_sec"]
+        t8 = results[lo]["headline"]["sec"]
+        t32 = results[hi]["headline"]["sec"]
+        eff = (t8 / t32) / (hi / lo)
+        j8 = results[lo]["headline"]["join_only_sec"]
+        j32 = results[hi]["headline"]["join_only_sec"]
         print(
             json.dumps(
                 {
-                    "metric": "scaling_efficiency_8_to_32",
+                    "metric": f"scaling_efficiency_{lo}_to_{hi}",
                     "value": round(eff, 3),
                     "unit": "ratio",
-                    "sec_8": round(t8, 3),
-                    "sec_32": round(t32, 3),
-                    "images_per_sec_8": round(results[8]["headline"]["images_per_sec"], 1),
-                    "images_per_sec_32": round(results[32]["headline"]["images_per_sec"], 1),
-                    "join_only_sec_8": round(j8, 3),
-                    "join_only_sec_32": round(j32, 3),
-                    "join_only_efficiency": round((j8 / j32) / 4, 3),
-                    "probe_sec_8": round(results[8]["headline"]["probe"]["sec"], 3),
-                    "probe_sec_32": round(results[32]["headline"]["probe"]["sec"], 3),
+                    "sec_lo": round(t8, 3),
+                    "sec_hi": round(t32, 3),
+                    "images_per_sec_lo": round(results[lo]["headline"]["images_per_sec"], 1),
+                    "images_per_sec_hi": round(results[hi]["headline"]["images_per_sec"], 1),
+                    "join_only_sec_lo": round(j8, 3),
+                    "join_only_sec_hi": round(j32, 3),
+                    "join_only_efficiency": round((j8 / j32) / (hi / lo), 3),
+                    "probe_sec_lo": round(results[lo]["headline"]["probe"]["sec"], 3),
+                    "probe_sec_hi": round(results[hi]["headline"]["probe"]["sec"], 3),
                     "probe_efficiency": round(
-                        (results[8]["headline"]["probe"]["sec"]
-                         / results[32]["headline"]["probe"]["sec"]) / 4, 3),
+                        (results[lo]["headline"]["probe"]["sec"]
+                         / results[hi]["headline"]["probe"]["sec"]) / (hi / lo), 3),
+                    "cpus": [lo, hi],
                     "images": N_IMAGES,
                 }
             )

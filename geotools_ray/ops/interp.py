@@ -138,6 +138,7 @@ def normalize_height(
     cell_col: str = "cell_id",
     drop_negative: bool = False,
     num_parts: int | None = None,
+    max_ground_points: int = 800,
 ) -> ray.data.Dataset:
     """Per cell: TIN the ground points (cls == 2), subtract the
     barycentric ground surface under each point, clamp at 0
@@ -153,6 +154,13 @@ def normalize_height(
             # cocircular points — fix the order regardless of shuffle
             g = g.sort_values(["x", "y", "z"])
             gnd = g[g["cls"] == 2]
+            if len(gnd) > max_ground_points:
+                # deterministic thinning: every k-th ground point in
+                # (x,y,z) order — bounds the O(n * tris) triangulation
+                # cost per cell; the reference TINs all ground points
+                # but its cells are small (res 10 default)
+                step = int(np.ceil(len(gnd) / max_ground_points))
+                gnd = gnd.iloc[::step]
             g = g.copy()
             if len(gnd) >= 3:
                 zg = interp_tin(
