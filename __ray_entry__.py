@@ -132,6 +132,8 @@ def queries() -> dict[str, Callable[[str], Any]]:
         "rugosity": QO.q_rugosity,
         # ANN scale path, spill points, TIN interp, fragment pruning
         "ann_ivf": QO.q_ann_ivf,
+        "knn_cellring": QO.q_knn_cellring,
+        "range_join_cells": QO.q_range_join_cells,
         "spill_points": QO.q_spill_points,
         "tin_interp": QO.q_tin_interp,
         "bbox_pruned": QO.q_bbox_pruned,
@@ -173,6 +175,8 @@ def oracle_sql() -> dict[str, str]:
         "avg_knn": QO.SQL_AVG_KNN,
         "flightline": QO.SQL_FLIGHTLINE,
         "bbox_pruned": QO.SQL_BBOX_PRUNED,
+        "knn_cellring": Q.SQL_KNN,
+        "range_join_cells": Q.SQL_RANGE_JOIN,
         # img_* queries: non-SQL-expressible (synthetic binary input) ->
         # rows-only driver check; pixel/caption invariants live in tests/
     }

@@ -733,3 +733,45 @@ def q_bbox_pruned(sf_dir: str):
 SQL_BBOX_PRUNED = """
 SELECT count(*) AS n, round(sum(l_quantity), 6) AS sum_qty
 FROM lineitem WHERE l_orderkey >= 100 AND l_orderkey <= 2000"""
+
+
+def q_knn_cellring(sf_dir: str):
+    """J9 scale path: kNN via cell-ring expansion over a cell index —
+    oracle-checked against the same SQL as the broadcast kNN."""
+    from .kernels.grid import Bounds
+    from .ops.celljoin import build_cell_index, knn_cell_ring
+
+    pts = tpch.read_points(sf_dir)
+    smp = tpch.read_samples_table(sf_dir)
+    idx = build_cell_index(pts, res=5.0, bounds=Bounds(0.0, 0.0, 100.0, 100.0))
+    qds = ray.data.from_arrow(smp)
+    out = knn_cell_ring(qds, idx, k=5)
+
+    def fin(t: pa.Table) -> pa.Table:
+        i = t.schema.get_field_index("dist")
+        return t.set_column(
+            i, "dist", pa.array(_round_away(t["dist"].to_numpy(zero_copy_only=False), R6))
+        )
+
+    return out.map_batches(fin, batch_format="pyarrow")
+
+
+def q_range_join_cells(sf_dir: str):
+    """J4 scale path: large-large cell-bucketed range join — same SQL
+    oracle as the broadcast range join."""
+    from .kernels.grid import Bounds
+    from .ops.celljoin import range_join_cells
+
+    pts = tpch.read_points(sf_dir)
+    smp = tpch.read_samples_table(sf_dir)
+    right = ray.data.from_arrow(
+        pa.table({"s_suppkey": smp["s_suppkey"], "rx": smp["sx"], "ry": smp["sy"]})
+    )
+    out = range_join_cells(pts, right, radius=4.0, bounds=Bounds(0.0, 0.0, 100.0, 100.0))
+
+    def fin(df: pd.DataFrame) -> pd.DataFrame:
+        df = df.copy()
+        df["dist"] = _round_away(df["dist"].to_numpy(), R6)
+        return df
+
+    return out.map_batches(fin, batch_format="pandas")

@@ -1,0 +1,135 @@
+"""Cell-ring kNN and cell-bucketed range join must exactly match the
+broadcast/brute-force implementations."""
+
+import numpy as np
+import pandas as pd
+import pytest
+
+
+def _points(ray_session, n=3000, seed=0):
+    import ray.data
+
+    rng = np.random.RandomState(seed)
+    rows = [
+        {
+            "l_orderkey": i,
+            "l_linenumber": i % 7,
+            "x": float(rng.uniform(0, 100)),
+            "y": float(rng.uniform(0, 100)),
+        }
+        for i in range(n)
+    ]
+    return ray.data.from_items(rows)
+
+
+def _samples(m=40, seed=1):
+    import pyarrow as pa
+
+    rng = np.random.RandomState(seed)
+    return pa.table(
+        {
+            "s_suppkey": np.arange(m, dtype=np.int64),
+            "sx": rng.uniform(0, 100, m),
+            "sy": rng.uniform(0, 100, m),
+        }
+    )
+
+
+def test_knn_cell_ring_matches_bruteforce(ray_session):
+    import ray.data
+
+    from geotools_ray.kernels.grid import Bounds
+    from geotools_ray.ops.celljoin import build_cell_index, knn_cell_ring
+    from geotools_ray.ops.neighbors import knn_join
+
+    pts = _points(ray_session)
+    smp = _samples()
+    b = Bounds(0, 0, 100, 100)
+    idx = build_cell_index(pts, res=5.0, bounds=b)
+    qds = ray.data.from_arrow(smp)
+    got = (
+        knn_cell_ring(qds, idx, k=5)
+        .to_pandas()
+        .sort_values(["s_suppkey", "rank"])
+        .reset_index(drop=True)
+    )
+    want = (
+        knn_join(pts, smp, k=5)
+        .to_pandas()
+        .sort_values(["s_suppkey", "rank"])
+        .reset_index(drop=True)
+    )
+    pd.testing.assert_frame_equal(
+        got[["s_suppkey", "rank", "l_orderkey", "l_linenumber"]],
+        want[["s_suppkey", "rank", "l_orderkey", "l_linenumber"]],
+    )
+    np.testing.assert_allclose(got["dist"], want["dist"], rtol=1e-12)
+
+
+def test_knn_cell_ring_sparse_far_queries(ray_session):
+    """Queries far from any point force multi-ring expansion."""
+    import pyarrow as pa
+    import ray.data
+
+    from geotools_ray.kernels.grid import Bounds
+    from geotools_ray.ops.celljoin import build_cell_index, knn_cell_ring
+    from geotools_ray.ops.neighbors import knn_join
+
+    rng = np.random.RandomState(3)
+    # clustered points in one corner
+    rows = [
+        {"l_orderkey": i, "l_linenumber": 0,
+         "x": float(rng.uniform(0, 10)), "y": float(rng.uniform(0, 10))}
+        for i in range(200)
+    ]
+    pts = ray.data.from_items(rows)
+    smp = pa.table(
+        {"s_suppkey": np.array([0, 1], dtype=np.int64),
+         "sx": np.array([95.0, 50.0]), "sy": np.array([95.0, 50.0])}
+    )
+    b = Bounds(0, 0, 100, 100)
+    idx = build_cell_index(pts, res=5.0, bounds=b)
+    got = knn_cell_ring(ray.data.from_arrow(smp), idx, k=3).to_pandas()
+    want = knn_join(pts, smp, k=3).to_pandas()
+    g = got.sort_values(["s_suppkey", "rank"])["l_orderkey"].to_numpy()
+    w = want.sort_values(["s_suppkey", "rank"])["l_orderkey"].to_numpy()
+    np.testing.assert_array_equal(g, w)
+
+
+def test_range_join_cells_matches_broadcast(ray_session):
+    import pyarrow as pa
+    import ray.data
+
+    from geotools_ray.kernels.grid import Bounds
+    from geotools_ray.ops.celljoin import range_join_cells
+    from geotools_ray.ops.neighbors import range_join
+
+    pts = _points(ray_session, n=2000, seed=5)
+    smp = _samples(m=30, seed=6)
+    want = (
+        range_join(pts, smp, radius=4.0)
+        .to_pandas()
+        .sort_values(["l_orderkey", "l_linenumber", "s_suppkey"])
+        .reset_index(drop=True)
+    )
+    right = ray.data.from_arrow(
+        pa.table(
+            {
+                "s_suppkey": smp["s_suppkey"],
+                "rx": smp["sx"],
+                "ry": smp["sy"],
+            }
+        )
+    )
+    got = (
+        range_join_cells(pts, right, radius=4.0, bounds=Bounds(0, 0, 100, 100))
+        .to_pandas()
+        .sort_values(["l_orderkey", "l_linenumber", "s_suppkey"])
+        .reset_index(drop=True)
+    )
+    assert len(got) == len(want)
+    pd.testing.assert_frame_equal(
+        got[["l_orderkey", "l_linenumber", "s_suppkey"]],
+        want[["l_orderkey", "l_linenumber", "s_suppkey"]],
+    )
+    np.testing.assert_allclose(got["dist"], want["dist"], rtol=1e-12)
