@@ -354,12 +354,12 @@ def q_datum_transform(sf_dir: str):
 
 
 def q_normalize_height(sf_dir: str):
-    """M7: TIN height normalization per 25-unit cell; per-cell rollup."""
+    """M7: TIN height normalization per 12.5-unit cell; per-cell rollup."""
     from .ops.gridstats import assign_cells
     from .ops.interp import normalize_height
 
     pts = tpch.read_points(sf_dir)
-    res = 25.0
+    res = 12.5
     b = compute_bounds(pts, res)
     cells = assign_cells(
         pts, GridConfig(res=res, stats=("count",)), b, keep_cols=("cls",)
@@ -402,7 +402,7 @@ def q_normalize_height(sf_dir: str):
 
     from .stages.grouped import grouped_map
 
-    return grouped_map(out, ["cell_id"], rollup, num_parts=8)
+    return grouped_map(out, ["cell_id"], rollup)
 
 
 def q_minhash_dedup(sf_dir: str):
@@ -622,7 +622,7 @@ def q_rugosity(sf_dir: str):
             rows.append({"cell_id": int(cid), "rugosity": float(_round_away(r, 4))})
         return pd.DataFrame(rows, columns=["cell_id", "rugosity"])
 
-    return grouped_map(pc, ["cell_id"], per_cell, num_parts=8)
+    return grouped_map(pc, ["cell_id"], per_cell)
 
 
 def q_ann_ivf(sf_dir: str):
@@ -656,50 +656,38 @@ def q_spill_points(sf_dir: str):
 
 def q_tin_interp(sf_dir: str):
     """W8: TIN interpolation of sample z at query points (per-sample
-    Delaunay of the points within radius, barycentric z)."""
-    from .ops.neighbors import range_join
+    Delaunay of the points within radius 2, barycentric z).  Candidate
+    gathering reuses the chunked range join; the per-sample TIN is
+    bounded to 300 deterministic points."""
     from .kernels.delaunay import interp_tin
+    from .ops.neighbors import range_join
     from .stages.grouped import grouped_map
+
+    import ray as _ray
 
     pts = tpch.read_points(sf_dir)
     smp = tpch.read_samples_table(sf_dir)
-    import pyarrow as pa
-    import ray as _ray
-
     sref = _ray.put(
         {
-            "sx": smp["sx"].to_numpy(zero_copy_only=False),
-            "sy": smp["sy"].to_numpy(zero_copy_only=False),
-            "key": smp["s_suppkey"].to_numpy(zero_copy_only=False),
+            int(k): (float(x), float(y))
+            for k, x, y in zip(
+                smp["s_suppkey"].to_numpy(zero_copy_only=False),
+                smp["sx"].to_numpy(zero_copy_only=False),
+                smp["sy"].to_numpy(zero_copy_only=False),
+            )
         }
     )
-
-    # points within radius 6 of each sample (J4) carrying x/y/z
-    def near(t: pa.Table) -> pa.Table:
-        s = _ray.get(sref)
-        x = t["x"].to_numpy(zero_copy_only=False)
-        y = t["y"].to_numpy(zero_copy_only=False)
-        z = t["z"].to_numpy(zero_copy_only=False)
-        dx = x[:, None] - s["sx"][None, :]
-        dy = y[:, None] - s["sy"][None, :]
-        d2 = dx * dx + dy * dy
-        pi, sj = np.nonzero(d2 <= 36.0)
-        return pa.table(
-            {"s_suppkey": s["key"][sj], "x": x[pi], "y": y[pi], "z": z[pi]}
-        )
-
-    cand = pts.map_batches(near, batch_format="pyarrow")
+    cand = range_join(pts, smp, radius=2.0, point_cols=("x", "y", "z"))
 
     def per_sample(df: pd.DataFrame) -> pd.DataFrame:
-        s = _ray.get(sref)
-        pos = {int(k): i for i, k in enumerate(s["key"])}
+        pos = _ray.get(sref)
         rows = []
         for k, g in df.groupby("s_suppkey", sort=False):
-            g = g.sort_values(["x", "y", "z"]).drop_duplicates(["x", "y"])
-            i = pos[int(k)]
+            g = g.sort_values(["x", "y", "z"]).drop_duplicates(["x", "y"]).head(300)
+            sx, sy = pos[int(k)]
             if len(g) >= 3:
                 z = interp_tin(
-                    np.array([s["sx"][i]]), np.array([s["sy"][i]]),
+                    np.array([sx]), np.array([sy]),
                     g[["x", "y"]].to_numpy(), g["z"].to_numpy(),
                 )[0]
             else:
@@ -708,7 +696,7 @@ def q_tin_interp(sf_dir: str):
                          "tin_z": float(_round_away(z, 4)) if not np.isnan(z) else -9999.0})
         return pd.DataFrame(rows, columns=["s_suppkey", "tin_z"])
 
-    return grouped_map(cand, ["s_suppkey"], per_sample, num_parts=8)
+    return grouped_map(cand, ["s_suppkey"], per_sample)
 
 
 def q_bbox_pruned(sf_dir: str):
