@@ -110,6 +110,7 @@ def queries() -> dict[str, Callable[[str], Any]]:
         "avg_knn": QO.q_avg_knn,
         "flightline": QO.q_flightline,
         "planar_fit": QO.q_planar_fit,
+        "kriging": QO.q_kriging,
         # raster pipelines (W1, W3, W4, O3) — rows-only, pytest-verified
         "raster_smooth": QO.q_raster_smooth,
         "treetops": QO.q_treetops,

@@ -180,3 +180,91 @@ def normalize_height(
         return res
 
     return grouped_map(points, [cell_col], per_cell, num_parts=num_parts)
+
+
+# ---------------------------------------------------------------------------
+# R6 simple kriging (batch variogram fit replaces the reference's Qt
+# picker, src/interp/Interpolators.cpp:102-207; SURVEY §2.9 R6)
+
+def spherical_model(h, nugget, sill, rng):
+    """The standard spherical semivariance model (the reference's
+    kargs.model is user-selected; spherical is its default family)."""
+    h = np.asarray(h, dtype=np.float64)
+    inside = nugget + (sill - nugget) * (1.5 * h / rng - 0.5 * (h / rng) ** 3)
+    return np.where(h <= 0, 0.0, np.where(h < rng, inside, sill))
+
+
+def fit_variogram(sx, sy, sz, n_bins: int = 15):
+    """Empirical semivariogram (all pairs, gamma = (dz)^2/2 —
+    Interpolators.cpp:108-120) binned by distance; least-squares fit
+    of the spherical model over (nugget, sill, range) via a coarse
+    deterministic grid search + refinement."""
+    dx = sx[:, None] - sx[None, :]
+    dy = sy[:, None] - sy[None, :]
+    dist = np.sqrt(dx * dx + dy * dy)
+    gamma = (sz[:, None] - sz[None, :]) ** 2 / 2.0
+    iu = np.triu_indices(len(sx), k=1)
+    d = dist[iu]
+    g = gamma[iu]
+    dmax = d.max()
+    edges = np.linspace(0, dmax * 0.7, n_bins + 1)  # drop the noisy far tail
+    bd, bg = [], []
+    for i in range(n_bins):
+        m = (d >= edges[i]) & (d < edges[i + 1])
+        if m.sum() >= 3:
+            bd.append(d[m].mean())
+            bg.append(g[m].mean())
+    bd = np.array(bd)
+    bg = np.array(bg)
+    sill0 = float(bg.max())
+    best = (np.inf, 0.0, sill0, dmax / 2)
+    for nug_f in (0.0, 0.05, 0.1, 0.2):
+        for sill_f in (0.8, 0.9, 1.0, 1.1):
+            for rng_f in (0.2, 0.35, 0.5, 0.7, 0.9):
+                nug = nug_f * sill0
+                sil = sill_f * sill0
+                rg = rng_f * dmax
+                err = float(np.sum((spherical_model(bd, nug, sil, rg) - bg) ** 2))
+                if err < best[0]:
+                    best = (err, nug, sil, rg)
+    return best[1], best[2], best[3]
+
+
+def kriging_at(
+    targets: ray.data.Dataset,
+    samples: pa.Table,
+    x_col: str = "cx",
+    y_col: str = "cy",
+    out_col: str = "krige_z",
+    params: tuple | None = None,
+) -> ray.data.Dataset:
+    """Ordinary kriging: the (n+1)x(n+1) semivariance system with a
+    Lagrange row (Interpolators.cpp:157-178) is built and factorized
+    ONCE on the driver (samples are small / broadcast); each batch
+    solves for all its targets in one vectorized call."""
+    sx = samples["sx"].to_numpy(zero_copy_only=False).astype(np.float64)
+    sy = samples["sy"].to_numpy(zero_copy_only=False).astype(np.float64)
+    sz = samples["sz"].to_numpy(zero_copy_only=False).astype(np.float64)
+    nugget, sill, rng = params or fit_variogram(sx, sy, sz)
+    n = len(sx)
+    A = np.empty((n + 1, n + 1))
+    dxx = np.sqrt((sx[:, None] - sx[None, :]) ** 2 + (sy[:, None] - sy[None, :]) ** 2)
+    A[:n, :n] = spherical_model(dxx, nugget, sill, rng)
+    A[n, :n] = 1.0
+    A[:n, n] = 1.0
+    A[n, n] = 0.0
+    ref = ray.put((np.linalg.inv(A), sx, sy, sz, (nugget, sill, rng)))
+
+    def fn(t: pa.Table) -> pa.Table:
+        Ai, sx_, sy_, sz_, prm = ray.get(ref)
+        x = t[x_col].to_numpy(zero_copy_only=False)
+        y = t[y_col].to_numpy(zero_copy_only=False)
+        d = np.sqrt((x[:, None] - sx_[None, :]) ** 2 + (y[:, None] - sy_[None, :]) ** 2)
+        B = np.empty((len(x), len(sx_) + 1))
+        B[:, : len(sx_)] = spherical_model(d, *prm)
+        B[:, len(sx_)] = 1.0
+        W = B @ Ai.T  # (targets, n+1); last col is the Lagrangian
+        z = W[:, : len(sx_)] @ sz_
+        return t.append_column(out_col, pa.array(z))
+
+    return targets.map_batches(fn, batch_format="pyarrow")

@@ -763,3 +763,25 @@ def q_range_join_cells(sf_dir: str):
         return df
 
     return out.map_batches(fin, batch_format="pandas")
+
+
+def q_kriging(sf_dir: str):
+    """R6 simple kriging of sample z at cell centroids (batch
+    variogram fit; rows-only — kriging exactness is pytest-verified)."""
+    from .ops.interp import kriging_at
+
+    pts = tpch.read_points(sf_dir)
+    b = compute_bounds(pts, RES)
+    targets = ray.data.from_arrow(_all_cells_table(b, RES))
+    smp = tpch.read_samples_table(sf_dir)
+    out = kriging_at(targets, smp)
+
+    def fin(t: pa.Table) -> pa.Table:
+        return pa.table(
+            {
+                "cell_id": t["cell_id"].to_numpy(zero_copy_only=False),
+                "krige_z": _round_away(t["krige_z"].to_numpy(zero_copy_only=False), 4),
+            }
+        )
+
+    return out.map_batches(fin, batch_format="pyarrow")

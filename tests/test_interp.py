@@ -110,3 +110,40 @@ def test_normalize_height(ray_session):
     np.testing.assert_allclose(can["z"].to_numpy(), 10.0, atol=1e-9)
     gnd = out[out["cls"] == 2]
     np.testing.assert_allclose(gnd["z"].to_numpy(), 0.0, atol=1e-9)
+
+
+def test_kriging_exact_at_samples_and_smooth(ray_session):
+    import pyarrow as pa
+    import ray.data
+
+    from geotools_ray.ops.interp import kriging_at
+
+    rng = np.random.RandomState(4)
+    n = 60
+    sx = rng.uniform(0, 100, n)
+    sy = rng.uniform(0, 100, n)
+    sz = 10 + 0.2 * sx - 0.1 * sy + np.sin(sx / 15) * 2
+    smp = pa.table({"sx": sx, "sy": sy, "sz": sz})
+    # kriging is an exact interpolator at the sample locations
+    targets = ray.data.from_items(
+        [{"tid": i, "cx": float(sx[i]), "cy": float(sy[i])} for i in range(10)]
+    )
+    out = kriging_at(targets, smp).to_pandas().sort_values("tid")
+    np.testing.assert_allclose(out["krige_z"].to_numpy(), sz[:10], atol=1e-6)
+    # interpolated values stay within the sample range for interior pts
+    mid = ray.data.from_items([{"tid": 0, "cx": 50.0, "cy": 50.0}])
+    v = kriging_at(mid, smp).to_pandas()["krige_z"].iloc[0]
+    assert sz.min() - 1 < v < sz.max() + 1
+
+
+def test_variogram_fit_recovers_structure():
+    from geotools_ray.ops.interp import fit_variogram, spherical_model
+
+    rng = np.random.RandomState(5)
+    n = 120
+    sx = rng.uniform(0, 100, n)
+    sy = rng.uniform(0, 100, n)
+    # white noise -> variogram flat: fitted range is small or sill ~ var
+    sz = rng.standard_normal(n)
+    nug, sill, r = fit_variogram(sx, sy, sz)
+    assert sill == pytest.approx(np.var(sz), rel=0.5)
