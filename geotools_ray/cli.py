@@ -1,0 +1,255 @@
+"""Command-line front-end — the drop-in analog of the reference's
+per-tool binaries (lasgrid, pointstats, pointzonalstats, lasclip,
+lasmerge, las2csrs, pointnormalize, lasboundary, treetops, mosaic,
+flood, lasreclass...), reading/writing parquet tables.
+
+    python -m geotools_ray.cli grid --in pts.parquet --out stats/ \
+        --res 2 --stats count,mean,median
+    python -m geotools_ray.cli zonal --in pts.parquet --rects "1,0,0,50,50" ...
+    python -m geotools_ray.cli transform --in pts.parquet --frame itrf2000 \
+        --efrom 1986 --eto 2011 --from-epsg 26912 --to-epsg 2956 ...
+
+The CLI owns its Ray session (guarded init, shutdown on exit); the
+library never does.
+"""
+
+from __future__ import annotations
+
+import argparse
+import os
+import sys
+
+
+def _session(args):
+    import ray
+
+    if not ray.is_initialized():
+        ray.init(
+            address="local",
+            num_cpus=args.num_cpus,
+            include_dashboard=False,
+            ignore_reinit_error=True,
+            logging_level="ERROR",
+        )
+    from ray.data import DataContext
+
+    DataContext.get_current().enable_progress_bars = False
+
+
+def _read(args):
+    import ray.data
+
+    return ray.data.read_parquet(args.input)
+
+
+def _write(ds, args):
+    import ray.data
+
+    if isinstance(ds, ray.data.Dataset):
+        ds.write_parquet(args.output)
+    else:  # pandas
+        import pyarrow as pa
+        import pyarrow.parquet as pq
+
+        os.makedirs(args.output, exist_ok=True)
+        pq.write_table(pa.Table.from_pandas(ds, preserve_index=False),
+                       os.path.join(args.output, "part-0.parquet"))
+    print(f"wrote {args.output}")
+
+
+def cmd_grid(args):
+    from .ops.gridstats import GridConfig, grid_stats
+
+    ds = _read(args)
+    cfg = GridConfig(
+        res=args.res,
+        radius=args.radius,
+        stats=tuple(args.stats.split(",")),
+        class_filter=frozenset(int(c) for c in args.classes.split(",")) if args.classes else None,
+        angle_limit=args.angle,
+    )
+    _write(grid_stats(ds, cfg), args)
+
+
+def cmd_zonal(args):
+    from .ops.zonal import rect, zonal_stats
+
+    polys = []
+    for spec in args.rects:
+        pid, a, b, c, d = spec.split(",")
+        polys.append(rect(int(pid), float(a), float(b), float(c), float(d)))
+    _write(zonal_stats(_read(args), polys, value_col=args.value), args)
+
+
+def cmd_clip(args):
+    from .ops.zonal import clip, rect
+
+    polys = []
+    for spec in args.rects:
+        pid, a, b, c, d = spec.split(",")
+        polys.append(rect(int(pid), float(a), float(b), float(c), float(d)))
+    _write(clip(_read(args), polys, anti=args.anti), args)
+
+
+def cmd_merge(args):
+    import ray.data
+
+    ds = ray.data.read_parquet(args.inputs)
+    if args.bbox:
+        minx, miny, maxx, maxy = (float(v) for v in args.bbox.split(","))
+        from .sources.io import read_points_bbox  # noqa: F401  (predicate form below)
+        import pyarrow as pa
+
+        def f(t):
+            import numpy as np
+
+            x = t["x"].to_numpy(zero_copy_only=False)
+            y = t["y"].to_numpy(zero_copy_only=False)
+            m = (x >= minx) & (x <= maxx) & (y >= miny) & (y <= maxy)
+            return t.filter(pa.array(m))
+
+        ds = ds.map_batches(f, batch_format="pyarrow")
+    _write(ds, args)
+
+
+def cmd_transform(args):
+    from .ops.datum import datum_transform
+
+    out = datum_transform(
+        _read(args), args.frame, args.efrom, args.eto, args.from_epsg, args.to_epsg,
+        share_dir=args.share_dir,
+    )
+    _write(out, args)
+
+
+def cmd_normalize(args):
+    import pyarrow as pa
+
+    from .kernels.grid import Bounds, cell_id_of_points
+    from .ops.gridstats import compute_bounds
+    from .ops.interp import normalize_height
+
+    ds = _read(args)
+    b = compute_bounds(ds, args.res)
+
+    def with_cells(t: pa.Table) -> pa.Table:
+        x = t["x"].to_numpy(zero_copy_only=False)
+        y = t["y"].to_numpy(zero_copy_only=False)
+        return t.append_column("cell_id", pa.array(cell_id_of_points(x, y, b, args.res)))
+
+    _write(normalize_height(ds.map_batches(with_cells, batch_format="pyarrow"),
+                            drop_negative=args.drop_negative), args)
+
+
+def cmd_knn(args):
+    import pyarrow.parquet as pq
+
+    from .ops.neighbors import knn_join
+
+    _write(knn_join(_read(args), pq.read_table(args.queries), k=args.k), args)
+
+
+def cmd_flightline(args):
+    from .ops.flightline import recover_flightlines
+
+    out, merged = recover_flightlines(_read(args), args.file_col, time_gap=args.gap)
+    print("merged flight lines:", merged)
+    _write(out, args)
+
+
+def cmd_dedup(args):
+    from .ops.dedup import exact_dedup, minhash_lsh_dedup
+
+    ds = _read(args)
+    if args.method == "exact":
+        _write(exact_dedup(ds, args.keys.split(","), args.order), args)
+    else:
+        _write(minhash_lsh_dedup(ds, threshold=args.threshold), args)
+
+
+def main(argv=None):
+    p = argparse.ArgumentParser(prog="geotools_ray")
+    p.add_argument("--num-cpus", type=int, default=int(os.environ.get("RAY_GRAFT_CPUS", 8)))
+    sub = p.add_subparsers(dest="cmd", required=True)
+
+    def common(sp, multi_in=False):
+        if multi_in:
+            sp.add_argument("--in", dest="inputs", nargs="+", required=True)
+        else:
+            sp.add_argument("--in", dest="input", required=True)
+        sp.add_argument("--out", dest="output", required=True)
+
+    sp = sub.add_parser("grid", help="lasgrid/pointstats: per-cell stats")
+    common(sp)
+    sp.add_argument("--res", type=float, required=True)
+    sp.add_argument("--radius", type=float, default=0.0)
+    sp.add_argument("--stats", default="count,min,max,mean")
+    sp.add_argument("--classes", default=None)
+    sp.add_argument("--angle", type=int, default=None)
+    sp.set_defaults(fn=cmd_grid)
+
+    sp = sub.add_parser("zonal", help="pointzonalstats: zonal stat bundle")
+    common(sp)
+    sp.add_argument("--rects", nargs="+", required=True, help="id,minx,miny,maxx,maxy")
+    sp.add_argument("--value", default="z")
+    sp.set_defaults(fn=cmd_zonal)
+
+    sp = sub.add_parser("clip", help="lasclip: semi/anti polygon clip")
+    common(sp)
+    sp.add_argument("--rects", nargs="+", required=True)
+    sp.add_argument("--anti", action="store_true")
+    sp.set_defaults(fn=cmd_clip)
+
+    sp = sub.add_parser("merge", help="lasmerge: union files with bbox filter")
+    common(sp, multi_in=True)
+    sp.add_argument("--bbox", default=None, help="minx,miny,maxx,maxy")
+    sp.set_defaults(fn=cmd_merge)
+
+    sp = sub.add_parser("transform", help="las2csrs: datum transform")
+    common(sp)
+    sp.add_argument("--frame", required=True)
+    sp.add_argument("--efrom", type=float, required=True)
+    sp.add_argument("--eto", type=float, required=True)
+    sp.add_argument("--from-epsg", type=int, required=True)
+    sp.add_argument("--to-epsg", type=int, required=True)
+    sp.add_argument("--share-dir", default="/root/reference/share")
+    sp.set_defaults(fn=cmd_transform)
+
+    sp = sub.add_parser("normalize", help="pointnormalize: height above ground")
+    common(sp)
+    sp.add_argument("--res", type=float, default=25.0)
+    sp.add_argument("--drop-negative", action="store_true")
+    sp.set_defaults(fn=cmd_normalize)
+
+    sp = sub.add_parser("knn", help="kNN lookup against a query table")
+    common(sp)
+    sp.add_argument("--queries", required=True)
+    sp.add_argument("-k", type=int, default=5)
+    sp.set_defaults(fn=cmd_knn)
+
+    sp = sub.add_parser("flightline", help="lasreclass: recover flight lines")
+    common(sp)
+    sp.add_argument("--file-col", default="file")
+    sp.add_argument("--gap", type=float, default=50.0)
+    sp.set_defaults(fn=cmd_flightline)
+
+    sp = sub.add_parser("dedup", help="exact / minhash near-dup")
+    common(sp)
+    sp.add_argument("--method", choices=["exact", "minhash"], default="exact")
+    sp.add_argument("--keys", default="phash")
+    sp.add_argument("--order", default="image_id")
+    sp.add_argument("--threshold", type=float, default=0.7)
+    sp.set_defaults(fn=cmd_dedup)
+
+    args = p.parse_args(argv)
+    _session(args)
+    try:
+        args.fn(args)
+    finally:
+        import ray
+
+        ray.shutdown()
+
+
+if __name__ == "__main__":
+    main()
