@@ -115,6 +115,8 @@ def queries() -> dict[str, Callable[[str], Any]]:
         "raster_smooth": QO.q_raster_smooth,
         "treetops": QO.q_treetops,
         "flood_basins": QO.q_flood_basins,
+        "flood_sweep": QO.q_flood_sweep,
+        "rastfit": QO.q_rastfit,
         "mosaic": QO.q_mosaic,
         # stateful / structural (M6, M7) — rows-only
         "datum_transform": QO.q_datum_transform,

@@ -785,3 +785,43 @@ def q_kriging(sf_dir: str):
         )
 
     return out.map_batches(fin, batch_format="pyarrow")
+
+
+def q_flood_sweep(sf_dir: str):
+    """R10: the flood tool's elevation sweep (basins + spill CSV)."""
+    from .ops.flood import flood_sweep
+
+    grid, b = _mean_grid(sf_dir)
+    basins, spills = flood_sweep(grid, start=15.0, end=30.0, step=5.0, max_spill_dist=6.0)
+    basins = basins.copy()
+    basins["elevation"] = _round_away(basins["elevation"].to_numpy(), 4)
+    return basins
+
+
+def q_rastfit(sf_dir: str):
+    """R7: fit a correction surface between the mean and median
+    rasters and apply it; per-tile checksums of the corrected raster."""
+    from .ops.flood import rastfit_correction
+
+    pts = tpch.read_points(sf_dir)
+    res = 2.0
+    b = compute_bounds(pts, res)
+    stats = grid_stats(
+        pts, GridConfig(res=res, bounds=b, stats=("mean", "median"), strategy="exact")
+    ).to_pandas()
+    cols = b.cols(res)
+    rows = b.rows(res)
+
+    def dense(col):
+        g = np.full(cols * rows, -9999.0)
+        g[stats["cell_id"].to_numpy()] = stats[col].to_numpy()
+        return g.reshape(rows, cols)
+
+    corrected = rastfit_correction(dense("mean"), dense("median"), n_samples=80, method="idw")
+    valid = corrected != -9999.0
+    return pd.DataFrame(
+        {
+            "n_valid": [int(valid.sum())],
+            "checksum": [float(_round_away(corrected[valid].sum(), 4))],
+        }
+    )

@@ -140,3 +140,27 @@ def test_rugosity_registry():
     assert ref_rugosity(x, y, np.full(40, 3.0)) == pytest.approx(1.0, abs=1e-9)
     rough = ref_rugosity(x, y, rng.uniform(0, 8, 40))
     assert rough > 1.1
+
+
+def test_flood_sweep(ray_session):
+    from geotools_ray.ops.flood import flood_sweep
+
+    g = np.full((12, 16), 50.0)
+    g[2:5, 2:5] = 5.0    # basin A (deep)
+    g[6:9, 10:13] = 12.0  # basin B (shallower)
+    basins, spills = flood_sweep(g, start=8.0, end=16.0, step=4.0, max_spill_dist=12.0)
+    # at 8: only A flooded; at 12+: both
+    assert set(basins[basins["elevation"] == 8.0]["basin"]) == {1}
+    assert len(basins[basins["elevation"] == 12.0]) == 2
+    assert (spills["elevation"] >= 12.0).all()
+    assert len(spills) > 0
+
+
+def test_rastfit_correction(ray_session):
+    from geotools_ray.ops.flood import rastfit_correction
+
+    rng = np.random.RandomState(0)
+    ref = rng.uniform(10, 20, (20, 25))
+    adjust = ref + 3.0  # constant offset to be removed
+    out = rastfit_correction(adjust, ref, n_samples=60, method="planar")
+    np.testing.assert_allclose(out, ref, atol=1e-6)
