@@ -110,12 +110,12 @@ def shingles(text: str, k: int = 5) -> set[str]:
 
 
 def minhash_signature(shingle_set: set[str], num_perm: int = 64, seed: int = 1) -> np.ndarray:
-    """num_perm-wide MinHash signature via seeded hash families."""
+    """num_perm-wide MinHash signature via seeded hash families.
+    Shingle hashing runs vectorized (stable_hash64_array is
+    bit-identical to the scalar FNV)."""
     if not shingle_set:
         return np.full(num_perm, np.iinfo(np.uint64).max, dtype=np.uint64)
-    base = np.array(
-        [stable_hash64(s.encode("utf-8")) for s in shingle_set], dtype=np.uint64
-    )
+    base = stable_hash64_array(sorted(shingle_set))
     # universal-ish hashing: h_i(x) = (a_i * x + b_i) mod 2^64
     rng = np.random.RandomState(seed)
     a = rng.randint(1, 2**62, size=num_perm).astype(np.uint64) * np.uint64(2) + np.uint64(1)
@@ -143,16 +143,31 @@ def jaccard(a: set, b: set) -> float:
 
 def simhash64(text: str) -> int:
     """64-bit SimHash over word unigrams."""
-    v = np.zeros(64, dtype=np.int64)
-    for w in text.split():
-        h = stable_hash64(w.encode("utf-8"))
-        bits = (h >> np.arange(64, dtype=np.uint64)) & np.uint64(1)
-        v += np.where(bits.astype(bool), 1, -1)
-    out = 0
-    for i in range(64):
-        if v[i] > 0:
-            out |= 1 << i
-    return out
+    return int(simhash64_batch([text])[0])
+
+
+def simhash64_batch(texts) -> np.ndarray:
+    """Vectorized SimHash: hash EVERY word of the batch in one FNV
+    array pass, unpack bits, segment-sum per document."""
+    words = []
+    doc_idx = []
+    for i, t in enumerate(texts):
+        ws = t.split()
+        words.extend(ws)
+        doc_idx.extend([i] * len(ws))
+    n = len(texts)
+    out = np.zeros(n, dtype=np.uint64)
+    if not words:
+        return out
+    h = stable_hash64_array(words)
+    doc_idx = np.asarray(doc_idx, dtype=np.int64)
+    shifts = np.arange(64, dtype=np.uint64)
+    bits = ((h[:, None] >> shifts[None, :]) & np.uint64(1)).astype(np.int64)
+    contrib = np.where(bits.astype(bool), 1, -1)
+    sums = np.zeros((n, 64), dtype=np.int64)
+    np.add.at(sums, doc_idx, contrib)
+    packed = ((sums > 0).astype(np.uint64) << shifts[None, :]).sum(axis=1, dtype=np.uint64)
+    return packed
 
 
 def hamming64(a: int, b: int) -> int:

@@ -223,7 +223,7 @@ def simhash_pairs(
 
     def hashes(t: pa.Table) -> pa.Table:
         ids = t[id_col].to_numpy(zero_copy_only=False)
-        hs = np.array([T.simhash64(s) for s in t[text_col].to_pylist()], dtype=np.uint64)
+        hs = T.simhash64_batch(t[text_col].to_pylist())
         out = {id_col: ids, "sh": hs.astype(np.int64)}
         for b in range(4):
             out[f"band{b}"] = ((hs >> np.uint64(16 * b)) & np.uint64(0xFFFF)).astype(np.int64)
