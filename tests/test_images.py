@@ -46,3 +46,31 @@ def test_phash_duplicates_cluster():
     n_unique = len(set(ph))
     assert n_unique < 400  # some dups exist
     assert n_unique > 390  # but not many collisions
+
+
+def test_caption_equality_end_to_end(ray_session, tmp_path):
+    """input_hint invariant: captions survive the write/read/pipeline
+    path byte-for-byte."""
+    import ray.data
+
+    from geotools_ray.sources import images as I
+
+    t = I.generate_image_table(300, seed=42)
+    path = str(tmp_path / "imgs")
+    ray.data.from_arrow(t).write_parquet(path)
+    back = ray.data.read_parquet(path, columns=["image_id", "caption"]).to_pandas()
+    orig = t.select(["image_id", "caption"]).to_pandas()
+    merged = orig.merge(back, on="image_id", suffixes=("_a", "_b"))
+    assert len(merged) == 300
+    assert (merged["caption_a"] == merged["caption_b"]).all()
+    # and through the decode stage (caption column carried, untouched)
+    from geotools_ray.stages.imaging import decode_features_batch
+
+    out = (
+        ray.data.read_parquet(path)
+        .map_batches(decode_features_batch, batch_format="pyarrow")
+        .to_pandas()
+    )
+    m2 = orig.merge(out[["image_id", "caption"]], on="image_id")
+    assert (m2["caption_x"] == m2["caption_y"]).all()
+    assert out["verify_ok"].all()
