@@ -210,7 +210,7 @@ m AS (
          THEN 1 ELSE 0 END AS brk
   FROM segs2),
 fl AS (SELECT s, e, sum(brk) OVER (ORDER BY s, e ROWS UNBOUNDED PRECEDING) AS fid FROM m)
-SELECT fid AS flightline_id, round(min(s), {R6}) AS t_start, round(max(e), {R6}) AS t_end
+SELECT fid::BIGINT AS flightline_id, round(min(s), {R6}) AS t_start, round(max(e), {R6}) AS t_end
 FROM fl GROUP BY fid"""
 
 

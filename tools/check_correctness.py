@@ -115,6 +115,16 @@ def main():
                     problems.append(
                         f"values differ at row {i}: got={got.loc[i].to_dict()} want={want.loc[i].to_dict()}"
                     )
+                else:
+                    # equals() failed but no cell differs -> dtype drift
+                    # (e.g. int64 vs float64), which the driver's hash
+                    # compare DOES catch. Surface it instead of passing.
+                    dd = [
+                        f"{c}: got {got[c].dtype} != want {want[c].dtype}"
+                        for c in got.columns
+                        if got[c].dtype != want[c].dtype
+                    ]
+                    problems.append("dtype mismatch: " + "; ".join(dd or ["unknown"]))
         if problems:
             print(f"FAIL {name}: {'; '.join(problems)} [{dt:.1f}s]")
             n_fail += 1
