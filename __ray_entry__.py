@@ -22,6 +22,7 @@ sys.path.insert(0, os.path.dirname(os.path.abspath(__file__)))
 
 from geotools_ray import queries as Q  # noqa: E402
 from geotools_ray import queries_ops as QO  # noqa: E402
+from geotools_ray import queries_raster_sql as QR  # noqa: E402
 from geotools_ray import queries_text as QT  # noqa: E402
 
 
@@ -140,6 +141,13 @@ def queries() -> dict[str, Callable[[str], Any]]:
         "spill_points": QO.q_spill_points,
         "tin_interp": QO.q_tin_interp,
         "bbox_pruned": QO.q_bbox_pruned,
+        # round-2 additions: O5 minima, M9 edge detection, W7 boundary
+        # cells, M6 vector pin, R5 natural neighbour
+        "minima": QO.q_minima,
+        "detect_edges": QO.q_detect_edges,
+        "boundary_cells": QO.q_boundary_cells,
+        "datum_vectors": QO.q_datum_vectors,
+        "natural_neighbour": QO.q_natural_neighbour,
     }
     qs.update(_image_queries())
     return qs
@@ -180,6 +188,20 @@ def oracle_sql() -> dict[str, str]:
         "bbox_pruned": QO.SQL_BBOX_PRUNED,
         "knn_cellring": Q.SQL_KNN,
         "range_join_cells": Q.SQL_RANGE_JOIN,
+        # round-2 raster-family oracles (queries_raster_sql)
+        "raster_smooth": QR.SQL_RASTER_SMOOTH,
+        "treetops": QR.SQL_TREETOPS,
+        "minima": QR.SQL_MINIMA,
+        "flood_basins": QR.SQL_FLOOD_BASINS,
+        "flood_sweep": QR.SQL_FLOOD_SWEEP,
+        "mosaic": QR.SQL_MOSAIC,
+        "void_fill": QR.SQL_VOID_FILL,
+        "spectral": QR.SQL_SPECTRAL,
+        "raster_diff": QR.SQL_RASTER_DIFF,
+        "planar_fit": QR.SQL_PLANAR_FIT,
+        "rastfit": QR.SQL_RASTFIT,
+        "boundary_cells": QR.SQL_BOUNDARY_CELLS,
+        "datum_vectors": QR.SQL_DATUM_VECTORS,
         # img_* queries: non-SQL-expressible (synthetic binary input) ->
         # rows-only driver check; pixel/caption invariants live in tests/
     }

@@ -113,11 +113,11 @@ def cmd_merge(args):
 
 
 def cmd_transform(args):
-    from .ops.datum import datum_transform
+    from .ops.datum import DEFAULT_SHARE, datum_transform
 
     out = datum_transform(
         _read(args), args.frame, args.efrom, args.eto, args.from_epsg, args.to_epsg,
-        share_dir=args.share_dir,
+        share_dir=args.share_dir or DEFAULT_SHARE,
     )
     _write(out, args)
 
@@ -212,7 +212,7 @@ def main(argv=None):
     sp.add_argument("--eto", type=float, required=True)
     sp.add_argument("--from-epsg", type=int, required=True)
     sp.add_argument("--to-epsg", type=int, required=True)
-    sp.add_argument("--share-dir", default="/root/reference/share")
+    sp.add_argument("--share-dir", default=None)
     sp.set_defaults(fn=cmd_transform)
 
     sp = sub.add_parser("normalize", help="pointnormalize: height above ground")

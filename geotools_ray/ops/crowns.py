@@ -87,18 +87,16 @@ def crown_growth_tiles(
 # ---------------------------------------------------------------------------
 # W7 boundary
 
-def boundary_edges(
+def _edge_cells(
     points: ray.data.Dataset,
     res: float,
-    max_len: float = 10.0,
     class_filter: frozenset | None = None,
-) -> pd.DataFrame:
-    """-> DataFrame of Delaunay edges (x0, y0, x1, y1, length) between
-    edge cells of the occupancy grid — the multiline boundary."""
+):
+    """Distributed occupancy (groupby count) -> edge cells of the grid
+    (fullNeighbours complement, src/lasboundary.cpp:85-99).
+    -> (edge list of (col, row), bounds)."""
     from ray.data.aggregate import Count
 
-    from ..kernels.delaunay import delaunay
-    from ..kernels.grid import Bounds
     from ..ops.gridstats import compute_bounds
 
     b = compute_bounds(points, res)
@@ -125,8 +123,36 @@ def boundary_edges(
     occ = np.zeros((rows, cols), dtype=bool)
     cid = occ_cells["cell"].to_numpy()
     occ[cid // cols, cid % cols] = True
+    return KR.edge_cells_boundary(occ), b
 
-    edge = KR.edge_cells_boundary(occ)
+
+def boundary_cells(
+    points: ray.data.Dataset,
+    res: float,
+    class_filter: frozenset | None = None,
+) -> pd.DataFrame:
+    """-> DataFrame (col, row) of the occupancy grid's edge cells —
+    the oracle-checkable distributed half of lasboundary."""
+    edge, _ = _edge_cells(points, res, class_filter)
+    return pd.DataFrame(
+        {
+            "col": np.array([c for c, _ in edge], dtype=np.int64),
+            "row": np.array([r for _, r in edge], dtype=np.int64),
+        }
+    )
+
+
+def boundary_edges(
+    points: ray.data.Dataset,
+    res: float,
+    max_len: float = 10.0,
+    class_filter: frozenset | None = None,
+) -> pd.DataFrame:
+    """-> DataFrame of Delaunay edges (x0, y0, x1, y1, length) between
+    edge cells of the occupancy grid — the multiline boundary."""
+    from ..kernels.delaunay import delaunay
+
+    edge, b = _edge_cells(points, res, class_filter)
     if len(edge) < 3:
         return pd.DataFrame(columns=["x0", "y0", "x1", "y1", "length"])
     # centroid coords per the reference quirk: y uses - res/2

@@ -6,13 +6,19 @@ in __init__; __call__ runs the vectorized transform chain per batch
 
 from __future__ import annotations
 
+import os
+
 import numpy as np
 import pyarrow as pa
 import ray.data
 
 from ..kernels.transform import ShiftGrid, load_helmert, transform_points
 
-DEFAULT_SHARE = "/root/reference/share"
+# vendored public datum data (NRCan NAD83v6VG velocity grid + IERS
+# ITRF Helmert table) lives in-repo under share/
+DEFAULT_SHARE = os.path.join(
+    os.path.dirname(os.path.dirname(os.path.dirname(os.path.abspath(__file__)))), "share"
+)
 
 
 class DatumTransformStage:

@@ -67,25 +67,25 @@ def rastfit_correction(
     reference: np.ndarray,
     n_samples: int = 100,
     method: str = "idw",
-    seed: int = 7,
     nodata: float = KR.NODATA,
 ) -> np.ndarray:
     """R7: sample diffs at deterministic cells where BOTH rasters are
-    valid (O4 mask sampling, src/rastfit.cpp:86-119), fit/interpolate
-    the correction surface with the chosen interpolator, return
-    adjust - correction."""
+    valid (O4 hash sampling — rank valid cells by the multiplicative
+    hash of their row-major index, take the first n; SQL-reproducible,
+    src/rastfit.cpp:86-119), fit/interpolate the correction surface
+    with the chosen interpolator, return adjust - correction."""
     import ray
 
-    from .interp import avg_at, idw_at, kriging_at, planar_at
+    from .interp import avg_at, idw_at, kriging_at, natural_neighbour_at, planar_at
 
     h, w = adjust.shape
     valid = (adjust != nodata) & (reference != nodata)
     rs, cs = np.nonzero(valid)
     if len(rs) == 0:
         return adjust.copy()
-    rng = np.random.RandomState(seed)
-    pick = rng.choice(len(rs), size=min(n_samples, len(rs)), replace=False)
-    pick.sort()
+    idx = rs.astype(np.int64) * w + cs.astype(np.int64)
+    order = np.lexsort((idx, (idx * 2654435761) % 4294967296))
+    pick = order[: min(n_samples, len(rs))]
     sr, sc = rs[pick], cs[pick]
     diffs = adjust[sr, sc] - reference[sr, sc]
     samples = pa.table(
@@ -96,9 +96,12 @@ def rastfit_correction(
     targets = ray.data.from_arrow(
         pa.table({"i": np.arange(len(tr)), "cx": tc.astype(np.float64), "cy": tr.astype(np.float64)})
     )
-    fn = {"idw": idw_at, "avg": avg_at, "planar": planar_at, "kriging": kriging_at}[method]
-    out_col = {"idw": "idw_z", "avg": "avg_z", "planar": "plane_z", "kriging": "krige_z"}[method]
-    res = fn(targets, samples).to_pandas().sort_values("i")
+    fn = {"idw": idw_at, "avg": avg_at, "planar": planar_at, "kriging": kriging_at,
+          "nn": natural_neighbour_at}[method]
+    out_col = {"idw": "idw_z", "avg": "avg_z", "planar": "plane_z", "kriging": "krige_z",
+               "nn": "nn_z"}[method]
+    kw = {"exact_hits": True} if method == "idw" else {}
+    res = fn(targets, samples, **kw).to_pandas().sort_values("i")
     corrected = adjust.copy()
     corrected[tr, tc] = adjust[tr, tc] - res[out_col].to_numpy()
     return corrected

@@ -45,10 +45,14 @@ def idw_at(
     x_col: str = "cx",
     y_col: str = "cy",
     out_col: str = "idw_z",
+    exact_hits: bool = False,
 ) -> ray.data.Dataset:
     """IDW value at each target row's (x_col, y_col): weights are
     1/(d2^exponent) with d2 the SQUARED distance; neighbours=0 -> all
-    samples, else the k nearest (ranked by d2)."""
+    samples, else the k nearest (ranked by d2). exact_hits=True makes
+    a target coincident with a sample take that sample's value (the
+    1/0 weight would otherwise produce inf/nan — used by rastfit where
+    sample cells ARE target cells)."""
     ref = _broadcast_samples(samples)
 
     def fn(t: pa.Table) -> pa.Table:
@@ -58,18 +62,148 @@ def idw_at(
         dx = x[:, None] - s["x"][None, :]
         dy = y[:, None] - s["y"][None, :]
         d2 = dx * dx + dy * dy
-        w = 1.0 / np.power(d2, exponent)
-        if neighbours and neighbours < len(s["x"]):
-            # keep only the k nearest per target; stable sort ties on
-            # sample position so SQL row_number oracles match
-            idx = np.argsort(d2, axis=1, kind="stable")[:, :neighbours]
-            rows = np.arange(len(x))[:, None]
-            z = np.sum(s["z"][idx] * w[rows, idx], axis=1) / np.sum(w[rows, idx], axis=1)
-        else:
-            z = (w @ s["z"]) / w.sum(axis=1)
+        with np.errstate(divide="ignore", invalid="ignore"):
+            w = 1.0 / np.power(d2, exponent)
+            if neighbours and neighbours < len(s["x"]):
+                # keep only the k nearest per target; stable sort ties on
+                # sample position so SQL row_number oracles match
+                idx = np.argsort(d2, axis=1, kind="stable")[:, :neighbours]
+                rows = np.arange(len(x))[:, None]
+                z = np.sum(s["z"][idx] * w[rows, idx], axis=1) / np.sum(w[rows, idx], axis=1)
+            else:
+                z = (w @ s["z"]) / w.sum(axis=1)
+        if exact_hits:
+            hit_t, hit_s = np.nonzero(d2 == 0.0)
+            z[hit_t] = s["z"][hit_s]
         return t.append_column(out_col, pa.array(z))
 
     return targets.map_batches(fn, batch_format="pyarrow")
+
+
+def natural_neighbour_at(
+    targets: ray.data.Dataset,
+    samples: pa.Table,
+    x_col: str = "cx",
+    y_col: str = "cy",
+    out_col: str = "nn_z",
+) -> ray.data.Dataset:
+    """R5 natural-neighbour (Sibson) interpolation — the area-stealing
+    weights of src/interp/Interpolators.cpp:526-700: inserting the
+    target into the samples' Voronoi diagram steals area from its
+    neighbours; weight_i = stolen_area_i / total_stolen.
+
+    Implemented per target by clipping half-planes (the Voronoi cell
+    of the target w.r.t. all samples, then the pre/post areas of each
+    neighbour's cell) inside a bounded box. Targets coincident with a
+    sample take its value; targets outside the samples' hull fall back
+    to nearest-sample (the reference returns nodata there — callers
+    that need parity mask by hull membership first)."""
+    ref = _broadcast_samples(samples)
+
+    def fn(t: pa.Table) -> pa.Table:
+        s = ray.get(ref)
+        sx, sy, sz = s["x"], s["y"], s["z"]
+        x = t[x_col].to_numpy(zero_copy_only=False)
+        y = t[y_col].to_numpy(zero_copy_only=False)
+        pad = 4.0 * (max(sx.max() - sx.min(), sy.max() - sy.min()) + 1.0)
+        # target-independent: each sample's original Voronoi cell area,
+        # computed once per actor batch
+        pre = np.array(
+            [
+                _poly_area(
+                    _voronoi_cell(
+                        sx[j], sy[j],
+                        np.concatenate([sx[:j], sx[j + 1 :]]),
+                        np.concatenate([sy[:j], sy[j + 1 :]]),
+                        pad,
+                    )
+                )
+                for j in range(len(sx))
+            ]
+        )
+        out = np.empty(len(x))
+        for i in range(len(x)):
+            out[i] = _sibson_value(x[i], y[i], sx, sy, sz, pad, pre)
+        return t.append_column(out_col, pa.array(out))
+
+    return targets.map_batches(fn, batch_format="pyarrow")
+
+
+def _clip_halfplane(poly: np.ndarray, a: float, b: float, c: float) -> np.ndarray:
+    """Sutherland–Hodgman clip of polygon (N,2) to a*x + b*y <= c."""
+    if len(poly) == 0:
+        return poly
+    vals = a * poly[:, 0] + b * poly[:, 1] - c
+    keep = vals <= 1e-12
+    out = []
+    n = len(poly)
+    for i in range(n):
+        j = (i + 1) % n
+        if keep[i]:
+            out.append(poly[i])
+        if keep[i] != keep[j]:
+            frac = vals[i] / (vals[i] - vals[j])
+            out.append(poly[i] + frac * (poly[j] - poly[i]))
+    return np.asarray(out) if out else np.empty((0, 2))
+
+
+def _voronoi_cell(px: float, py: float, qx: np.ndarray, qy: np.ndarray, pad: float) -> np.ndarray:
+    """Voronoi cell of (px, py) vs sites (qx, qy), clipped to a big box."""
+    poly = np.array(
+        [[px - pad, py - pad], [px + pad, py - pad], [px + pad, py + pad], [px - pad, py + pad]]
+    )
+    # nearest-first ordering prunes faster
+    order = np.argsort((qx - px) ** 2 + (qy - py) ** 2, kind="stable")
+    for k in order:
+        ax, ay = qx[k] - px, qy[k] - py
+        c = (qx[k] ** 2 - px**2 + qy[k] ** 2 - py**2) / 2.0
+        poly = _clip_halfplane(poly, ax, ay, c)
+        if len(poly) == 0:
+            break
+    return poly
+
+
+def _poly_area(poly: np.ndarray) -> float:
+    if len(poly) < 3:
+        return 0.0
+    x, y = poly[:, 0], poly[:, 1]
+    return 0.5 * abs(float(np.dot(x, np.roll(y, -1)) - np.dot(np.roll(x, -1), y)))
+
+
+def _sibson_value(tx, ty, sx, sy, sz, pad, pre_areas) -> float:
+    d2 = (sx - tx) ** 2 + (sy - ty) ** 2
+    hit = np.nonzero(d2 == 0.0)[0]
+    if len(hit):
+        return float(sz[hit[0]])
+    # target's Voronoi cell among the samples
+    tcell = _voronoi_cell(tx, ty, sx, sy, pad)
+    tarea = _poly_area(tcell)
+    if tarea <= 0.0:
+        j = int(np.argmin(d2))
+        return float(sz[j])
+    # candidate neighbours: samples whose cell the target's cell touches
+    # (bounded by the cell's bbox + margin)
+    minx, miny = tcell.min(axis=0)
+    maxx, maxy = tcell.max(axis=0)
+    r2 = max(maxx - tx, tx - minx, maxy - ty, ty - miny) ** 2 * 16.0 + 1.0
+    cand = np.nonzero(d2 <= r2)[0]
+    wsum = 0.0
+    zsum = 0.0
+    for j in cand:
+        # area of sample j's cell before/after inserting the target
+        ox = np.concatenate([sx[:j], sx[j + 1 :]])
+        oy = np.concatenate([sy[:j], sy[j + 1 :]])
+        post = _poly_area(
+            _voronoi_cell(sx[j], sy[j], np.append(ox, tx), np.append(oy, ty), pad)
+        )
+        stolen = max(pre_areas[j] - post, 0.0)
+        if stolen > 0.0:
+            wsum += stolen
+            zsum += stolen * sz[j]
+    if wsum <= 0.0:
+        j = int(np.argmin(d2))
+        return float(sz[j])
+    return zsum / wsum
 
 
 def avg_at(
@@ -106,10 +240,26 @@ def planar_fit_params(samples: pa.Table, sx="sx", sy="sy", sz="sz"):
     x = samples[sx].to_numpy(zero_copy_only=False).astype(np.float64)
     y = samples[sy].to_numpy(zero_copy_only=False).astype(np.float64)
     z = samples[sz].to_numpy(zero_copy_only=False).astype(np.float64)
-    cx, cy = x.mean(), y.mean()
-    A = np.column_stack([x - cx, y - cy, np.ones(len(x))])
-    params, *_ = np.linalg.lstsq(A, z, rcond=None)
-    return float(params[0]), float(params[1]), float(params[2]), float(cx), float(cy)
+    cx, cy, cz = x.mean(), y.mean(), z.mean()
+    # closed-form normal equations over centered coords (the 2x2
+    # Cramer solve a C++ implementation of a 3-param plane fit does) —
+    # chosen over np.linalg.lstsq so the SQL oracle's identical
+    # expressions reproduce the same doubles
+    dx, dy, dz = x - cx, y - cy, z - cz
+    sxx = float(np.sum(dx * dx))
+    sxy = float(np.sum(dx * dy))
+    syy = float(np.sum(dy * dy))
+    sxz = float(np.sum(dx * dz))
+    syz = float(np.sum(dy * dz))
+    det = sxx * syy - sxy * sxy
+    # degenerate (collinear) sample sets: fall back to the horizontal
+    # mean plane — same guard in the SQL oracle
+    if abs(det) < 1e-9 * max(sxx * syy, 1.0):
+        a = b = 0.0
+    else:
+        a = (sxz * syy - syz * sxy) / det
+        b = (sxx * syz - sxy * sxz) / det
+    return float(a), float(b), float(cz), float(cx), float(cy)
 
 
 def planar_at(

@@ -508,21 +508,28 @@ def q_boundary(sf_dir: str):
 
 
 def q_spectral(sf_dir: str):
-    """J5: crown-id raster ⋈ mean raster by pixel."""
+    """J5: index raster (cell_id+1 where count >= 20 — an oracle-
+    checkable deterministic labeling) ⋈ mean raster by pixel."""
     import pyarrow as pa
 
-    from .kernels.raster import local_maxima, smooth
-    from .kernels.raster import crown_growth
     from .ops.raster import grid_to_tiles
     from .ops.spectral import spectral_extract
+    from .queries_raster_sql import SPECTRAL_MIN_N
 
-    grid, b = _mean_grid(sf_dir)
-    sm = smooth(grid, 1.0, 3)
-    tops_list = local_maxima(sm, window=3, min_height=20.0)
-    tops = sorted((i + 1, c, r, float(sm[r, c])) for i, (c, r, _) in enumerate(tops_list))
-    ids = crown_growth(sm, tops, 5.0, 0.5, 4.0)
-    idx = np.where(ids > 0, ids.astype(np.float64), -9999.0)
-    H, W = sm.shape
+    pts = tpch.read_points(sf_dir)
+    res = 2.0
+    b = compute_bounds(pts, res)
+    stats = grid_stats(pts, GridConfig(res=res, bounds=b, stats=("mean", "count"))).to_pandas()
+    cols = b.cols(res)
+    rows = b.rows(res)
+    grid = np.full(cols * rows, -9999.0)
+    grid[stats["cell_id"].to_numpy()] = stats["mean"].to_numpy()
+    grid = grid.reshape(rows, cols)
+    idx = np.full(cols * rows, -9999.0)
+    sel = stats[stats["count"] >= SPECTRAL_MIN_N]
+    idx[sel["cell_id"].to_numpy()] = sel["cell_id"].to_numpy() + 1.0
+    idx = idx.reshape(rows, cols)
+    H, W = grid.shape
     it = ray.data.from_arrow(grid_to_tiles(idx, 16))
     bt = ray.data.from_arrow(grid_to_tiles(grid, 16))
     out = spectral_extract(it, bt, 16, res=2.0, minx=b.minx, miny=b.miny)
@@ -639,6 +646,134 @@ def q_ann_ivf(sf_dir: str):
     vecs = ray.data.read_parquet(f"{sf_dir}/embeddings.parquet", columns=["vec_id", "embedding"])
     out = ivf_topk(vecs, Q, qids, k=10, nlist=8, nprobe=3)
     return out[["q_id", "vec_id", "rank"]] if hasattr(out, "__getitem__") else out.select_columns(["q_id", "vec_id", "rank"])
+
+
+def q_minima(sf_dir: str):
+    """O5 flood seed minima over the mean-z raster (oracle-checked)."""
+    from .ops.raster import grid_to_tiles, minima_tiles
+
+    grid, b = _mean_grid(sf_dir)
+    H, W = grid.shape
+    tiles = ray.data.from_arrow(grid_to_tiles(grid, 16))
+    out = minima_tiles(tiles, H=H, W=W, tile=16, num_parts=8)
+
+    def fin(df: pd.DataFrame) -> pd.DataFrame:
+        df = df.copy()
+        df["z"] = _round_away(df["z"].to_numpy(), 4)
+        return df
+
+    return out.map_batches(fin, batch_format="pandas")
+
+
+def q_detect_edges(sf_dir: str):
+    """M9 flight-line turn detection (two-queue scan) — per-file
+    rollup of reclassed counts (rows-only; the scan is inherently
+    sequential per file and not SQL-expressible)."""
+    from .ops.flightline import detect_edges
+
+    pts = tpch.read_points(sf_dir)
+
+    def prep(t: pa.Table) -> pa.Table:
+        sk = t["l_orderkey"].to_numpy(zero_copy_only=False).astype(np.int64)
+        ln = t["l_linenumber"].to_numpy(zero_copy_only=False).astype(np.int64)
+        return pa.table(
+            {
+                "file": sk % 5,
+                "gps_time": (sk * 7 + ln).astype(np.float64) / 100.0,
+                "x": t["x"],
+                "y": t["y"],
+                "cls": t["cls"],
+            }
+        )
+
+    prepped = pts.map_batches(prep, batch_format="pyarrow")
+    out = detect_edges(prepped, "file", order_cols=("x", "y"))
+
+    def rollup(df: pd.DataFrame) -> pd.DataFrame:
+        g = df.groupby("file", sort=False)
+        return pd.DataFrame(
+            {
+                "file": list(g.groups.keys()),
+                "n_turn": g["cls"].apply(lambda c: int((c == 31).sum())).to_numpy(np.int64),
+                "n_total": g.size().to_numpy(np.int64),
+            }
+        )
+
+    from .stages.grouped import grouped_map
+
+    return grouped_map(out, ["file"], rollup)
+
+
+def q_boundary_cells(sf_dir: str):
+    """W7 boundary edge cells (the distributed occupancy + edge-cell
+    part of lasboundary — oracle-checked; the Delaunay multiline over
+    them is q_boundary, rows-only)."""
+    from .ops.crowns import boundary_cells
+
+    pts = tpch.read_points(sf_dir)
+    return boundary_cells(pts, res=5.0)
+
+
+def q_datum_vectors(sf_dir: str):
+    """M6 parity pin: transform the 11 published las2csrs vectors
+    (reference tests/_test_las2csrs.py:31-45); oracle pins the outputs
+    at 3 decimals (each verified < 0.52 mm from published values)."""
+    from .kernels.transform import ShiftGrid, load_helmert, transform_points
+    from .ops.datum import DEFAULT_SHARE
+
+    vectors = [
+        ("itrf88", 1986.0, 2011.0, 26912, 2956, 470000.000, 6520000.000, 200.000),
+        ("itrf89", 1992.0, 2002.0, 26910, 3157, 211704.236, 5617008.921, 53.000),
+        ("itrf90", 1990.0, 2001.0, 32611, 2955, 467473.356, 6430442.112, 981.230),
+        ("itrf91", 1986.0, 2011.0, 26912, 2956, 470000.000, 6520000.000, 200.000),
+        ("itrf92", 1992.0, 2002.0, 26910, 3157, 211704.236, 5617008.921, 53.000),
+        ("itrf93", 1990.0, 2001.0, 32611, 2955, 467473.356, 6430442.112, 981.230),
+        ("itrf94", 1986.0, 2011.0, 26912, 2956, 470000.000, 6520000.000, 200.000),
+        ("itrf96", 1992.0, 2002.0, 26910, 3157, 211705.325, 5617008.251, 53.000),
+        ("itrf97", 1990.0, 2001.0, 32611, 2955, 467473.356, 6430442.112, 981.230),
+        ("itrf2000", 1986.0, 2011.0, 26912, 2956, 470000.000, 6520000.000, 200.000),
+        ("nad83csrs", 1992.0, 2002.0, 26910, 3157, 211704.236, 5617008.921, 53.000),
+    ]
+    sg = ShiftGrid.from_tif(f"{DEFAULT_SHARE}/NAD83v6VG.tif")
+    rows = []
+    for i, (frame, efrom, eto, fs, ts, x0, y0, z0) in enumerate(vectors):
+        hp = load_helmert(f"{DEFAULT_SHARE}/itrf.csv", frame)
+        ox, oy, oz = transform_points(
+            np.array([x0]), np.array([y0]), np.array([z0]),
+            frame, efrom, eto, fs, ts, hp, sg,
+        )
+        rows.append(
+            {
+                "case_id": np.int64(i),
+                "x": float(_round_away(ox[0], 3)),
+                "y": float(_round_away(oy[0], 3)),
+                "z": float(_round_away(oz[0], 3)),
+            }
+        )
+    return pd.DataFrame(rows)
+
+
+def q_natural_neighbour(sf_dir: str):
+    """R5 Sibson natural-neighbour interpolation of sample z at cell
+    centroids (rows-only — Voronoi area-stealing is not SQL-
+    expressible; linear-precision + exactness are pytest-verified)."""
+    from .ops.interp import natural_neighbour_at
+
+    pts = tpch.read_points(sf_dir)
+    b = compute_bounds(pts, RES)
+    targets = ray.data.from_arrow(_all_cells_table(b, RES))
+    smp = tpch.read_samples_table(sf_dir)
+    out = natural_neighbour_at(targets, smp)
+
+    def fin(t: pa.Table) -> pa.Table:
+        return pa.table(
+            {
+                "cell_id": t["cell_id"].to_numpy(zero_copy_only=False),
+                "nn_z": _round_away(t["nn_z"].to_numpy(zero_copy_only=False), 4),
+            }
+        )
+
+    return out.map_batches(fin, batch_format="pyarrow")
 
 
 def q_spill_points(sf_dir: str):

@@ -7,7 +7,7 @@ shift grid) lands within 0.52 mm on every axis of every case."""
 import numpy as np
 import pytest
 
-SHARE = "/root/reference/share"
+from geotools_ray.ops.datum import DEFAULT_SHARE as SHARE
 
 VECTORS = [
     ("itrf88", 1986.0, 2011.0, 26912, 2956, 470000.000, 6520000.000, 200.000, 470000.800, 6519999.074, 200.431),

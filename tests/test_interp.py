@@ -147,3 +147,54 @@ def test_variogram_fit_recovers_structure():
     sz = rng.standard_normal(n)
     nug, sill, r = fit_variogram(sx, sy, sz)
     assert sill == pytest.approx(np.var(sz), rel=0.5)
+
+
+# ---------------------------------------------------------------------------
+# R5 natural neighbour (Sibson)
+
+def _nn_eval(tx, ty, sx, sy, sz):
+    import pyarrow as pa
+    import ray.data
+
+    from geotools_ray.ops.interp import natural_neighbour_at
+
+    targets = ray.data.from_arrow(
+        pa.table({"i": np.arange(len(tx)), "cx": tx, "cy": ty})
+    )
+    smp = pa.table({"sx": sx, "sy": sy, "sz": sz})
+    df = natural_neighbour_at(targets, smp).to_pandas().sort_values("i")
+    return df["nn_z"].to_numpy()
+
+
+def test_natural_neighbour_exact_at_samples():
+    rng = np.random.RandomState(3)
+    sx = rng.uniform(0, 10, 25)
+    sy = rng.uniform(0, 10, 25)
+    sz = rng.uniform(-5, 5, 25)
+    out = _nn_eval(sx[:5], sy[:5], sx, sy, sz)
+    assert np.allclose(out, sz[:5], atol=1e-12)
+
+
+def test_natural_neighbour_linear_precision():
+    """Sibson interpolation reproduces linear fields exactly inside
+    the hull (the defining property of natural-neighbour weights)."""
+    rng = np.random.RandomState(4)
+    sx = rng.uniform(0, 10, 40)
+    sy = rng.uniform(0, 10, 40)
+    sz = 2.0 * sx - 3.0 * sy + 7.0
+    tx = rng.uniform(3, 7, 10)
+    ty = rng.uniform(3, 7, 10)
+    out = _nn_eval(tx, ty, sx, sy, sz)
+    want = 2.0 * tx - 3.0 * ty + 7.0
+    assert np.max(np.abs(out - want)) < 1e-6
+
+
+def test_natural_neighbour_convex_combination():
+    rng = np.random.RandomState(5)
+    sx = rng.uniform(0, 10, 30)
+    sy = rng.uniform(0, 10, 30)
+    sz = rng.uniform(0, 100, 30)
+    tx = rng.uniform(2, 8, 8)
+    ty = rng.uniform(2, 8, 8)
+    out = _nn_eval(tx, ty, sx, sy, sz)
+    assert np.all(out >= sz.min() - 1e-9) and np.all(out <= sz.max() + 1e-9)
