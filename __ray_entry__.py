@@ -22,6 +22,7 @@ sys.path.insert(0, os.path.dirname(os.path.abspath(__file__)))
 
 from geotools_ray import queries as Q  # noqa: E402
 from geotools_ray import queries_ops as QO  # noqa: E402
+from geotools_ray import queries_dedup_sql as QD  # noqa: E402
 from geotools_ray import queries_raster_sql as QR  # noqa: E402
 from geotools_ray import queries_text as QT  # noqa: E402
 
@@ -202,6 +203,10 @@ def oracle_sql() -> dict[str, str]:
         "rastfit": QR.SQL_RASTFIT,
         "boundary_cells": QR.SQL_BOUNDARY_CELLS,
         "datum_vectors": QR.SQL_DATUM_VECTORS,
+        # round-2 dedup-family oracles (queries_dedup_sql)
+        "ngram_pairs": QD.SQL_NGRAM_PAIRS,
+        "minhash_dedup": QD.SQL_MINHASH_DEDUP,
+        "simhash_pairs": QD.SQL_SIMHASH_PAIRS,
         # img_* queries: non-SQL-expressible (synthetic binary input) ->
         # rows-only driver check; pixel/caption invariants live in tests/
     }

@@ -4,15 +4,20 @@ near-dup family):
 - exact_dedup: hash-partitioned keep-first (grouped_map, one shuffle)
 - minhash_lsh_dedup: shingle -> minhash signature per doc (map_batches)
   -> explode to (band, band_hash) rows -> grouped_map bucket ->
-  candidate pairs -> Jaccard verify -> connected components via
-  iterative min-label propagation (bounded rounds, no driver union
-  over raw pairs until they are verified-few)
-- simhash_dedup: 64-bit simhash, candidate pairs by banded bit chunks,
-  verified by Hamming distance
-- ngram_jaccard_pairs: word n-gram Jaccard over candidate buckets
+  candidate pairs -> shuffle-join Jaccard verify -> DISTRIBUTED
+  connected components (hash-min + pointer jumping, O(log d) rounds)
+- simhash_pairs: 64-bit simhash, exhaustive banding (max_hamming+1
+  bands => pigeonhole-complete recall), vectorized XOR+popcount
+  verify — emits EXACTLY the pairs with hamming <= max_hamming
+- ngram_jaccard_pairs: EXACT all-pairs word-n-gram Jaccard >=
+  threshold: candidates = pairs sharing >= 1 shingle (a superset of
+  every pair with jaccard > 0), verified by exact Jaccard — the
+  whole op is SQL-expressible and oracle-checked
 
-All deterministic; each has a queries() entry (rows-only — not
-SQL-expressible) plus unit tests with planted duplicates.
+Nothing materializes the corpus on the driver: texts are reduced to
+per-doc shingle-hash sets once (map_batches), pair<->set joins run as
+grouped_map shuffle joins on id buckets, and CC labels only ever move
+through grouped shuffles + a tiny changed-count aggregate.
 """
 
 from __future__ import annotations
@@ -24,6 +29,14 @@ import ray.data
 
 from ..kernels import text as T
 from ..stages.grouped import grouped_map
+
+# popcount LUT for uint8 (numpy 1.26 has no bitwise_count)
+_POP8 = np.array([bin(i).count("1") for i in range(256)], dtype=np.uint8)
+
+
+def _popcount64(x: np.ndarray) -> np.ndarray:
+    """Vectorized popcount of a uint64 array."""
+    return _POP8[x.view(np.uint8).reshape(len(x), 8)].sum(axis=1).astype(np.int64)
 
 
 def exact_dedup(ds: ray.data.Dataset, key_cols: list[str], order_col: str,
@@ -37,7 +50,258 @@ def exact_dedup(ds: ray.data.Dataset, key_cols: list[str], order_col: str,
 
 
 # ---------------------------------------------------------------------------
-# MinHash + LSH
+# per-doc shingle-hash sets (the join payload replacing raw texts)
+
+def shingle_sets(
+    docs: ray.data.Dataset,
+    text_col: str = "text",
+    id_col: str = "doc_id",
+    shingle_k: int = 3,
+) -> ray.data.Dataset:
+    """-> (doc_id, sh: list<int64>) — sorted distinct FNV64 hashes of
+    the word-k-shingles. Jaccard over these equals Jaccard over the
+    shingle strings (64-bit collisions are ~1e-10 at corpus scale)."""
+
+    def fn(t: pa.Table) -> pa.Table:
+        ids = t[id_col].to_numpy(zero_copy_only=False)
+        sets = []
+        for s in t[text_col].to_pylist():
+            sh = T.shingles(s, shingle_k)
+            if sh:
+                hs = np.unique(T.stable_hash64_array(sorted(sh)).astype(np.int64))
+            else:
+                hs = np.empty(0, dtype=np.int64)
+            sets.append(hs)
+        return pa.table(
+            {id_col: ids, "sh": pa.array([h.tolist() for h in sets], pa.list_(pa.int64()))}
+        )
+
+    return docs.map_batches(fn, batch_format="pyarrow")
+
+
+def verify_jaccard(
+    pairs: ray.data.Dataset,
+    docs: ray.data.Dataset,
+    threshold: float,
+    text_col: str = "text",
+    id_col: str = "doc_id",
+    shingle_k: int = 3,
+    sets: ray.data.Dataset | None = None,
+) -> ray.data.Dataset:
+    """Exact-Jaccard verify as a shuffle join on doc id: each pair
+    explodes into two (key=id) rows, one grouped_map co-locates them
+    with the per-doc shingle-hash sets, a second grouped_map regroups
+    the two halves of each pair and applies the threshold. The corpus
+    never lands on the driver."""
+    if sets is None:
+        sets = shingle_sets(docs, text_col, id_col, shingle_k)
+
+    EMPTY = np.empty(0, dtype=np.int64)
+
+    def explode_pairs(t: pa.Table) -> pa.Table:
+        a = t["id_a"].to_numpy(zero_copy_only=False).astype(np.int64)
+        b = t["id_b"].to_numpy(zero_copy_only=False).astype(np.int64)
+        n = len(a)
+        return pa.table(
+            {
+                "key": np.concatenate([a, b]),
+                "id_a": np.concatenate([a, a]),
+                "id_b": np.concatenate([b, b]),
+                "side": np.concatenate(
+                    [np.zeros(n, dtype=np.int64), np.ones(n, dtype=np.int64)]
+                ),
+                "sh": pa.array([[]] * (2 * n), pa.list_(pa.int64())),
+            }
+        )
+
+    def tag_sets(t: pa.Table) -> pa.Table:
+        ids = t[id_col].to_numpy(zero_copy_only=False).astype(np.int64)
+        return pa.table(
+            {
+                "key": ids,
+                "id_a": np.full(len(ids), -1, dtype=np.int64),
+                "id_b": np.full(len(ids), -1, dtype=np.int64),
+                "side": np.full(len(ids), -1, dtype=np.int64),
+                "sh": t["sh"],
+            }
+        )
+
+    u = pairs.map_batches(explode_pairs, batch_format="pyarrow").union(
+        sets.map_batches(tag_sets, batch_format="pyarrow")
+    )
+
+    def attach(df: pd.DataFrame) -> pd.DataFrame:
+        out = []
+        for _, g in df.groupby("key", sort=False):
+            srows = g[g["side"] < 0]
+            prows = g[g["side"] >= 0]
+            if not len(prows):
+                continue
+            val = srows["sh"].iloc[0] if len(srows) else EMPTY
+            prows = prows.copy()
+            prows["sh"] = [val] * len(prows)
+            out.append(prows[["id_a", "id_b", "side", "sh"]])
+        if not out:
+            return pd.DataFrame(
+                {"id_a": pd.Series(dtype=np.int64), "id_b": pd.Series(dtype=np.int64),
+                 "side": pd.Series(dtype=np.int64), "sh": pd.Series(dtype=object)}
+            )
+        return pd.concat(out)
+
+    halves = grouped_map(u, ["key"], attach)
+
+    def jac(df: pd.DataFrame) -> pd.DataFrame:
+        out_a, out_b, out_j = [], [], []
+        for (ia, ib), g in df.groupby(["id_a", "id_b"], sort=False):
+            ga = g[g["side"] == 0]
+            gb = g[g["side"] == 1]
+            if not len(ga) or not len(gb):
+                continue
+            sa = np.asarray(ga["sh"].iloc[0], dtype=np.int64)
+            sb = np.asarray(gb["sh"].iloc[0], dtype=np.int64)
+            if len(sa) == 0 and len(sb) == 0:
+                j = 1.0
+            else:
+                inter = len(np.intersect1d(sa, sb, assume_unique=True))
+                j = inter / (len(sa) + len(sb) - inter)
+            if j >= threshold:
+                out_a.append(ia)
+                out_b.append(ib)
+                out_j.append(j)
+        return pd.DataFrame(
+            {"id_a": np.array(out_a, dtype=np.int64),
+             "id_b": np.array(out_b, dtype=np.int64),
+             "jaccard": np.array(out_j, dtype=np.float64)}
+        )
+
+    return grouped_map(halves, ["id_a", "id_b"], jac)
+
+
+# ---------------------------------------------------------------------------
+# distributed connected components (hash-min + pointer jumping)
+
+def connected_components(pairs: ray.data.Dataset, max_rounds: int = 30) -> ray.data.Dataset:
+    """Min-label propagation over near-dup pairs, fully distributed:
+    each round is (a) a gather step — every node takes the min of its
+    own and its neighbours' labels — and (b) a pointer-jumping step —
+    label := label(label) — so convergence needs O(log diameter)
+    rounds, not O(diameter). Labels move only through grouped_map
+    shuffles; convergence is a changed-count aggregate (no driver
+    dicts). Raises if max_rounds is hit without convergence.
+    -> (doc_id, cluster = min id in the component)."""
+
+    def seed(t: pa.Table) -> pa.Table:
+        a = t["id_a"].to_numpy(zero_copy_only=False).astype(np.int64)
+        b = t["id_b"].to_numpy(zero_copy_only=False).astype(np.int64)
+        return pa.table(
+            {"node": np.concatenate([a, b]), "nbr": np.concatenate([b, a])}
+        )
+
+    edges = pairs.map_batches(seed, batch_format="pyarrow").materialize()
+
+    def init_lab(df: pd.DataFrame) -> pd.DataFrame:
+        g = df.groupby("node", sort=False)["nbr"].min().reset_index()
+        g["label"] = np.minimum(g["node"], g["nbr"])
+        return g[["node", "label"]]
+
+    labels = grouped_map(edges, ["node"], init_lab).materialize()
+
+    for _ in range(max_rounds):
+        # ---- gather: node <- min(own label, labels of neighbours)
+        def as_lab(df: pd.DataFrame) -> pd.DataFrame:
+            return pd.DataFrame(
+                {"_k": df["node"], "node": df["node"], "label": df["label"], "_e": False}
+            )
+
+        def as_edge(df: pd.DataFrame) -> pd.DataFrame:
+            # keyed by nbr: the neighbour's label row lives in the same
+            # partition; emits (node, nbr_label) messages
+            return pd.DataFrame(
+                {"_k": df["nbr"], "node": df["node"], "label": -1, "_e": True}
+            )
+
+        u = labels.map_batches(as_lab, batch_format="pandas").union(
+            edges.map_batches(as_edge, batch_format="pandas")
+        )
+
+        def gather(df: pd.DataFrame) -> pd.DataFrame:
+            out = []
+            for _, g in df.groupby("_k", sort=False):
+                lab = g[~g["_e"]]
+                if not len(lab):
+                    continue
+                lv = int(lab["label"].iloc[0])
+                msgs = g[g["_e"]]
+                rows = {"node": [int(lab["node"].iloc[0])], "cand": [lv]}
+                if len(msgs):
+                    rows["node"].extend(msgs["node"].astype(np.int64))
+                    rows["cand"].extend([lv] * len(msgs))
+                out.append(pd.DataFrame(rows))
+            return pd.concat(out) if out else pd.DataFrame({"node": [], "cand": []})
+
+        msgs = grouped_map(u, ["_k"], gather)
+
+        def minmerge(df: pd.DataFrame) -> pd.DataFrame:
+            g = df.groupby("node", sort=False)["cand"].min().reset_index()
+            return g.rename(columns={"cand": "label"})
+
+        new_labels = grouped_map(msgs, ["node"], minmerge).materialize()
+
+        # ---- changed count (tiny aggregate, no driver dicts)
+        def diff_tag(df: pd.DataFrame) -> pd.DataFrame:
+            g = df.groupby("node", sort=False)["label"].agg(["min", "max", "count"])
+            changed = ((g["count"] < 2) | (g["min"] != g["max"])).sum()
+            return pd.DataFrame({"changed": [int(changed)]})
+
+        both = labels.union(new_labels)
+        changed = int(
+            grouped_map(both, ["node"], diff_tag).sum("changed") or 0
+        )
+
+        # ---- pointer jump: label := label(label)
+        def as_anchor(df: pd.DataFrame) -> pd.DataFrame:
+            return pd.DataFrame(
+                {"_k": df["node"], "node": df["node"], "label": df["label"], "_q": False}
+            )
+
+        def as_query(df: pd.DataFrame) -> pd.DataFrame:
+            return pd.DataFrame(
+                {"_k": df["label"], "node": df["node"], "label": df["label"], "_q": True}
+            )
+
+        u2 = new_labels.map_batches(as_anchor, batch_format="pandas").union(
+            new_labels.map_batches(as_query, batch_format="pandas")
+        )
+
+        def jump(df: pd.DataFrame) -> pd.DataFrame:
+            out = []
+            for _, g in df.groupby("_k", sort=False):
+                anchor = g[~g["_q"]]
+                queries = g[g["_q"]]
+                if not len(queries):
+                    continue
+                tgt = int(anchor["label"].iloc[0]) if len(anchor) else int(g["_k"].iloc[0])
+                out.append(pd.DataFrame({"node": queries["node"].astype(np.int64), "label": tgt}))
+            return pd.concat(out) if out else pd.DataFrame({"node": [], "label": []})
+
+        labels = grouped_map(u2, ["_k"], jump).materialize()
+        if changed == 0:
+            break
+    else:
+        raise RuntimeError(
+            f"connected_components did not converge in {max_rounds} rounds"
+        )
+
+    def fin(df: pd.DataFrame) -> pd.DataFrame:
+        return pd.DataFrame(
+            {"doc_id": df["node"].astype(np.int64), "cluster": df["label"].astype(np.int64)}
+        )
+
+    return labels.map_batches(fin, batch_format="pandas")
+
+
+# ---------------------------------------------------------------------------
+# MinHash + LSH (scale path: banded signatures bound candidate count)
 
 def minhash_signatures(
     docs: ray.data.Dataset,
@@ -65,8 +329,7 @@ def lsh_candidate_pairs(
     sigs: ray.data.Dataset, id_col: str = "doc_id", bands: int = 16
 ) -> ray.data.Dataset:
     """Explode signatures into (band, band_hash) keys; docs sharing a
-    bucket become candidate pairs (emitted once per bucket, deduped by
-    the caller or the verify step)."""
+    bucket become candidate pairs (deduped by a grouped shuffle)."""
 
     def explode(t: pa.Table) -> pa.Table:
         ids = t[id_col].to_numpy(zero_copy_only=False)
@@ -87,11 +350,14 @@ def lsh_candidate_pairs(
             ids = np.sort(g["doc_id"].to_numpy())
             if len(ids) < 2:
                 continue
-            for i in range(len(ids)):
-                for j in range(i + 1, len(ids)):
-                    out_a.append(ids[i])
-                    out_b.append(ids[j])
-        return pd.DataFrame({"id_a": out_a, "id_b": out_b}).drop_duplicates()
+            ii, jj = np.triu_indices(len(ids), k=1)
+            out_a.append(ids[ii])
+            out_b.append(ids[jj])
+        if not out_a:
+            return pd.DataFrame({"id_a": [], "id_b": []})
+        return pd.DataFrame(
+            {"id_a": np.concatenate(out_a), "id_b": np.concatenate(out_b)}
+        ).drop_duplicates()
 
     cand = grouped_map(exploded, ["band", "bhash"], pairs)
 
@@ -101,109 +367,17 @@ def lsh_candidate_pairs(
     return grouped_map(cand, ["id_a", "id_b"], dedup_pairs)
 
 
-def verify_jaccard(
-    pairs: ray.data.Dataset,
-    docs: ray.data.Dataset,
-    threshold: float,
-    text_col: str = "text",
-    id_col: str = "doc_id",
-    shingle_k: int = 3,
-) -> ray.data.Dataset:
-    """Join pair ids back to texts (broadcast — doc side is read once
-    into the object store keyed by id; for a 100 TB corpus this side
-    would be a shuffle join on id instead) and keep pairs with true
-    Jaccard >= threshold."""
-    import pyarrow.compute as pc
-
-    texts = {}
-    for batch in docs.select_columns([id_col, text_col]).iter_batches(batch_format="pyarrow"):
-        for i, s in zip(batch[id_col].to_pylist(), batch[text_col].to_pylist()):
-            texts[i] = s
-    ref = ray.put(texts)
-
-    def fn(t: pa.Table) -> pa.Table:
-        tx = ray.get(ref)
-        ida = t["id_a"].to_numpy(zero_copy_only=False)
-        idb = t["id_b"].to_numpy(zero_copy_only=False)
-        jac = np.array(
-            [
-                T.jaccard(T.shingles(tx[a], shingle_k), T.shingles(tx[b], shingle_k))
-                for a, b in zip(ida, idb)
-            ]
-        )
-        keep = jac >= threshold
-        return pa.table({"id_a": ida[keep], "id_b": idb[keep], "jaccard": jac[keep]})
-
-    return pairs.map_batches(fn, batch_format="pyarrow")
-
-
-def connected_components(pairs: ray.data.Dataset, max_rounds: int = 10) -> ray.data.Dataset:
-    """Min-label propagation over verified near-dup pairs: iterate
-    (node -> min(neighbor labels)) via grouped_map until stable —
-    bounded rounds, each round one shuffle; returns (doc_id, cluster)."""
-
-    def seed(t: pa.Table) -> pa.Table:
-        a = t["id_a"].to_numpy(zero_copy_only=False)
-        b = t["id_b"].to_numpy(zero_copy_only=False)
-        return pa.table(
-            {
-                "node": np.concatenate([a, b]),
-                "nbr": np.concatenate([b, a]),
-            }
-        )
-
-    edges = pairs.map_batches(seed, batch_format="pyarrow").materialize()
-    # labels start as the node id itself
-    labels = None
-    for _ in range(max_rounds):
-        if labels is None:
-
-            def init_lab(df: pd.DataFrame) -> pd.DataFrame:
-                out = (
-                    df.groupby("node", sort=False)["nbr"].min().reset_index()
-                )
-                out["label"] = np.minimum(out["node"], out["nbr"])
-                return out[["node", "label"]]
-
-            labels = grouped_map(edges, ["node"], init_lab).materialize()
-        else:
-            lab_map = {r["node"]: r["label"] for r in labels.take_all()}
-            ref = ray.put(lab_map)
-
-            def prop(t: pa.Table) -> pa.Table:
-                lm = ray.get(ref)
-                node = t["node"].to_numpy(zero_copy_only=False)
-                nbr = t["nbr"].to_numpy(zero_copy_only=False)
-                nl = np.array([lm.get(x, x) for x in nbr])
-                own = np.array([lm.get(x, x) for x in node])
-                return pa.table({"node": node, "cand": np.minimum(own, nl)})
-
-            def minlab(df: pd.DataFrame) -> pd.DataFrame:
-                out = df.groupby("node", sort=False)["cand"].min().reset_index()
-                return out.rename(columns={"cand": "label"})
-
-            new_labels = grouped_map(
-                edges.map_batches(prop, batch_format="pyarrow"), ["node"], minlab
-            ).materialize()
-            old = {r["node"]: r["label"] for r in labels.take_all()}
-            new = {r["node"]: r["label"] for r in new_labels.take_all()}
-            labels = new_labels
-            if old == new:
-                break
-    return labels.map_batches(
-        lambda df: df.rename(columns={"node": "doc_id", "label": "cluster"}),
-        batch_format="pandas",
-    )
-
-
 def minhash_lsh_dedup(
     docs: ray.data.Dataset,
     threshold: float = 0.7,
     shingle_k: int = 3,
     num_perm: int = 64,
-    bands: int = 16,
+    bands: int = 32,
 ) -> ray.data.Dataset:
-    """-> (doc_id, cluster) for docs in near-dup clusters."""
+    """-> (doc_id, cluster) for docs in near-dup clusters. bands=32 of
+    2 rows: P(miss a true pair at jaccard j) = (1-j^2)^32 — 1e-4 at
+    j=0.5; the exact-Jaccard verify then removes false positives, so
+    the output equals the exact-threshold clustering up to that recall."""
     sigs = minhash_signatures(docs, shingle_k=shingle_k, num_perm=num_perm)
     cand = lsh_candidate_pairs(sigs, bands=bands)
     verified = verify_jaccard(cand, docs, threshold, shingle_k=shingle_k)
@@ -211,43 +385,53 @@ def minhash_lsh_dedup(
 
 
 # ---------------------------------------------------------------------------
-# SimHash
+# SimHash — exhaustive banding + vectorized Hamming verify
 
 def simhash_pairs(
     docs: ray.data.Dataset, max_hamming: int = 6, text_col: str = "text", id_col: str = "doc_id"
 ) -> ray.data.Dataset:
-    """Candidate generation by 4x16-bit bands of the 64-bit simhash
-    (any pair within hamming distance <= 16/band shares at least one
-    exact band for distance <= 3 by pigeonhole when 4 bands); verify
-    by true Hamming distance."""
+    """ALL pairs with simhash Hamming distance <= max_hamming:
+    max_hamming+1 bands of the 64-bit simhash guarantee (pigeonhole)
+    that every such pair shares at least one exact band, so recall is
+    complete; per-bucket verify is one vectorized XOR + popcount."""
+    nb = max_hamming + 1
+    widths = [64 // nb + (1 if i < 64 % nb else 0) for i in range(nb)]
+    offs = np.cumsum([0] + widths[:-1])
 
     def hashes(t: pa.Table) -> pa.Table:
         ids = t[id_col].to_numpy(zero_copy_only=False)
         hs = T.simhash64_batch(t[text_col].to_pylist())
         out = {id_col: ids, "sh": hs.astype(np.int64)}
-        for b in range(4):
-            out[f"band{b}"] = ((hs >> np.uint64(16 * b)) & np.uint64(0xFFFF)).astype(np.int64)
+        for b in range(nb):
+            mask = np.uint64((1 << widths[b]) - 1)
+            out[f"band{b}"] = ((hs >> np.uint64(offs[b])) & mask).astype(np.int64)
         return pa.table(out)
 
     hds = docs.map_batches(hashes, batch_format="pyarrow").materialize()
 
     outs = []
-    for b in range(4):
+    for b in range(nb):
         def pairs(df: pd.DataFrame, b=b) -> pd.DataFrame:
-            out_a, out_b, out_d = [], [], []
+            frames = []
             for _, g in df.groupby(f"band{b}", sort=False):
                 if len(g) < 2:
                     continue
-                ids = g["doc_id"].to_numpy()
-                sh = g["sh"].to_numpy().astype(np.uint64)
-                order = np.argsort(ids)
-                ids, sh = ids[order], sh[order]
-                for i in range(len(ids)):
-                    for j in range(i + 1, len(ids)):
-                        d = bin(int(sh[i] ^ sh[j])).count("1")
-                        if d <= 16:  # loose gate; final verify below
-                            out_a.append(ids[i]); out_b.append(ids[j]); out_d.append(d)
-            return pd.DataFrame({"id_a": out_a, "id_b": out_b, "hamming": out_d})
+                order = np.argsort(g["doc_id"].to_numpy())
+                ids = g["doc_id"].to_numpy()[order]
+                sh = g["sh"].to_numpy().astype(np.uint64)[order]
+                ii, jj = np.triu_indices(len(ids), k=1)
+                d = _popcount64(sh[ii] ^ sh[jj])
+                keep = d <= max_hamming
+                if keep.any():
+                    frames.append(
+                        pd.DataFrame(
+                            {"id_a": ids[ii[keep]], "id_b": ids[jj[keep]],
+                             "hamming": d[keep]}
+                        )
+                    )
+            if not frames:
+                return pd.DataFrame({"id_a": [], "id_b": [], "hamming": []})
+            return pd.concat(frames)
 
         outs.append(grouped_map(hds, [f"band{b}"], pairs))
     allp = outs[0]
@@ -255,22 +439,65 @@ def simhash_pairs(
         allp = allp.union(o)
 
     def final(df: pd.DataFrame) -> pd.DataFrame:
-        df = df.drop_duplicates(["id_a", "id_b"])
-        return df[df["hamming"] <= max_hamming]
+        return df.drop_duplicates(["id_a", "id_b"])
 
     return grouped_map(allp, ["id_a", "id_b"], final)
 
 
 # ---------------------------------------------------------------------------
-# n-gram Jaccard pairs (exact, bucketed by length band + first token)
+# n-gram Jaccard pairs — EXACT (share-a-shingle candidates + verify)
 
 def ngram_jaccard_pairs(
     docs: ray.data.Dataset, n: int = 3, threshold: float = 0.5,
     text_col: str = "text", id_col: str = "doc_id",
+    max_bucket: int = 2000,
 ) -> ray.data.Dataset:
-    """All-pairs n-gram Jaccard >= threshold via LSH candidates (reuses
-    the minhash machinery with shingle_k=n) — the exact verify makes
-    the result threshold-exact up to LSH recall."""
-    sigs = minhash_signatures(docs, shingle_k=n, num_perm=64)
-    cand = lsh_candidate_pairs(sigs, bands=32)  # high-recall banding
-    return verify_jaccard(cand, docs, threshold, shingle_k=n)
+    """All pairs with word-n-gram Jaccard >= threshold, EXACTLY: a
+    pair with jaccard > 0 shares >= 1 shingle, so grouping by shingle
+    hash enumerates a complete candidate superset; the shuffle-join
+    verify applies the exact threshold. Shingle buckets larger than
+    max_bucket (stop-shingle blowup) are dropped WITH A LOG — at the
+    tested scales no bucket comes close."""
+    sets = shingle_sets(docs, text_col, id_col, n).materialize()
+
+    def explode(t: pa.Table) -> pa.Table:
+        ids = t[id_col].to_numpy(zero_copy_only=False)
+        out_id, out_sh = [], []
+        for i in range(len(t)):
+            hs = t["sh"][i].as_py()
+            out_id.extend([ids[i]] * len(hs))
+            out_sh.extend(hs)
+        return pa.table(
+            {"doc_id": np.array(out_id, dtype=np.int64),
+             "shingle": np.array(out_sh, dtype=np.int64)}
+        )
+
+    exploded = sets.map_batches(explode, batch_format="pyarrow")
+
+    def pairs(df: pd.DataFrame) -> pd.DataFrame:
+        out = []
+        for sh, g in df.groupby("shingle", sort=False):
+            m = len(g)
+            if m < 2:
+                continue
+            if m > max_bucket:
+                import logging
+
+                logging.getLogger(__name__).warning(
+                    "ngram_jaccard_pairs: dropping shingle bucket %d with %d docs", sh, m
+                )
+                continue
+            ids = np.sort(g["doc_id"].to_numpy())
+            ii, jj = np.triu_indices(m, k=1)
+            out.append(pd.DataFrame({"id_a": ids[ii], "id_b": ids[jj]}))
+        if not out:
+            return pd.DataFrame({"id_a": [], "id_b": []})
+        return pd.concat(out).drop_duplicates()
+
+    cand = grouped_map(exploded, ["shingle"], pairs)
+
+    def dedup_pairs(df: pd.DataFrame) -> pd.DataFrame:
+        return df.drop_duplicates(["id_a", "id_b"])
+
+    cand = grouped_map(cand, ["id_a", "id_b"], dedup_pairs)
+    return verify_jaccard(cand, docs, threshold, shingle_k=n, sets=sets)
