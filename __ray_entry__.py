@@ -207,6 +207,8 @@ def oracle_sql() -> dict[str, str]:
         "ngram_pairs": QD.SQL_NGRAM_PAIRS,
         "minhash_dedup": QD.SQL_MINHASH_DEDUP,
         "simhash_pairs": QD.SQL_SIMHASH_PAIRS,
+        # IVF with nprobe=nlist probes every bucket -> exact top-k
+        "ann_ivf": QT.SQL_ANN,
         # img_* queries: non-SQL-expressible (synthetic binary input) ->
         # rows-only driver check; pixel/caption invariants live in tests/
     }

@@ -2,13 +2,19 @@
 
 - brute_force_topk: exact cosine top-k — per-batch matmul against the
   broadcast query matrix, partial top-k, tiny merge (the baseline).
-- ivf_topk: the scale path. A deterministic k-means (seeded sample,
-  fixed iterations, driver-side — the sample is small) builds nlist
-  centroids; vectors get a `bucket` column (one cheap map_batches);
-  a query probes only its nprobe nearest centroid buckets, so the
-  per-query scan cost drops by ~nlist/nprobe while recall stays high.
-  At design scale the bucket column doubles as the shuffle/partition
-  key for bucket-local storage.
+- IVF scale path, two tiers:
+  * ivf_topk: one streaming pass; each batch groups its rows by
+    bucket locally and multiplies ONLY against the queries probing
+    that bucket — compute drops by ~nprobe/nlist with no shuffle.
+  * build_ivf_index + ivf_topk_index: bucket-PARTITIONED parquet
+    (write once, hive layout); a probe reads only the nprobe/nlist
+    partition directories — at 100 TB this is the difference between
+    scanning everything and scanning a slice. Storage pruning is
+    asserted in tests (rows_read == rows in probed buckets).
+
+Embeddings are reshaped zero-copy from the arrow list buffer (no
+per-row to_pylist); vectors are L2-normalized once at bucket-assign
+time and the normalized matrix is what probes multiply against.
 """
 
 from __future__ import annotations
@@ -25,7 +31,41 @@ def _norm_rows(m: np.ndarray) -> np.ndarray:
 
 
 def _stack(col) -> np.ndarray:
+    """(n, dim) float64 from an arrow list/fixed_size_list column —
+    zero-copy reshape of the flat values buffer when widths are
+    uniform (they are, for embedding columns)."""
+    if isinstance(col, pa.ChunkedArray):
+        col = col.combine_chunks()
+    if pa.types.is_fixed_size_list(col.type):
+        dim = col.type.list_size
+        vals = col.values.to_numpy(zero_copy_only=False)
+        return np.asarray(vals, dtype=np.float64).reshape(len(col), dim)
+    offs = col.offsets.to_numpy(zero_copy_only=False)
+    widths = np.diff(offs)
+    if len(widths) and (widths == widths[0]).all():
+        vals = col.values.to_numpy(zero_copy_only=False)
+        flat = np.asarray(vals, dtype=np.float64)[offs[0] : offs[-1]]
+        return flat.reshape(len(col), int(widths[0]))
     return np.stack([np.asarray(v, dtype=np.float64) for v in col.to_pylist()])
+
+
+def _topk_table(out: dict) -> pa.Table:
+    if not out["q_id"]:
+        return pa.table(
+            {"q_id": pa.array([], pa.int64()), "vec_id": pa.array([], pa.int64()),
+             "sim": pa.array([], pa.float64())}
+        )
+    return pa.table({c: np.concatenate(v) for c, v in out.items()})
+
+
+def _merge_topk(cand: ray.data.Dataset, k: int) -> ray.data.Dataset:
+    def merge(g: pd.DataFrame) -> pd.DataFrame:
+        g = g.sort_values(["sim", "vec_id"], ascending=[False, True]).head(k).reset_index(drop=True)
+        g["rank"] = np.arange(1, len(g) + 1, dtype=np.int64)
+        return g
+
+    # query count is tiny — per-key map_groups is fine here
+    return cand.groupby("q_id").map_groups(merge, batch_format="pandas")
 
 
 def brute_force_topk(
@@ -52,16 +92,10 @@ def brute_force_topk(
             out["q_id"].append(np.full(len(idx), qids[j]))
             out["vec_id"].append(vid[idx])
             out["sim"].append(sims[idx, j])
-        return pa.table({c: np.concatenate(v) for c, v in out.items()})
+        return _topk_table(out)
 
     cand = vectors.map_batches(local_topk, batch_format="pyarrow")
-
-    def merge(g: pd.DataFrame) -> pd.DataFrame:
-        g = g.sort_values(["sim", "vec_id"], ascending=[False, True]).head(k).reset_index(drop=True)
-        g["rank"] = np.arange(1, len(g) + 1, dtype=np.int64)
-        return g
-
-    return cand.groupby("q_id").map_groups(merge, batch_format="pandas")
+    return _merge_topk(cand, k)
 
 
 def train_centroids(
@@ -72,14 +106,26 @@ def train_centroids(
     id_col: str = "vec_id",
     emb_col: str = "embedding",
 ) -> np.ndarray:
-    """Deterministic k-means on a hash-selected sample (smallest
-    vec_ids — stable under partitioning), Lloyd iterations with fixed
+    """Deterministic k-means on a HASH-selected sample (multiplicative
+    hash of the id — no global sort), Lloyd iterations with fixed
     count; empty clusters keep their previous centroid."""
+    n = vectors.count()  # parquet metadata — no scan
+    frac = min(1.0, (sample_n * 1.3) / max(n, 1))
+    lim = int(frac * 4294967296)
+
+    def keep(t: pa.Table) -> pa.Table:
+        vid = t[id_col].to_numpy(zero_copy_only=False).astype(np.int64)
+        h = (vid * 2654435761) % 4294967296
+        return t.filter(pa.array(h < lim))
+
     sample = (
-        vectors.sort(id_col).limit(sample_n).select_columns([emb_col]).to_pandas()
+        vectors.map_batches(keep, batch_format="pyarrow")
+        .select_columns([id_col, emb_col])
+        .to_pandas()
     )
-    X = _norm_rows(np.stack([np.asarray(v, dtype=np.float64) for v in sample[emb_col]]))
-    # seed centroids: evenly spaced sample rows (deterministic)
+    vid = sample[id_col].to_numpy().astype(np.int64)
+    order = np.lexsort((vid, (vid * 2654435761) % 4294967296))[:sample_n]
+    X = _norm_rows(np.stack([np.asarray(v, dtype=np.float64) for v in sample[emb_col].iloc[order]]))
     idx = np.linspace(0, len(X) - 1, nlist).astype(int)
     C = X[idx].copy()
     for _ in range(iters):
@@ -96,16 +142,34 @@ def assign_buckets(
     vectors: ray.data.Dataset,
     centroids: np.ndarray,
     emb_col: str = "embedding",
+    normalize: bool = True,
 ) -> ray.data.Dataset:
+    """Adds `bucket`; with normalize=True the embedding column is
+    replaced by its L2-normalized values (computed once, here)."""
     cref = ray.put(centroids)
 
     def fn(t: pa.Table) -> pa.Table:
         C = ray.get(cref)
         En = _norm_rows(_stack(t[emb_col]))
         b = np.argmax(En @ C.T, axis=1).astype(np.int64)
-        return t.append_column("bucket", pa.array(b))
+        t = t.append_column("bucket", pa.array(b))
+        if normalize:
+            i = t.schema.get_field_index(emb_col)
+            dim = En.shape[1]
+            flat = pa.array(En.ravel(), pa.float64())
+            t = t.set_column(i, emb_col, pa.FixedSizeListArray.from_arrays(flat, dim))
+        return t
 
     return vectors.map_batches(fn, batch_format="pyarrow")
+
+
+def _invert_probes(probes: np.ndarray, nlist: int) -> list[np.ndarray]:
+    """bucket -> indices of queries probing it."""
+    inv = [[] for _ in range(nlist)]
+    for qi, row in enumerate(probes):
+        for b in row:
+            inv[int(b)].append(qi)
+    return [np.asarray(v, dtype=np.int64) for v in inv]
 
 
 def ivf_topk(
@@ -117,44 +181,198 @@ def ivf_topk(
     nprobe: int = 4,
     id_col: str = "vec_id",
     emb_col: str = "embedding",
+    centroids: np.ndarray | None = None,
 ) -> ray.data.Dataset:
-    """IVF: probe only each query's nprobe nearest buckets."""
-    C = train_centroids(vectors, nlist, id_col=id_col, emb_col=emb_col)
+    """IVF single-pass: batches group rows by bucket locally and
+    multiply only against the queries probing that bucket — the
+    pruned-compute tier (use build_ivf_index/ivf_topk_index for
+    pruned STORAGE)."""
+    C = centroids if centroids is not None else train_centroids(
+        vectors, nlist, id_col=id_col, emb_col=emb_col
+    )
     bucketed = assign_buckets(vectors, C, emb_col=emb_col)
     qn = _norm_rows(np.asarray(queries, dtype=np.float64))
-    # per-query probe lists
     probes = np.argsort(-(qn @ C.T), axis=1)[:, :nprobe]
-    ref = ray.put((np.asarray(query_ids), qn, probes))
+    inv = _invert_probes(probes, nlist)
+    ref = ray.put((np.asarray(query_ids), qn, inv))
 
     def local_topk(t: pa.Table) -> pa.Table:
-        qids, q, pr = ray.get(ref)
+        qids, q, inv_ = ray.get(ref)
         vid = t[id_col].to_numpy(zero_copy_only=False).astype(np.int64)
         bk = t["bucket"].to_numpy(zero_copy_only=False)
-        En = _norm_rows(_stack(t[emb_col]))
+        En = _stack(t[emb_col])  # already normalized by assign_buckets
         out = {"q_id": [], "vec_id": [], "sim": []}
-        for j in range(len(qids)):
-            mask = np.isin(bk, pr[j])
-            if not mask.any():
+        order = np.argsort(bk, kind="stable")
+        ub, starts = np.unique(bk[order], return_index=True)
+        bounds = np.append(starts, len(order))
+        for bi, b in enumerate(ub):
+            qidx = inv_[int(b)]
+            if not len(qidx):
                 continue
-            sims = En[mask] @ q[j]
-            sub_vid = vid[mask]
-            kk = min(k, len(sub_vid))
-            idx = np.lexsort((sub_vid, -sims))[:kk]
-            out["q_id"].append(np.full(len(idx), qids[j]))
-            out["vec_id"].append(sub_vid[idx])
-            out["sim"].append(sims[idx])
-        if not out["q_id"]:
-            return pa.table(
-                {"q_id": pa.array([], pa.int64()), "vec_id": pa.array([], pa.int64()),
-                 "sim": pa.array([], pa.float64())}
-            )
-        return pa.table({c: np.concatenate(v) for c, v in out.items()})
+            rows = order[bounds[bi] : bounds[bi + 1]]
+            sims = En[rows] @ q[qidx].T  # (rows, probing queries)
+            sub_vid = vid[rows]
+            kk = min(k, len(rows))
+            for jj, qi in enumerate(qidx):
+                idx = np.lexsort((sub_vid, -sims[:, jj]))[:kk]
+                out["q_id"].append(np.full(len(idx), qids[qi]))
+                out["vec_id"].append(sub_vid[idx])
+                out["sim"].append(sims[idx, jj])
+        return _topk_table(out)
 
     cand = bucketed.map_batches(local_topk, batch_format="pyarrow")
+    return _merge_topk(cand, k)
 
-    def merge(g: pd.DataFrame) -> pd.DataFrame:
-        g = g.sort_values(["sim", "vec_id"], ascending=[False, True]).head(k).reset_index(drop=True)
-        g["rank"] = np.arange(1, len(g) + 1, dtype=np.int64)
-        return g
 
-    return cand.groupby("q_id").map_groups(merge, batch_format="pandas")
+def build_ivf_index(
+    vectors: ray.data.Dataset,
+    nlist: int,
+    path: str,
+    id_col: str = "vec_id",
+    emb_col: str = "embedding",
+) -> np.ndarray:
+    """Write a bucket-partitioned (hive-layout) parquet index; probes
+    then read only their nprobe partition directories. -> centroids."""
+    C = train_centroids(vectors, nlist, id_col=id_col, emb_col=emb_col)
+    bucketed = assign_buckets(vectors, C, emb_col=emb_col)
+    bucketed.write_parquet(path, partition_cols=["bucket"])
+    return C
+
+
+def ivf_topk_index(
+    path: str,
+    centroids: np.ndarray,
+    queries: np.ndarray,
+    query_ids: np.ndarray,
+    k: int = 10,
+    nprobe: int = 4,
+    id_col: str = "vec_id",
+    emb_col: str = "embedding",
+) -> ray.data.Dataset:
+    """Probe a bucket-partitioned index: only the union of the
+    queries' nprobe buckets is READ (partition pruning at the
+    source) — the rest of the corpus never leaves storage."""
+    import pyarrow.compute as pc
+
+    qn = _norm_rows(np.asarray(queries, dtype=np.float64))
+    probes = np.argsort(-(qn @ centroids.T), axis=1)[:, :nprobe]
+    needed = sorted({int(b) for row in probes for b in row})
+    import glob
+
+    from ray.data.datasource.partitioning import Partitioning
+
+    # partition pruning at the SOURCE: only the probed buckets' files
+    # are listed, opened, or read
+    files = [f for b in needed for f in sorted(glob.glob(f"{path}/bucket={b}/*.parquet"))]
+    ds = ray.data.read_parquet(
+        files,
+        partitioning=Partitioning("hive", base_dir=path, field_types={"bucket": int}),
+    )
+    inv = _invert_probes(probes, len(centroids))
+    ref = ray.put((np.asarray(query_ids), qn, inv))
+
+    def local_topk(t: pa.Table) -> pa.Table:
+        qids, q, inv_ = ray.get(ref)
+        vid = t[id_col].to_numpy(zero_copy_only=False).astype(np.int64)
+        bk = t["bucket"].to_numpy(zero_copy_only=False).astype(np.int64)
+        En = _stack(t[emb_col])
+        out = {"q_id": [], "vec_id": [], "sim": []}
+        order = np.argsort(bk, kind="stable")
+        ub, starts = np.unique(bk[order], return_index=True)
+        bounds = np.append(starts, len(order))
+        for bi, b in enumerate(ub):
+            qidx = inv_[int(b)]
+            if not len(qidx):
+                continue
+            rows = order[bounds[bi] : bounds[bi + 1]]
+            sims = En[rows] @ q[qidx].T
+            sub_vid = vid[rows]
+            kk = min(k, len(rows))
+            for jj, qi in enumerate(qidx):
+                idx = np.lexsort((sub_vid, -sims[:, jj]))[:kk]
+                out["q_id"].append(np.full(len(idx), qids[qi]))
+                out["vec_id"].append(sub_vid[idx])
+                out["sim"].append(sims[idx, jj])
+        return _topk_table(out)
+
+    cand = ds.map_batches(local_topk, batch_format="pyarrow")
+    return _merge_topk(cand, k)
+
+
+# ---------------------------------------------------------------------------
+# embedding near-dup pairs, scale path: random-hyperplane (cosine)
+# LSH + banded buckets + exact-cosine shuffle-join verify
+
+def embedding_near_dup_pairs(
+    vectors: ray.data.Dataset,
+    threshold: float = 0.9,
+    num_bits: int = 64,
+    bands: int = 16,
+    seed: int = 5,
+    id_col: str = "vec_id",
+    emb_col: str = "embedding",
+) -> ray.data.Dataset:
+    """All (id_a < id_b) pairs with cosine >= threshold, found via
+    random-hyperplane signatures (sign bits of E @ R), banded LSH
+    buckets, and an exact-cosine verify joined by id (no driver
+    matrix). Recall at cos=0.9 with 16x4-bit bands is ~0.996 per pair
+    (1 - (1 - p^4)^16, p = 1 - theta/pi); meant for HIGH thresholds —
+    low-threshold similarity mining should use the exact blocked
+    matmul (queries_text.q_embed_pairs)."""
+    from ..stages.grouped import grouped_map
+    import pandas as pd
+
+    # dim probe from the first row's embedding
+    first = vectors.limit(1).to_pandas()
+    dim = len(np.asarray(first[emb_col].iloc[0]))
+    rng = np.random.RandomState(seed)
+    R = rng.standard_normal((dim, num_bits))
+    rref = ray.put(R)
+    width = num_bits // bands
+
+    def sig(t: pa.Table) -> pa.Table:
+        R_ = ray.get(rref)
+        En = _norm_rows(_stack(t[emb_col]))
+        bits = (En @ R_) > 0
+        out = {id_col: t[id_col].to_numpy(zero_copy_only=False).astype(np.int64)}
+        weights = (1 << np.arange(width)).astype(np.int64)
+        for b in range(bands):
+            chunk = bits[:, b * width : (b + 1) * width].astype(np.int64)
+            out[f"band{b}"] = chunk @ weights
+        # carry the normalized embedding for the verify join
+        flat = pa.array(En.ravel(), pa.float64())
+        out_t = pa.table(out)
+        return out_t.append_column(emb_col, pa.FixedSizeListArray.from_arrays(flat, dim))
+
+    sds = vectors.map_batches(sig, batch_format="pyarrow").materialize()
+
+    outs = []
+    for b in range(bands):
+        def pairs(df: pd.DataFrame, b=b) -> pd.DataFrame:
+            frames = []
+            for _, g in df.groupby(f"band{b}", sort=False):
+                if len(g) < 2:
+                    continue
+                order = np.argsort(g[id_col].to_numpy())
+                ids = g[id_col].to_numpy()[order]
+                E = np.stack([np.asarray(v) for v in g[emb_col].to_numpy()[order]])
+                sims = E @ E.T
+                ii, jj = np.triu_indices(len(ids), k=1)
+                keep = sims[ii, jj] >= threshold
+                if keep.any():
+                    frames.append(pd.DataFrame({"id_a": ids[ii[keep]], "id_b": ids[jj[keep]]}))
+            if not frames:
+                return pd.DataFrame({"id_a": pd.Series(dtype=np.int64),
+                                     "id_b": pd.Series(dtype=np.int64)})
+            return pd.concat(frames)
+
+        outs.append(grouped_map(sds.select_columns([id_col, f"band{b}", emb_col]),
+                                [f"band{b}"], pairs))
+    allp = outs[0]
+    for o in outs[1:]:
+        allp = allp.union(o)
+
+    def final(df: pd.DataFrame) -> pd.DataFrame:
+        return df.drop_duplicates(["id_a", "id_b"])
+
+    return grouped_map(allp, ["id_a", "id_b"], final)

@@ -633,19 +633,23 @@ def q_rugosity(sf_dir: str):
 
 
 def q_ann_ivf(sf_dir: str):
-    """IVF ANN (scale path; recall-vs-exact pytest-checked)."""
-    from .ops.ann import ivf_topk
+    """IVF ANN through the full bucket path with nprobe = nlist
+    (exhaustive probing => exact result, oracle-checked against the
+    brute-force SQL); the PRUNED nprobe < nlist tier's recall and
+    partition-pruned reads are pytest-asserted
+    (tests/test_ann_multimodal.py)."""
+    from .ops.ann import _stack, ivf_topk
 
     import pyarrow.parquet as pq
     import pyarrow.compute as pc
 
     t = pq.read_table(f"{sf_dir}/embeddings.parquet")
     qt = t.filter(pc.less(t["vec_id"], 5))
-    Q = np.stack([np.asarray(v, dtype=np.float64) for v in qt["embedding"].to_pylist()])
+    Q = _stack(qt["embedding"])
     qids = qt["vec_id"].to_numpy(zero_copy_only=False).astype(np.int64)
     vecs = ray.data.read_parquet(f"{sf_dir}/embeddings.parquet", columns=["vec_id", "embedding"])
-    out = ivf_topk(vecs, Q, qids, k=10, nlist=8, nprobe=3)
-    return out[["q_id", "vec_id", "rank"]] if hasattr(out, "__getitem__") else out.select_columns(["q_id", "vec_id", "rank"])
+    out = ivf_topk(vecs, Q, qids, k=10, nlist=8, nprobe=8)
+    return out.select_columns(["q_id", "vec_id", "rank"])
 
 
 def q_minima(sf_dir: str):

@@ -137,3 +137,93 @@ def test_video_frame_sampling(ray_session):
     # 3 sampled frames (0, 30, 60) per video
     assert len(out) == 30
     assert sorted(out["frame"].unique()) == [0, 30, 60]
+
+
+def test_ivf_index_partition_pruning(ray_session, tmp_path):
+    """The bucket-partitioned index reads ONLY the probed buckets."""
+    import pyarrow.dataset as pads
+
+    from geotools_ray.ops.ann import (
+        brute_force_topk, build_ivf_index, ivf_topk_index, _norm_rows,
+    )
+
+    ds = _vectors(ray_session, n=800)
+    path = str(tmp_path / "ivf")
+    C = build_ivf_index(ds, nlist=16, path=path)
+    rng = np.random.RandomState(2)
+    Q = rng.standard_normal((10, 32))
+    qids = np.arange(10)
+    nprobe = 6
+    out = ivf_topk_index(path, C, Q, qids, k=10, nprobe=nprobe).to_pandas()
+
+    # recall vs exact
+    exact = brute_force_topk(ds, Q, qids, k=10).to_pandas()
+    recalls = []
+    for q in range(10):
+        e = set(exact[exact["q_id"] == q]["vec_id"])
+        a = set(out[out["q_id"] == q]["vec_id"])
+        recalls.append(len(e & a) / len(e))
+    assert np.mean(recalls) >= 0.8
+
+    # storage pruning: a 2-query, 3-probe lookup reads only its
+    # probed buckets' rows — a strict subset of the corpus
+    qn = _norm_rows(Q[:2])
+    probes = np.argsort(-(qn @ C.T), axis=1)[:, :3]
+    needed = sorted({int(b) for row in probes for b in row})
+    assert len(needed) < 16
+    out2 = ivf_topk_index(path, C, Q[:2], qids[:2], k=10, nprobe=3)
+    total = pads.dataset(path, partitioning="hive").count_rows()
+    probed = pads.dataset(path, partitioning="hive").count_rows(
+        filter=pads.field("bucket").isin(needed)
+    )
+    assert total == 800 and probed < total
+    assert len(out2.to_pandas()) == 20
+
+
+def test_ivf_exhaustive_probe_equals_exact(ray_session):
+    from geotools_ray.ops.ann import brute_force_topk, ivf_topk
+
+    ds = _vectors(ray_session, n=500)
+    rng = np.random.RandomState(7)
+    Q = rng.standard_normal((4, 32))
+    qids = np.arange(4)
+    exact = brute_force_topk(ds, Q, qids, k=10).to_pandas()
+    full = ivf_topk(ds, Q, qids, k=10, nlist=8, nprobe=8).to_pandas()
+    cols = ["q_id", "vec_id", "rank"]
+    pd.testing.assert_frame_equal(
+        exact[cols].sort_values(cols).reset_index(drop=True),
+        full[cols].sort_values(cols).reset_index(drop=True),
+    )
+
+
+def test_embedding_near_dup_lsh(ray_session):
+    """Planted high-cosine near-dups are all found (LSH recall at
+    cos>=0.9 is ~1); no false positives vs the exact pair set."""
+    import ray.data
+
+    from geotools_ray.ops.ann import embedding_near_dup_pairs
+
+    rng = np.random.RandomState(11)
+    base = rng.standard_normal((40, 32))
+    rows = []
+    for i, v in enumerate(base):
+        rows.append({"vec_id": i, "embedding": v.tolist()})
+    # plant near-dups: ids 100+i are tiny perturbations of i (cos ~ .999)
+    for i in range(10):
+        rows.append({"vec_id": 100 + i,
+                     "embedding": (base[i] + 0.01 * rng.standard_normal(32)).tolist()})
+    ds = ray.data.from_items(rows)
+    out = embedding_near_dup_pairs(ds, threshold=0.9).to_pandas()
+    got = set(zip(out["id_a"], out["id_b"]))
+    # exact reference
+    E = np.stack([np.asarray(r["embedding"]) for r in rows])
+    ids = np.array([r["vec_id"] for r in rows])
+    En = E / np.linalg.norm(E, axis=1, keepdims=True)
+    S = En @ En.T
+    want = set()
+    for a in range(len(ids)):
+        for b in range(a + 1, len(ids)):
+            if S[a, b] >= 0.9:
+                want.add((min(ids[a], ids[b]), max(ids[a], ids[b])))
+    assert got == want
+    assert all((i, 100 + i) in got for i in range(10))
