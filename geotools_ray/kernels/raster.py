@@ -58,36 +58,75 @@ def smooth(grid: np.ndarray, sigma: float, size: int, nodata: float = NODATA) ->
     return out
 
 
+def _shift_add(acc: np.ndarray, src: np.ndarray, dr: int, dc: int, wgt: float):
+    """acc[p] += wgt * src[p + (dr, dc)] for in-bounds p."""
+    h, w = acc.shape
+    acc[max(0, -dr) : h - max(0, dr), max(0, -dc) : w - max(0, dc)] += (
+        wgt * src[max(0, dr) : h + min(0, dr), max(0, dc) : w + min(0, dc)]
+    )
+
+
+def void_fill_idw_vec(
+    grid: np.ndarray,
+    radius: float,
+    count: int,
+    exp: float,
+    max_radius: int,
+    nodata: float = NODATA,
+) -> np.ndarray:
+    """Vectorized expanding-radius IDW void fill: per radius step the
+    newly-covered ring of offsets is accumulated as shifted adds
+    (O(|disk|) full-grid adds instead of a per-pixel loop); a pixel is
+    resolved at the FIRST radius whose disk holds >= count valid
+    neighbours, exactly as the reference's expansion loop."""
+    h, w = grid.shape
+    out = grid.copy()
+    voids = grid == nodata
+    if not voids.any():
+        return out
+    valid = (~voids).astype(np.float64)
+    vals = np.where(voids, 0.0, grid)
+    # offsets grouped by the radius step that first covers them
+    mr = int(max_radius)
+    rr, cc = np.meshgrid(np.arange(-mr, mr + 1), np.arange(-mr, mr + 1), indexing="ij")
+    d2 = (rr * rr + cc * cc).astype(np.float64)
+    sel = (d2 > 0) & (d2 <= mr * mr)
+    offs = sorted(
+        zip(rr[sel].tolist(), cc[sel].tolist(), d2[sel].tolist()), key=lambda t: t[2]
+    )
+    num = np.zeros((h, w))
+    den = np.zeros((h, w))
+    cnt = np.zeros((h, w))
+    done = ~voids
+    oi = 0
+    rad = int(radius)
+    while rad <= mr:
+        lim = float(rad * rad)
+        while oi < len(offs) and offs[oi][2] <= lim:
+            dr, dc, dd = offs[oi]
+            wgt = 1.0 / np.power(dd, exp)
+            _shift_add(num, vals * valid * wgt, int(dr), int(dc), 1.0)
+            _shift_add(den, valid, int(dr), int(dc), wgt)
+            _shift_add(cnt, valid, int(dr), int(dc), 1.0)
+            oi += 1
+        newly = (~done) & (cnt >= count)
+        if newly.any():
+            out[newly] = num[newly] / den[newly]
+            done |= newly
+        rad += 1
+    return out
+
+
 def void_fill_idw(
     grid: np.ndarray, radius: float, count: int, exp: float, nodata: float = NODATA
 ) -> np.ndarray:
     """Grid<T>::voidFillIDW (src/raster.cpp:162-222): for each nodata
     cell, expand radius by 1 until >= count valid neighbours within
     (squared-)distance <= radius^2; weight = 1/(d2^exp) where d2 is the
-    SQUARED cell distance (reference passes g_sq values to pow)."""
+    SQUARED cell distance (reference passes g_sq values to pow).
+    The expansion loop runs while rad < min(h, w)."""
     h, w = grid.shape
-    out = grid.copy()
-    for r in range(h):
-        for c in range(w):
-            if grid[r, c] != nodata:
-                continue
-            rad = radius
-            while rad < min(h, w):
-                d = rad * rad
-                r0 = int(max(0, r - rad))
-                r1 = int(min(h, r + rad + 1))
-                c0 = int(max(0, c - rad))
-                c1 = int(min(w, c + rad + 1))
-                sub = grid[r0:r1, c0:c1]
-                rr, cc = np.meshgrid(np.arange(r0, r1), np.arange(c0, c1), indexing="ij")
-                d0 = (cc - c) ** 2.0 + (rr - r) ** 2.0
-                m = (d0 <= d) & (sub != nodata)
-                if int(m.sum()) >= count:
-                    dp = 1.0 / np.power(d0[m], exp)
-                    out[r, c] = float(np.sum(dp * sub[m]) / np.sum(dp))
-                    break
-                rad += 1.0
-    return out
+    return void_fill_idw_vec(grid, radius, count, exp, min(h, w) - 1, nodata)
 
 
 def local_maxima(
@@ -106,52 +145,54 @@ def local_maxima(
     """
     h, w = grid.shape
     half = window // 2
-    tops = []
-    for row in range(0, h - window):
-        for col in range(0, w - window):  # reference: col < cols - window
-            cr = row + half
-            cc = col + half
-            v = grid[cr, cc]
-            if v == nodata or v < min_height:
-                continue
-            win = grid[row : row + window, col : col + window]
-            flat = win.ravel()
-            valid = flat != nodata
-            if not valid.any():
-                continue
-            vals = np.where(valid, flat, -np.inf)
-            mx = vals.max()
-            if mx <= 0:
-                continue  # reference max starts at 0
-            first = int(np.argmax(vals))  # row-major first occurrence of max
-            center_flat = half * window + half
-            if first == center_flat:
-                tops.append((cc, cr, float(v)))
-    return tops
+    if h < window + 1 or w < window + 1:
+        return []
+    # windows whose top-left is in [0, h-window) x [0, w-window) —
+    # vectorized row-major first-argmax over sliding windows
+    vals = np.where(grid != nodata, grid, -np.inf)
+    sw = np.lib.stride_tricks.sliding_window_view(vals, (window, window))
+    sw = sw[: h - window - 1 + 1, : w - window - 1 + 1]  # drop the last start (quirk)
+    nh, nw = h - window, w - window
+    sw = sw[:nh, :nw].reshape(nh, nw, window * window)
+    first = sw.argmax(axis=2)  # row-major FIRST max (argmax tie rule)
+    mx = np.take_along_axis(sw, first[..., None], axis=2)[..., 0]
+    center_flat = half * window + half
+    cv = grid[half : half + nh, half : half + nw]
+    ok = (
+        (first == center_flat)
+        & (mx > 0)
+        & np.isfinite(mx)
+        & (cv != nodata)
+        & (cv >= min_height)
+    )
+    rs, cs = np.nonzero(ok)
+    return [
+        (int(c + half), int(r + half), float(grid[r + half, c + half]))
+        for r, c in zip(rs.tolist(), cs.tolist())
+    ]
 
 
 def find_minima(grid: np.ndarray, nodata: float = NODATA) -> list[tuple[int, int, float]]:
     """Flood seeds (src/flood.cpp:430-452): cell is a seed iff no
     non-nodata 8-neighbour is strictly lower."""
     h, w = grid.shape
-    seeds = []
-    for r in range(h):
-        for c in range(w):
-            if grid[r, c] == nodata:
+    # vectorized: min of the 8 shifted neighbour grids (nodata -> +inf)
+    vals = np.where(grid != nodata, grid, np.inf)
+    nbmin = np.full((h, w), np.inf)
+    for dr in (-1, 0, 1):
+        for dc in (-1, 0, 1):
+            if dr == 0 and dc == 0:
                 continue
-            skip = False
-            for rr in range(max(0, r - 1), min(r + 2, h)):
-                for cc in range(max(0, c - 1), min(c + 2, w)):
-                    if (cc == c and rr == r) or grid[rr, cc] == nodata:
-                        continue
-                    if grid[rr, cc] < grid[r, c]:
-                        skip = True
-                        break
-                if skip:
-                    break
-            if not skip:
-                seeds.append((c, r, float(grid[r, c])))
-    return seeds
+            src = vals[
+                max(0, dr) : h + min(0, dr), max(0, dc) : w + min(0, dc)
+            ]
+            dst = nbmin[
+                max(0, -dr) : h - max(0, dr), max(0, -dc) : w - max(0, dc)
+            ]
+            np.minimum(dst, src, out=dst)
+    ok = (grid != nodata) & ~(nbmin < grid)
+    rs, cs = np.nonzero(ok)
+    return [(int(c), int(r), float(grid[r, c])) for r, c in zip(rs.tolist(), cs.tolist())]
 
 
 def tan_curve(step: float, steps: float) -> float:

@@ -104,11 +104,15 @@ def recover_flightlines(
         segs = ray.get(ref)
         times = t[time_col].to_numpy(zero_copy_only=False)
         sid = np.zeros(len(times), dtype=np.int64)
-        for i, tt in enumerate(times):  # first containing segment
-            for s_id, s, e in segs:
-                if s <= tt <= e:
-                    sid[i] = s_id
-                    break
+        if segs:
+            # merged segments are disjoint and start-sorted, so the
+            # first containing segment is the one found by searchsorted
+            starts = np.array([s for _, s, _ in segs])
+            ends = np.array([e for _, _, e in segs])
+            ids = np.array([i for i, _, _ in segs], dtype=np.int64)
+            pos = np.searchsorted(starts, times, side="right") - 1
+            ok = (pos >= 0) & (times <= ends[np.clip(pos, 0, len(segs) - 1)])
+            sid[ok] = ids[pos[ok]]
         return t.append_column("source_id", pa.array(sid))
 
     return points.map_batches(assign, batch_format="pyarrow"), merged

@@ -160,23 +160,31 @@ def grid_stats(points: ray.data.Dataset, cfg: GridConfig) -> ray.data.Dataset:
 
         return agg.map_batches(finalize, batch_format="pyarrow")
 
-    # exact path: raw values per cell via sort-based groupby
+    # exact path: raw values per cell through ONE hash-partitioned
+    # shuffle (grouped_map); the per-cell kernel loop runs inside each
+    # partition — Python dispatch per partition, not per key
     stats = cfg.stats
     qn = cfg.quantiles
 
-    def per_cell(g: pd.DataFrame) -> pd.DataFrame:
-        v = g["v"].to_numpy(dtype=np.float64)
-        row = {"cell_id": [g["cell_id"].iloc[0]]}
-        for st in stats:
-            if st.startswith("q") and st[1:].isdigit():
-                row[st] = [K.ref_quantile(v, int(st[1:]), qn)]
-            elif st == "density":
-                row[st] = [K.ref_density(v, cell_area)]
-            else:
-                row[st] = [K.STAT_KERNELS[st](v)]
-        return pd.DataFrame(row)
+    from ..stages.grouped import grouped_map
 
-    return cells.groupby("cell_id").map_groups(per_cell, batch_format="pandas")
+    def per_part(df: pd.DataFrame) -> pd.DataFrame:
+        rows: dict[str, list] = {"cell_id": []}
+        for st in stats:
+            rows[st] = []
+        for cid, g in df.groupby("cell_id", sort=False):
+            v = g["v"].to_numpy(dtype=np.float64)
+            rows["cell_id"].append(cid)
+            for st in stats:
+                if st.startswith("q") and st[1:].isdigit():
+                    rows[st].append(K.ref_quantile(v, int(st[1:]), qn))
+                elif st == "density":
+                    rows[st].append(K.ref_density(v, cell_area))
+                else:
+                    rows[st].append(K.STAT_KERNELS[st](v))
+        return pd.DataFrame(rows)
+
+    return grouped_map(cells, ["cell_id"], per_part)
 
 
 def add_cell_coords(stats_ds: ray.data.Dataset, b: Bounds, res: float) -> ray.data.Dataset:

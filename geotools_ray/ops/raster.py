@@ -174,14 +174,16 @@ def smooth_tiles(tiles, sigma, size, H, W, tile, nodata=NODATA, **kw):
         res = np.where(vw.all(axis=(2, 3)), conv, nodata)
         # res[i,j] is the value at padded[i+half, j+half]; interior cell
         # (r, c) (tile coords) = padded[r+halo, c+halo] -> res index
-        # (r + halo - half, c + halo - half)
-        for r in range(h):
-            for c in range(w):
-                gr, gc = gr0 + r, gc0 + c
-                # reference writes centers with start in [0, dim-size)
-                if not (half <= gr <= H - half - 2 and half <= gc <= W - half - 2):
-                    continue
-                out[r, c] = res[r + halo - half, c + halo - half]
+        # (r + halo - half, c + halo - half); reference writes centers
+        # whose global coords are in [half, dim - half - 2] (one-short
+        # far-edge quirk) — vectorized global-range mask
+        rr = np.arange(h) + gr0
+        cc = np.arange(w) + gc0
+        rmask = (rr >= half) & (rr <= H - half - 2)
+        cmask = (cc >= half) & (cc <= W - half - 2)
+        m = rmask[:, None] & cmask[None, :]
+        sub = res[halo - half : halo - half + h, halo - half : halo - half + w]
+        out[m] = sub[m]
         return out
 
     return tile_map_with_halo(tiles, fn, halo=half, H=H, W=W, tile=tile, nodata=nodata, **kw)
@@ -461,28 +463,8 @@ def void_fill_tiles(tiles, radius, count, exp, H, W, tile, max_radius=None,
     def fn(padded, hal, gr0, gc0):
         h = padded.shape[0] - 2 * hal
         w = padded.shape[1] - 2 * hal
-        out = padded[hal : hal + h, hal : hal + w].copy()
-        ph, pw = padded.shape
-        for r in range(h):
-            for c in range(w):
-                pr, pc_ = r + hal, c + hal
-                if padded[pr, pc_] != nodata:
-                    continue
-                rad = radius
-                while rad <= max_radius:
-                    d = rad * rad
-                    r0 = int(max(0, pr - rad)); r1 = int(min(ph, pr + rad + 1))
-                    c0 = int(max(0, pc_ - rad)); c1 = int(min(pw, pc_ + rad + 1))
-                    sub = padded[r0:r1, c0:c1]
-                    rr, cc = np.meshgrid(np.arange(r0, r1), np.arange(c0, c1), indexing="ij")
-                    d0 = (cc - pc_) ** 2.0 + (rr - pr) ** 2.0
-                    m = (d0 <= d) & (sub != nodata)
-                    if int(m.sum()) >= count:
-                        dp = 1.0 / np.power(d0[m], exp)
-                        out[r, c] = float(np.sum(dp * sub[m]) / np.sum(dp))
-                        break
-                    rad += 1.0
-        return out
+        filled = KR.void_fill_idw_vec(padded, radius, count, exp, max_radius, nodata)
+        return filled[hal : hal + h, hal : hal + w]
 
     return tile_map_with_halo(tiles, fn, halo=halo, H=H, W=W, tile=tile, nodata=nodata, **kw)
 
@@ -491,11 +473,13 @@ def void_fill_tiles(tiles, radius, count, exp, H, W, tile, max_radius=None,
 # distributed raster assembly: cell stats -> tile rows
 
 def tiles_from_cellstats(stats, value_col, cols, rows, tile, nodata=NODATA,
-                         num_parts=None):
+                         num_parts=None, dense=False):
     """Assemble the per-cell stat Dataset (cell_id row-major-from-top)
     into dense tile rows with nodata fill — the distributed
     raster-export edge (reference: MemRaster filled via writeBlock,
-    src/pointstats.cpp:360-374). One grouped shuffle by tile key."""
+    src/pointstats.cpp:360-374). One grouped shuffle by tile key.
+    dense=True also emits tiles with NO populated cells (a tiny
+    skeleton union — one marker row per tile)."""
 
     def key(t: pa.Table) -> pa.Table:
         cid = t["cell_id"].to_numpy(zero_copy_only=False)
@@ -514,6 +498,20 @@ def tiles_from_cellstats(stats, value_col, cols, rows, tile, nodata=NODATA,
     keyed = stats.map_batches(key, batch_format="pyarrow")
     ntr = (rows + tile - 1) // tile
     ntc = (cols + tile - 1) // tile
+    if dense:
+        tr_all, tc_all = np.meshgrid(np.arange(ntr), np.arange(ntc), indexing="ij")
+        skeleton = ray.data.from_arrow(
+            pa.table(
+                {
+                    "trow": tr_all.ravel().astype(np.int64),
+                    "tcol": tc_all.ravel().astype(np.int64),
+                    "ir": np.full(ntr * ntc, -1, dtype=np.int64),
+                    "ic": np.full(ntr * ntc, -1, dtype=np.int64),
+                    "v": np.full(ntr * ntc, nodata),
+                }
+            )
+        )
+        keyed = keyed.union(skeleton)
 
     def fill(df: pd.DataFrame) -> pd.DataFrame:
         out = []
@@ -521,12 +519,163 @@ def tiles_from_cellstats(stats, value_col, cols, rows, tile, nodata=NODATA,
             h = min(tile, rows - int(tr) * tile)
             w = min(tile, cols - int(tc) * tile)
             arr = np.full((h, w), nodata)
+            g = g[g["ir"] >= 0]
             arr[g["ir"].to_numpy(), g["ic"].to_numpy()] = g["v"].to_numpy()
             out.append({"trow": int(tr), "tcol": int(tc), "h": h, "w": w,
                         "data": arr.ravel().tolist()})
         return pd.DataFrame(out)
 
     return grouped_map(keyed, ["trow", "tcol"], fill, num_parts=num_parts)
+
+
+# ---------------------------------------------------------------------------
+# W4 distributed flood basins: local labels per tile (map_batches),
+# only (label, label) boundary pairs + per-label stats move; a tiny
+# driver union-find over LABELS (not pixels) merges across tiles.
+
+def flood_basins_tiles(
+    tiles: ray.data.Dataset,
+    elevations: list[float],
+    H: int,
+    W: int,
+    tile: int,
+    nodata: float = NODATA,
+    num_parts: int | None = None,
+) -> pd.DataFrame:
+    """-> (elevation, basin, area): 4-connected components of
+    (valid AND v <= elev), labels canonicalized to the full-grid
+    kernel's scan-order ids (rank of the component's min row-major
+    index). The pixel grids never leave their tile tasks."""
+    ntc = (W + tile - 1) // tile
+    cap = tile * tile
+    elevs = list(elevations)
+
+    def local(t: pa.Table) -> pa.Table:
+        stat_rows = {"elev": [], "gid": [], "cnt": [], "minidx": []}
+        edge_rows = {"elev": [], "ek": [], "pos": [], "gid": []}
+        for i in range(len(t)):
+            tr = t["trow"][i].as_py()
+            tc = t["tcol"][i].as_py()
+            h = t["h"][i].as_py()
+            w = t["w"][i].as_py()
+            sub = np.asarray(t["data"][i].as_py(), dtype=np.float64).reshape(h, w)
+            work = np.where(sub == nodata, np.inf, sub)
+            gr0, gc0 = tr * tile, tc * tile
+            base = (tr * ntc + tc) * cap
+            gidx = (gr0 + np.arange(h))[:, None] * W + (gc0 + np.arange(w))[None, :]
+            for ei, elev in enumerate(elevs):
+                lab = KR.flood_fill_label(work, elev)
+                nlab = int(lab.max())
+                if nlab == 0:
+                    continue
+                flat = lab.ravel()
+                m = flat > 0
+                cnt = np.bincount(flat[m], minlength=nlab + 1)[1:]
+                mi = np.full(nlab + 1, np.iinfo(np.int64).max)
+                np.minimum.at(mi, flat[m], gidx.ravel()[m])
+                stat_rows["elev"].extend([elev] * nlab)
+                stat_rows["gid"].extend((base + np.arange(1, nlab + 1)).tolist())
+                stat_rows["cnt"].extend(cnt.tolist())
+                stat_rows["minidx"].extend(mi[1:].tolist())
+                # boundary strips: (orientation, tr_of_boundary, tc) keys
+                for ek, strip, npos in (
+                    ((0, tr, tc), lab[:, w - 1], h),      # right edge of me
+                    ((0, tr, tc - 1), lab[:, 0], h),      # left edge -> west bnd
+                    ((1, tr, tc), lab[h - 1, :], w),      # bottom edge
+                    ((1, tr - 1, tc), lab[0, :], w),      # top edge -> north bnd
+                ):
+                    pos = np.nonzero(strip > 0)[0]
+                    if not len(pos):
+                        continue
+                    kid = ((ek[0] * 100000 + ek[1]) * 100000 + ek[2]) * len(elevs) + ei
+                    edge_rows["elev"].extend([elev] * len(pos))
+                    edge_rows["ek"].extend([kid] * len(pos))
+                    edge_rows["pos"].extend(pos.tolist())
+                    edge_rows["gid"].extend((base + strip[pos]).tolist())
+        st = pa.table(
+            {
+                "kind": np.zeros(len(stat_rows["elev"]), dtype=np.int64),
+                "elev": np.array(stat_rows["elev"], dtype=np.float64),
+                "ek": np.zeros(len(stat_rows["elev"]), dtype=np.int64),
+                "pos": np.zeros(len(stat_rows["elev"]), dtype=np.int64),
+                "gid": np.array(stat_rows["gid"], dtype=np.int64),
+                "cnt": np.array(stat_rows["cnt"], dtype=np.int64),
+                "minidx": np.array(stat_rows["minidx"], dtype=np.int64),
+            }
+        )
+        ed = pa.table(
+            {
+                "kind": np.ones(len(edge_rows["elev"]), dtype=np.int64),
+                "elev": np.array(edge_rows["elev"], dtype=np.float64),
+                "ek": np.array(edge_rows["ek"], dtype=np.int64),
+                "pos": np.array(edge_rows["pos"], dtype=np.int64),
+                "gid": np.array(edge_rows["gid"], dtype=np.int64),
+                "cnt": np.zeros(len(edge_rows["elev"]), dtype=np.int64),
+                "minidx": np.zeros(len(edge_rows["elev"]), dtype=np.int64),
+            }
+        )
+        return pa.concat_tables([st, ed])
+
+    both = tiles.map_batches(local, batch_format="pyarrow").materialize()
+
+    def keep(kind):
+        def fn(t: pa.Table) -> pa.Table:
+            return t.filter(pa.array(t["kind"].to_numpy(zero_copy_only=False) == kind))
+
+        return fn
+
+    # boundary pairs: same (ek, pos) from the two adjoining tiles
+    def pair_up(df: pd.DataFrame) -> pd.DataFrame:
+        out_a, out_b, out_e = [], [], []
+        for (_, _), g in df.groupby(["ek", "pos"], sort=False):
+            gids = g["gid"].to_numpy()
+            if len(gids) == 2:
+                out_a.append(int(gids[0]))
+                out_b.append(int(gids[1]))
+                out_e.append(float(g["elev"].iloc[0]))
+        return pd.DataFrame({"elev": out_e, "ga": out_a, "gb": out_b})
+
+    edges_df = grouped_map(
+        both.map_batches(keep(1), batch_format="pyarrow"), ["ek"], pair_up,
+        num_parts=num_parts,
+    ).to_pandas()
+    if "elev" not in edges_df.columns:  # no cross-tile pairs anywhere
+        edges_df = pd.DataFrame({"elev": [], "ga": [], "gb": []})
+    stats_df = both.map_batches(keep(0), batch_format="pyarrow").to_pandas()
+    if "elev" not in stats_df.columns:
+        stats_df = pd.DataFrame({"elev": [], "gid": [], "cnt": [], "minidx": []})
+
+    # tiny driver union-find over labels, per elevation
+    out_rows = []
+    for elev in elevs:
+        st = stats_df[stats_df["elev"] == elev]
+        ed = edges_df[edges_df["elev"] == elev]
+        parent = {g: g for g in st["gid"]}
+
+        def find(a):
+            while parent[a] != a:
+                parent[a] = parent[parent[a]]
+                a = parent[a]
+            return a
+
+        for ga, gb in zip(ed["ga"], ed["gb"]):
+            ra, rb = find(int(ga)), find(int(gb))
+            if ra != rb:
+                parent[max(ra, rb)] = min(ra, rb)
+        roots = {g: find(int(g)) for g in st["gid"]}
+        agg: dict[int, list] = {}
+        for g, c, mi in zip(st["gid"], st["cnt"], st["minidx"]):
+            r = roots[int(g)]
+            if r not in agg:
+                agg[r] = [0, np.iinfo(np.int64).max]
+            agg[r][0] += int(c)
+            agg[r][1] = min(agg[r][1], int(mi))
+        comp = sorted(agg.values(), key=lambda v: v[1])
+        for bid, (area, _) in enumerate(comp, start=1):
+            out_rows.append({"elevation": float(elev), "basin": bid, "area": area})
+    return pd.DataFrame(out_rows, columns=["elevation", "basin", "area"]).astype(
+        {"basin": np.int64, "area": np.int64}
+    )
 
 
 def detect_hot_keys(ds, key_col, threshold_frac=0.01, sample_frac=0.05, seed=7):

@@ -236,8 +236,13 @@ GROUP BY cell_id"""
 
 
 def q_gap_fraction(sf_dir: str):
-    """A11 gap-fraction bundle per cell (IR / BLa / BLb / RR / FR)."""
+    """A11 gap-fraction bundle per cell (IR / BLa / BLb / RR / FR) —
+    partial-aggregate path: every gap fraction is a ratio of masked
+    sums over INTEGER intensities/counts, so per-batch partial sums
+    (exact in float64) + one tiny grouped rollup reproduce the
+    per-cell kernels bit-for-bit with no per-key Python."""
     from .ops.gridstats import assign_cells, compute_bounds
+    from .stages.grouped import grouped_map
 
     pts = tpch.read_points(sf_dir)
     b = compute_bounds(pts, RES)
@@ -248,23 +253,70 @@ def q_gap_fraction(sf_dir: str):
         keep_cols=("intensity", "cls", "return_num", "num_returns"),
     )
 
-    def per_cell(gdf: pd.DataFrame) -> pd.DataFrame:
-        inten = gdf["intensity"].to_numpy(dtype=np.float64)
-        cls = gdf["cls"].to_numpy()
-        rn = gdf["return_num"].to_numpy()
-        nr = gdf["num_returns"].to_numpy()
+    def partials(t: pa.Table) -> pa.Table:
+        cid = t["cell_id"].to_numpy(zero_copy_only=False)
+        inten = t["intensity"].to_numpy(zero_copy_only=False).astype(np.float64)
+        cls = t["cls"].to_numpy(zero_copy_only=False)
+        rn = t["return_num"].to_numpy(zero_copy_only=False)
+        nr = t["num_returns"].to_numpy(zero_copy_only=False)
+        g = cls == 2
+        sgl = nr == 1
+        lst = (nr > 0) & (rn == nr)
+        fst = (nr > 0) & (rn == 1)
+        mid = (nr > 2) & (rn > 1) & (rn < nr)
+        masked = {
+            "total_i": inten,
+            "canopy_i": inten * ~g,
+            "gnd_i": inten * g,
+            "all_lt2_i": inten * (cls < 2),
+            "gnd_single_i": inten * (g & sgl),
+            "gnd_last_i": inten * (g & lst),
+            "first_i": inten * fst,
+            "single_i": inten * sgl,
+            "mid_i": inten * mid,
+            "last_i": inten * lst,
+            "n": np.ones(len(cid)),
+            "canopy_n": (~g).astype(np.float64),
+            "first_n": fst.astype(np.float64),
+            "first_canopy_n": (fst & ~g).astype(np.float64),
+        }
+        uniq, inv = np.unique(cid, return_inverse=True)
+        out = {"cell_id": uniq}
+        for k, v in masked.items():
+            out[k] = np.bincount(inv, weights=v)
+        return pa.table(out)
+
+    pc = cells.map_batches(partials, batch_format="pyarrow")
+
+    def rollup(df: pd.DataFrame) -> pd.DataFrame:
+        s = df.groupby("cell_id", sort=False).sum().reset_index()
+        nod = -9999.0
+        with np.errstate(divide="ignore", invalid="ignore"):
+            gap_ir = np.where(s["total_i"] != 0, s["canopy_i"] / s["total_i"], nod)
+            gap_bla = np.where(
+                s["all_lt2_i"] != 0, 1.0 - np.sqrt(s["gnd_i"] / s["all_lt2_i"]), nod
+            )
+            denom = (s["first_i"] + s["single_i"]) / s["total_i"] + np.sqrt(
+                (s["mid_i"] + s["last_i"]) / s["total_i"]
+            )
+            num = s["gnd_single_i"] / s["total_i"] + np.sqrt(s["gnd_last_i"] / s["total_i"])
+            gap_blb = np.where(
+                (s["total_i"] != 0) & (denom != 0), num / denom, nod
+            )
+            gap_rr = np.where(s["n"] != 0, s["canopy_n"] / s["n"], nod)
+            gap_fr = np.where(s["first_n"] != 0, s["first_canopy_n"] / s["first_n"], nod)
         return pd.DataFrame(
             {
-                "cell_id": [gdf["cell_id"].iloc[0]],
-                "gap_ir": [float(_round_away(K.gap_fraction_ir(inten, cls), R6))],
-                "gap_bla": [float(_round_away(K.gap_fraction_bla(inten, cls), R6))],
-                "gap_blb": [float(_round_away(K.gap_fraction_blb(inten, cls, rn, nr), R6))],
-                "gap_rr": [float(_round_away(K.gap_fraction_rr(cls), R6))],
-                "gap_fr": [float(_round_away(K.gap_fraction_fr(cls, rn, nr), R6))],
+                "cell_id": s["cell_id"],
+                "gap_ir": _round_away(gap_ir, R6),
+                "gap_bla": _round_away(gap_bla, R6),
+                "gap_blb": _round_away(gap_blb, R6),
+                "gap_rr": _round_away(gap_rr, R6),
+                "gap_fr": _round_away(gap_fr, R6),
             }
         )
 
-    return cells.groupby("cell_id").map_groups(per_cell, batch_format="pandas")
+    return grouped_map(pc, ["cell_id"], rollup)
 
 
 SQL_GAP_FRACTION = PRELUDE + f""",

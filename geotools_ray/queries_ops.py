@@ -218,8 +218,10 @@ FROM fl GROUP BY fid"""
 # rows-only pipelines (deterministic; semantics pytest-verified)
 
 def _mean_grid(sf_dir: str, res: float = 2.0):
-    """Driver-side dense mean-z grid from the distributed grid stats
-    (small at these scales; raster assembly edge)."""
+    """Driver-side dense mean-z grid (used only by the edge-case
+    queries whose geometry step is inherently global: spill points,
+    and the tops fixture of q_spill_points; everything else goes
+    through _mean_tiles — distributed assembly)."""
     pts = tpch.read_points(sf_dir)
     b = compute_bounds(pts, res)
     stats = grid_stats(pts, GridConfig(res=res, bounds=b, stats=("mean",))).to_pandas()
@@ -228,6 +230,20 @@ def _mean_grid(sf_dir: str, res: float = 2.0):
     grid = np.full(cols * rows, -9999.0)
     grid[stats["cell_id"].to_numpy()] = stats["mean"].to_numpy()
     return grid.reshape(rows, cols), b
+
+
+def _mean_tiles(sf_dir: str, res: float = 2.0, tile: int = 16):
+    """Distributed mean-z raster as tile rows: grid stats -> ONE
+    grouped shuffle (tiles_from_cellstats) — no driver dense grid."""
+    from .ops.raster import tiles_from_cellstats
+
+    pts = tpch.read_points(sf_dir)
+    b = compute_bounds(pts, res)
+    stats = grid_stats(pts, GridConfig(res=res, bounds=b, stats=("mean",)))
+    cols = b.cols(res)
+    rows = b.rows(res)
+    tiles = tiles_from_cellstats(stats, "mean", cols, rows, tile, dense=True)
+    return tiles, b, rows, cols
 
 
 def _tile_checksums(out, H, W, tile):
@@ -250,26 +266,24 @@ def _tile_checksums(out, H, W, tile):
 
 
 def q_raster_smooth(sf_dir: str):
-    """W1 gaussian smooth of the mean-z raster, tile-parallel."""
-    from .ops.raster import grid_to_tiles, smooth_tiles
+    """W1 gaussian smooth of the mean-z raster, tile-parallel end to
+    end (distributed assembly -> halo exchange -> checksums)."""
+    from .ops.raster import smooth_tiles
 
-    grid, b = _mean_grid(sf_dir)
-    H, W = grid.shape
-    tiles = ray.data.from_arrow(grid_to_tiles(grid, 16))
+    tiles, b, H, W = _mean_tiles(sf_dir)
     out = smooth_tiles(tiles, sigma=1.0, size=3, H=H, W=W, tile=16, num_parts=8)
     return _tile_checksums(out, H, W, 16)
 
 
 def q_treetops(sf_dir: str):
-    """O3 local-max detection over the smoothed mean-z raster."""
-    from .kernels.raster import smooth
-    from .ops.raster import grid_to_tiles, local_maxima_tiles
+    """O3 local-max detection over the smoothed mean-z raster —
+    distributed assembly -> distributed smooth -> distributed top
+    detection (two chained halo exchanges)."""
+    from .ops.raster import local_maxima_tiles, smooth_tiles
 
-    grid, b = _mean_grid(sf_dir)
-    sm = smooth(grid, 1.0, 3)
-    H, W = sm.shape
-    tiles = ray.data.from_arrow(grid_to_tiles(sm, 16))
-    out = local_maxima_tiles(tiles, window=3, min_height=20.0, H=H, W=W, tile=16, num_parts=8)
+    tiles, b, H, W = _mean_tiles(sf_dir)
+    sm = smooth_tiles(tiles, sigma=1.0, size=3, H=H, W=W, tile=16, num_parts=8)
+    out = local_maxima_tiles(sm, window=3, min_height=20.0, H=H, W=W, tile=16, num_parts=8)
 
     def fin(df: pd.DataFrame) -> pd.DataFrame:
         df = df.copy()
@@ -280,39 +294,39 @@ def q_treetops(sf_dir: str):
 
 
 def q_flood_basins(sf_dir: str):
-    """W4 flood-fill basin labeling (iterative cross-tile union)."""
-    from .ops.raster import flood_label_tiles, grid_to_tiles
+    """W4 flood-fill basin labeling — local labels per tile task, only
+    (label, label) boundary pairs + per-label stats leave the tiles."""
+    from .ops.raster import flood_basins_tiles
 
-    grid, b = _mean_grid(sf_dir)
-    H, W = grid.shape
-    elev = 20.0
-    tiles_df = grid_to_tiles(np.where(grid == -9999.0, 1e9, grid), 16).to_pandas()
-    labels = flood_label_tiles(tiles_df, elev, H, W, 16)
-    ids, counts = np.unique(labels[labels > 0], return_counts=True)
-    return pd.DataFrame({"basin": ids.astype(np.int64), "area": counts.astype(np.int64)})
+    tiles, b, H, W = _mean_tiles(sf_dir)
+    out = flood_basins_tiles(tiles, [20.0], H, W, 16)
+    return out[["basin", "area"]]
 
 
 def q_mosaic(sf_dir: str):
-    """W3 feather+blend of the count raster over the mean raster."""
-    from .ops.raster import grid_to_tiles, mosaic_tiles
+    """W3 feather+blend of the count raster over the mean raster —
+    both sides assembled distributed from the same grid stats."""
+    from .ops.raster import mosaic_tiles, tiles_from_cellstats
 
     pts = tpch.read_points(sf_dir)
     res = 2.0
     b = compute_bounds(pts, res)
-    stats = grid_stats(pts, GridConfig(res=res, bounds=b, stats=("mean", "count"))).to_pandas()
+    stats = grid_stats(pts, GridConfig(res=res, bounds=b, stats=("mean", "count")))
     cols = b.cols(res)
     rows = b.rows(res)
-    base = np.full(cols * rows, -9999.0)
-    base[stats["cell_id"].to_numpy()] = stats["mean"].to_numpy()
-    base = base.reshape(rows, cols)
-    over = np.full(cols * rows, -9999.0)
-    # overlay: counts, only in the left half (a partial image)
-    half = stats[stats["cell_id"] % cols < cols // 2]
-    over[half["cell_id"].to_numpy()] = half["count"].to_numpy()
-    over = over.reshape(rows, cols)
-    H, W = base.shape
-    bt = ray.data.from_arrow(grid_to_tiles(base, 16))
-    ot = ray.data.from_arrow(grid_to_tiles(over, 16))
+
+    def left_half_counts(t: pa.Table) -> pa.Table:
+        cid = t["cell_id"].to_numpy(zero_copy_only=False)
+        keep = cid % cols < cols // 2
+        return t.filter(pa.array(keep))
+
+    stats = stats.materialize()
+    bt = tiles_from_cellstats(stats, "mean", cols, rows, 16, dense=True)
+    ot = tiles_from_cellstats(
+        stats.map_batches(left_half_counts, batch_format="pyarrow"),
+        "count", cols, rows, 16, dense=True,
+    )
+    H, W = rows, cols
     out = mosaic_tiles(bt, ot, distance=3.0, resolution=1.0, H=H, W=W, tile=16, num_parts=8)
     return _tile_checksums(out, H, W, 16)
 
@@ -460,27 +474,31 @@ def q_planar_fit(sf_dir: str):
 # (rows-only; semantics pytest-verified vs kernels)
 
 def q_crowns(sf_dir: str):
-    """O3 + W6: detect tops on the smoothed mean raster, grow crowns."""
+    """O3 + W6: distributed smooth -> distributed top detection (the
+    small tops table is the ONLY thing collected — ST4) -> tile-
+    parallel crown growth."""
     import pyarrow as pa
 
-    from .kernels.raster import local_maxima, smooth
     from .ops.crowns import crown_growth_tiles
-    from .ops.raster import grid_to_tiles
+    from .ops.raster import local_maxima_tiles, smooth_tiles
 
-    grid, b = _mean_grid(sf_dir)
-    sm = smooth(grid, 1.0, 3)
-    tops_list = local_maxima(sm, window=3, min_height=20.0)
+    tiles, b, H, W = _mean_tiles(sf_dir)
+    sm = smooth_tiles(tiles, sigma=1.0, size=3, H=H, W=W, tile=16, num_parts=8).materialize()
+    tops_df = (
+        local_maxima_tiles(sm, window=3, min_height=20.0, H=H, W=W, tile=16, num_parts=8)
+        .to_pandas()
+        .sort_values(["row", "col"])  # kernel's row-major emission order
+        .reset_index(drop=True)
+    )
     tops = pa.table(
         {
-            "id": np.arange(1, len(tops_list) + 1, dtype=np.int64),
-            "col": np.array([t[0] for t in tops_list], dtype=np.int64),
-            "row": np.array([t[1] for t in tops_list], dtype=np.int64),
-            "z": np.array([t[2] for t in tops_list]),
+            "id": np.arange(1, len(tops_df) + 1, dtype=np.int64),
+            "col": tops_df["col"].to_numpy().astype(np.int64),
+            "row": tops_df["row"].to_numpy().astype(np.int64),
+            "z": tops_df["z"].to_numpy().astype(np.float64),
         }
     )
-    H, W = sm.shape
-    tiles = ray.data.from_arrow(grid_to_tiles(sm, 16))
-    out = crown_growth_tiles(tiles, tops, min_height=5.0, height_fraction=0.5,
+    out = crown_growth_tiles(sm, tops, min_height=5.0, height_fraction=0.5,
                              radius=4.0, H=H, W=W, tile=16, num_parts=8)
 
     def fin(df: pd.DataFrame) -> pd.DataFrame:
@@ -512,26 +530,30 @@ def q_spectral(sf_dir: str):
     checkable deterministic labeling) ⋈ mean raster by pixel."""
     import pyarrow as pa
 
-    from .ops.raster import grid_to_tiles
+    from .ops.raster import tiles_from_cellstats
     from .ops.spectral import spectral_extract
     from .queries_raster_sql import SPECTRAL_MIN_N
 
     pts = tpch.read_points(sf_dir)
     res = 2.0
     b = compute_bounds(pts, res)
-    stats = grid_stats(pts, GridConfig(res=res, bounds=b, stats=("mean", "count"))).to_pandas()
+    stats = grid_stats(
+        pts, GridConfig(res=res, bounds=b, stats=("mean", "count"))
+    ).materialize()
     cols = b.cols(res)
     rows = b.rows(res)
-    grid = np.full(cols * rows, -9999.0)
-    grid[stats["cell_id"].to_numpy()] = stats["mean"].to_numpy()
-    grid = grid.reshape(rows, cols)
-    idx = np.full(cols * rows, -9999.0)
-    sel = stats[stats["count"] >= SPECTRAL_MIN_N]
-    idx[sel["cell_id"].to_numpy()] = sel["cell_id"].to_numpy() + 1.0
-    idx = idx.reshape(rows, cols)
-    H, W = grid.shape
-    it = ray.data.from_arrow(grid_to_tiles(idx, 16))
-    bt = ray.data.from_arrow(grid_to_tiles(grid, 16))
+
+    def idx_vals(t: pa.Table) -> pa.Table:
+        cid = t["cell_id"].to_numpy(zero_copy_only=False)
+        n = t["count"].to_numpy(zero_copy_only=False)
+        t = t.append_column("idxval", pa.array((cid + 1).astype(np.float64)))
+        return t.filter(pa.array(n >= SPECTRAL_MIN_N))
+
+    it = tiles_from_cellstats(
+        stats.map_batches(idx_vals, batch_format="pyarrow"),
+        "idxval", cols, rows, 16, dense=True,
+    )
+    bt = tiles_from_cellstats(stats, "mean", cols, rows, 16, dense=True)
     out = spectral_extract(it, bt, 16, res=2.0, minx=b.minx, miny=b.miny)
 
     def fin(df: pd.DataFrame) -> pd.DataFrame:
@@ -544,8 +566,9 @@ def q_spectral(sf_dir: str):
 
 
 def q_raster_diff(sf_dir: str):
-    """J6/A14: per-class stats of (mean - median) rasters."""
-    from .ops.raster import grid_to_tiles
+    """J6/A14: per-class stats of (mean - median) rasters — all three
+    tile sets assembled distributed from the same exact-stat pass."""
+    from .ops.raster import tiles_from_cellstats
     from .ops.spectral import raster_pair_diff_stats
 
     pts = tpch.read_points(sf_dir)
@@ -553,22 +576,19 @@ def q_raster_diff(sf_dir: str):
     b = compute_bounds(pts, res)
     stats = grid_stats(
         pts, GridConfig(res=res, bounds=b, stats=("mean", "median", "count"), strategy="exact")
-    ).to_pandas()
+    ).materialize()
     cols = b.cols(res)
     rows = b.rows(res)
 
-    def dense(col):
-        g = np.full(cols * rows, -9999.0)
-        g[stats["cell_id"].to_numpy()] = stats[col].to_numpy()
-        return g.reshape(rows, cols)
+    def clsval(t: pa.Table) -> pa.Table:
+        n = t["count"].to_numpy(zero_copy_only=False)
+        return t.append_column("clsv", pa.array(n % 4.0 + 1.0))
 
-    a = dense("mean")
-    b2 = dense("median")
-    cls = dense("count")
-    cls = np.where(cls == -9999.0, -9999.0, cls % 4.0 + 1.0)  # 4 classes from count
-    at = ray.data.from_arrow(grid_to_tiles(a, 16))
-    bt = ray.data.from_arrow(grid_to_tiles(b2, 16))
-    ct = ray.data.from_arrow(grid_to_tiles(cls, 16))
+    at = tiles_from_cellstats(stats, "mean", cols, rows, 16, dense=True)
+    bt = tiles_from_cellstats(stats, "median", cols, rows, 16, dense=True)
+    ct = tiles_from_cellstats(
+        stats.map_batches(clsval, batch_format="pyarrow"), "clsv", cols, rows, 16, dense=True
+    )
     out = raster_pair_diff_stats(at, bt, ct)
 
     def fin(df: pd.DataFrame) -> pd.DataFrame:
@@ -581,12 +601,11 @@ def q_raster_diff(sf_dir: str):
 
 
 def q_void_fill(sf_dir: str):
-    """W2: fill the mean raster's empty cells by expanding-radius IDW."""
-    from .ops.raster import grid_to_tiles, void_fill_tiles
+    """W2: fill the mean raster's empty cells by expanding-radius IDW
+    (distributed assembly + vectorized ring-accumulation fill)."""
+    from .ops.raster import void_fill_tiles
 
-    grid, b = _mean_grid(sf_dir)
-    H, W = grid.shape
-    tiles = ray.data.from_arrow(grid_to_tiles(grid, 16))
+    tiles, b, H, W = _mean_tiles(sf_dir)
     out = void_fill_tiles(tiles, radius=2.0, count=3, exp=1.0, H=H, W=W,
                           tile=16, max_radius=6, num_parts=8)
     return _tile_checksums(out, H, W, 16)
@@ -653,12 +672,11 @@ def q_ann_ivf(sf_dir: str):
 
 
 def q_minima(sf_dir: str):
-    """O5 flood seed minima over the mean-z raster (oracle-checked)."""
-    from .ops.raster import grid_to_tiles, minima_tiles
+    """O5 flood seed minima over the mean-z raster (oracle-checked),
+    distributed assembly + halo exchange."""
+    from .ops.raster import minima_tiles
 
-    grid, b = _mean_grid(sf_dir)
-    H, W = grid.shape
-    tiles = ray.data.from_arrow(grid_to_tiles(grid, 16))
+    tiles, b, H, W = _mean_tiles(sf_dir)
     out = minima_tiles(tiles, H=H, W=W, tile=16, num_parts=8)
 
     def fin(df: pd.DataFrame) -> pd.DataFrame:
@@ -863,16 +881,19 @@ FROM lineitem WHERE l_orderkey >= 100 AND l_orderkey <= 2000"""
 
 
 def q_knn_cellring(sf_dir: str):
-    """J9 scale path: kNN via cell-ring expansion over a cell index —
-    oracle-checked against the same SQL as the broadcast kNN."""
+    """J9 scale path: kNN via lockstep cell-ring expansion over the
+    ACTOR-SHARDED cell index (ST3 — streaming build, batched per-ring
+    RPCs) — oracle-checked against the same SQL as the broadcast kNN."""
     from .kernels.grid import Bounds
-    from .ops.celljoin import build_cell_index, knn_cell_ring
+    from .ops.celljoin import build_sharded_cell_index, knn_cell_ring_sharded
 
     pts = tpch.read_points(sf_dir)
     smp = tpch.read_samples_table(sf_dir)
-    idx = build_cell_index(pts, res=5.0, bounds=Bounds(0.0, 0.0, 100.0, 100.0))
+    idx = build_sharded_cell_index(
+        pts, res=5.0, bounds=Bounds(0.0, 0.0, 100.0, 100.0), num_shards=4
+    )
     qds = ray.data.from_arrow(smp)
-    out = knn_cell_ring(qds, idx, k=5)
+    out = knn_cell_ring_sharded(qds, idx, k=5)
 
     def fin(t: pa.Table) -> pa.Table:
         i = t.schema.get_field_index("dist")
@@ -927,11 +948,12 @@ def q_kriging(sf_dir: str):
 
 
 def q_flood_sweep(sf_dir: str):
-    """R10: the flood tool's elevation sweep (basins + spill CSV)."""
-    from .ops.flood import flood_sweep
+    """R10: the flood tool's elevation sweep — every elevation's local
+    labeling runs inside the tile tasks (one pass over the tiles)."""
+    from .ops.raster import flood_basins_tiles
 
-    grid, b = _mean_grid(sf_dir)
-    basins, spills = flood_sweep(grid, start=15.0, end=30.0, step=5.0, max_spill_dist=6.0)
+    tiles, b, H, W = _mean_tiles(sf_dir)
+    basins = flood_basins_tiles(tiles, [15.0, 20.0, 25.0, 30.0], H, W, 16)
     basins = basins.copy()
     basins["elevation"] = _round_away(basins["elevation"].to_numpy(), 4)
     return basins
@@ -939,28 +961,60 @@ def q_flood_sweep(sf_dir: str):
 
 def q_rastfit(sf_dir: str):
     """R7: fit a correction surface between the mean and median
-    rasters and apply it; per-tile checksums of the corrected raster."""
-    from .ops.flood import rastfit_correction
+    rasters and apply it — fully distributed: the diff samples are a
+    hash-ranked sort+limit over the CELL table (tiny), the IDW
+    correction evaluates per batch, the checksum is an aggregate. No
+    dense raster anywhere (src/rastfit.cpp:148-197)."""
+    from ray.data.aggregate import Count, Sum
+
+    from .ops.interp import idw_at
+    from .queries_raster_sql import RASTFIT_N
 
     pts = tpch.read_points(sf_dir)
     res = 2.0
     b = compute_bounds(pts, res)
     stats = grid_stats(
         pts, GridConfig(res=res, bounds=b, stats=("mean", "median"), strategy="exact")
-    ).to_pandas()
+    ).materialize()
     cols = b.cols(res)
-    rows = b.rows(res)
 
-    def dense(col):
-        g = np.full(cols * rows, -9999.0)
-        g[stats["cell_id"].to_numpy()] = stats[col].to_numpy()
-        return g.reshape(rows, cols)
+    def keyed(t: pa.Table) -> pa.Table:
+        cid = t["cell_id"].to_numpy(zero_copy_only=False).astype(np.int64)
+        return pa.table(
+            {
+                "cell_id": cid,
+                "cx": (cid % cols).astype(np.float64),
+                "cy": (cid // cols).astype(np.float64),
+                "mean": t["mean"],
+                "diff": t["mean"].to_numpy(zero_copy_only=False)
+                - t["median"].to_numpy(zero_copy_only=False),
+                "hkey": (cid * 2654435761) % 4294967296,
+            }
+        )
 
-    corrected = rastfit_correction(dense("mean"), dense("median"), n_samples=80, method="idw")
-    valid = corrected != -9999.0
+    cellds = stats.map_batches(keyed, batch_format="pyarrow")
+    smp_df = cellds.sort(["hkey", "cell_id"]).limit(RASTFIT_N).to_pandas()
+    samples = pa.table(
+        {
+            "sx": smp_df["cx"].to_numpy(),
+            "sy": smp_df["cy"].to_numpy(),
+            "sz": smp_df["diff"].to_numpy(),
+        }
+    )
+    corr = idw_at(cellds, samples, exponent=1.0, exact_hits=True)
+
+    def corrected(t: pa.Table) -> pa.Table:
+        cv = t["mean"].to_numpy(zero_copy_only=False) - t["idw_z"].to_numpy(
+            zero_copy_only=False
+        )
+        return pa.table({"cv": cv})
+
+    agg = corr.map_batches(corrected, batch_format="pyarrow").aggregate(
+        Count(), Sum("cv")
+    )
     return pd.DataFrame(
         {
-            "n_valid": [int(valid.sum())],
-            "checksum": [float(_round_away(corrected[valid].sum(), 4))],
+            "n_valid": [np.int64(agg["count()"])],
+            "checksum": [float(_round_away(agg["sum(cv)"], 4))],
         }
     )

@@ -159,3 +159,26 @@ def test_detect_hot_keys(ray_ctx):
     skew = ray_ctx.from_items([{"k": 1 if i < 5000 else i, "v": i} for i in range(10000)])
     hot = detect_hot_keys(skew, "k", threshold_frac=0.1, sample_frac=0.5)
     assert 1 in hot and len(hot) == 1
+
+
+def test_flood_basins_tiles_matches_kernel(ray_session):
+    """Distributed basin labeling (local labels + boundary-pair
+    union-find) == the full-grid scanline kernel's (basin, area)."""
+    import ray.data
+
+    from geotools_ray.kernels import raster as KR
+    from geotools_ray.ops.raster import flood_basins_tiles, grid_to_tiles
+
+    rng = np.random.RandomState(9)
+    grid = rng.uniform(0, 40, (37, 53))
+    grid[rng.uniform(size=grid.shape) < 0.3] = KR.NODATA
+    H, W = grid.shape
+    tiles = ray.data.from_arrow(grid_to_tiles(grid, 16))
+    got = flood_basins_tiles(tiles, [20.0], H, W, 16)
+
+    labels = KR.flood_fill_label(np.where(grid == KR.NODATA, np.inf, grid), 20.0)
+    ids, counts = np.unique(labels[labels > 0], return_counts=True)
+    want = pd.DataFrame({"basin": ids.astype(np.int64), "area": counts.astype(np.int64)})
+    pd.testing.assert_frame_equal(
+        got[["basin", "area"]].reset_index(drop=True), want
+    )
