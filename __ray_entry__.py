@@ -149,6 +149,8 @@ def queries() -> dict[str, Callable[[str], Any]]:
         "boundary_cells": QO.q_boundary_cells,
         "datum_vectors": QO.q_datum_vectors,
         "natural_neighbour": QO.q_natural_neighbour,
+        "raster_correction": QO.q_raster_correction,
+        "zonal_wkb": QO.q_zonal_wkb,
     }
     qs.update(_image_queries())
     return qs
@@ -203,6 +205,7 @@ def oracle_sql() -> dict[str, str]:
         "rastfit": QR.SQL_RASTFIT,
         "boundary_cells": QR.SQL_BOUNDARY_CELLS,
         "datum_vectors": QR.SQL_DATUM_VECTORS,
+        "zonal_wkb": Q.SQL_ZONAL_PAIRS,
         # round-2 dedup-family oracles (queries_dedup_sql)
         "ngram_pairs": QD.SQL_NGRAM_PAIRS,
         "minhash_dedup": QD.SQL_MINHASH_DEDUP,

@@ -775,6 +775,61 @@ def q_datum_vectors(sf_dir: str):
     return pd.DataFrame(rows)
 
 
+def q_zonal_wkb(sf_dir: str):
+    """S6: zonal pair join where the polygon layer arrives as a WKB
+    binary column (parsed through sources/wkb) — same oracle as
+    zonal_pairs, proving ingestion parity."""
+    from .queries import RECT_POLYS
+    from .sources.wkb import polygon_to_wkb, read_polygon_table
+    from .ops import zonal as Z
+
+    ptab = pa.table(
+        {
+            "polygon_id": np.array([p.polygon_id for p in RECT_POLYS], dtype=np.int64),
+            "wkb": pa.array([polygon_to_wkb(p.rings) for p in RECT_POLYS], pa.binary()),
+            "name": [f"zone{p.polygon_id}" for p in RECT_POLYS],
+        }
+    )
+    polys, attrs = read_polygon_table(ptab, attr_cols=("name",))
+    pts = tpch.read_points(sf_dir)
+    return Z.zonal_join(pts, polys, keep_cols=("l_orderkey", "l_linenumber"))
+
+
+def q_raster_correction(sf_dir: str):
+    """R8 mosaic-graph diff correction: four class-filtered mean
+    rasters (rid 0 = all points = the root), all-pairs overlap diff
+    stats in one grouped shuffle, greedy max-count chains -> per-
+    raster z shift (rows-only; chain semantics pytest-verified against
+    a straight-line transcription)."""
+    from .ops.mosaicgraph import raster_diff_correction
+    from .ops.raster import tiles_from_cellstats
+
+    pts = tpch.read_points(sf_dir)
+    res = 2.0
+    b = compute_bounds(pts, res)
+    cols = b.cols(res)
+    rows = b.rows(res)
+
+    tagged = None
+    for rid, cf in ((0, None), (1, frozenset({1})), (2, frozenset({2})), (3, frozenset({3}))):
+        stats = grid_stats(
+            pts, GridConfig(res=res, bounds=b, stats=("mean",), class_filter=cf)
+        )
+        tiles = tiles_from_cellstats(stats, "mean", cols, rows, 16, dense=True)
+
+        def tag(t: pa.Table, rid=rid) -> pa.Table:
+            return t.append_column("rid", pa.array(np.full(len(t), rid, dtype=np.int64)))
+
+        tagged_k = tiles.map_batches(tag, batch_format="pyarrow")
+        tagged = tagged_k if tagged is None else tagged.union(tagged_k)
+
+    out = raster_diff_correction(tagged, root=0)
+    out = out.copy()
+    out["shift"] = _round_away(out["shift"].to_numpy(), 6)
+    out["rid"] = out["rid"].astype(np.int64)
+    return out
+
+
 def q_natural_neighbour(sf_dir: str):
     """R5 Sibson natural-neighbour interpolation of sample z at cell
     centroids (rows-only — Voronoi area-stealing is not SQL-

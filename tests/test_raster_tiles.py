@@ -182,3 +182,48 @@ def test_flood_basins_tiles_matches_kernel(ray_session):
     pd.testing.assert_frame_equal(
         got[["basin", "area"]].reset_index(drop=True), want
     )
+
+
+def test_raster_diff_correction_chains(ray_session):
+    """R8: distributed pairwise stats + greedy chains match a
+    straight-line transcription of the reference's graph walk."""
+    import ray.data
+
+    from geotools_ray.ops.mosaicgraph import (
+        build_chains, pairwise_diff_stats, raster_diff_correction,
+    )
+    from geotools_ray.ops.raster import grid_to_tiles
+
+    rng = np.random.RandomState(21)
+    base = rng.uniform(10, 20, (30, 40))
+    NOD = -9999.0
+    rasters = {}
+    shifts = {0: 0.0, 1: 1.5, 2: -2.25, 3: 0.75}
+    for rid, sh in shifts.items():
+        g = base + sh
+        mask = rng.uniform(size=g.shape) < 0.15 * (rid + 1) / 4
+        g[mask] = NOD
+        rasters[rid] = g
+
+    tagged = None
+    for rid, g in rasters.items():
+        t = grid_to_tiles(g, 16).to_pandas()
+        t["rid"] = rid
+        ds = ray.data.from_pandas(t)
+        tagged = ds if tagged is None else tagged.union(ds)
+
+    pairs = pairwise_diff_stats(tagged)
+    # straight-line oracle for the pair stats
+    for _, r in pairs.iterrows():
+        a, b = rasters[int(r["i"])], rasters[int(r["j"])]
+        ok = (a != NOD) & (b != NOD)
+        assert int(r["count"]) == int(ok.sum())
+        assert abs(float(r["sum"]) - float((a[ok] - b[ok]).sum())) < 1e-6
+
+    out = raster_diff_correction(tagged, root=0).set_index("rid")["shift"]
+    # every raster's chain lands on rid 0 (full overlap -> max-count
+    # edge from j is to the raster with most valid pixels, rid 0);
+    # shift recovers -(planted offset) within diff-mean noise
+    for rid in (1, 2, 3):
+        assert abs(out.loc[rid] - (-shifts[rid])) < 1e-6
+    assert 0 not in out.index  # the root emits no row (reference quirk)
