@@ -65,11 +65,39 @@ def _image_queries() -> dict[str, Callable[[str], Any]]:
         out = ds.map_batches(DecodeStage, batch_format="pyarrow", batch_size=512, concurrency=2)
         return out.select_columns(["image_id", "w", "h", "fmt", "mean_r", "mean_g", "mean_b"])
 
+    from geotools_ray.stages import multimodal as MM
+
+    def _sf_n(sf_dir: str, base: int) -> int:
+        mult = {"sf0.001": 1, "sf0.01": 2, "sf0.1": 4}.get(
+            os.path.basename(os.path.normpath(sf_dir)), 1
+        )
+        return base * mult
+
+    def audio_features(sf_dir: str):
+        ds = ray.data.from_arrow(MM.generate_audio_table(_sf_n(sf_dir, 500), seed=7))
+        out = ds.map_batches(
+            MM.AudioFeatureStage, batch_format="pyarrow", batch_size=128,
+            concurrency=2, fn_constructor_kwargs={"deterministic_fake": True},
+        )
+        return out.select_columns(["clip_id", "rms", "zcr"])
+
+    def video_frames(sf_dir: str):
+        ds = ray.data.from_arrow(MM.generate_video_table(_sf_n(sf_dir, 200), seed=7))
+        out = ds.map_batches(
+            MM.VideoFrameSampleStage, batch_format="pyarrow", batch_size=64,
+            concurrency=2, fn_constructor_kwargs={"stride": 30, "deterministic_fake": True},
+        )
+        return out
+
     return {
         "img_flagship": img_flagship,
         "img_join_pairs": img_join_pairs,
         "img_dedup": img_dedup,
         "img_decode_features": img_decode_features,
+        # multimodal actor-pool stages over deterministic fake codecs
+        # (real codecs unavailable in-container; plumbing is the point)
+        "audio_features": audio_features,
+        "video_frames": video_frames,
     }
 
 
@@ -151,6 +179,7 @@ def queries() -> dict[str, Callable[[str], Any]]:
         "natural_neighbour": QO.q_natural_neighbour,
         "raster_correction": QO.q_raster_correction,
         "zonal_wkb": QO.q_zonal_wkb,
+        "srtm_lakes": QO.q_srtm_lakes,
     }
     qs.update(_image_queries())
     return qs

@@ -405,3 +405,40 @@ def edge_cells_boundary(occ: np.ndarray) -> list[tuple[int, int]]:
             ):
                 out.append((c, r))
     return out
+
+
+def srtm_lakes(grid: np.ndarray, minsize: int, nodata: float = NODATA) -> np.ndarray:
+    """R12 lake flattening (src/utils/srtm_lakes.cpp:23-93): row-major
+    seed scan; 8-connected BFS collects cells EQUAL to the seed
+    elevation; every popped cell is consumed (set nodata in the work
+    grid) even when unequal — the reference's quirk, reproduced — and
+    regions of >= minsize cells write their elevation into the water
+    grid (else nothing)."""
+    from collections import deque
+
+    h, w = grid.shape
+    work = grid.copy()
+    water = np.zeros_like(grid)
+    for sr in range(h):
+        for sc in range(w):
+            el = work[sr, sc]
+            if el == nodata:
+                continue
+            q = deque([(sc, sr)])
+            out = []
+            while q:
+                c, r = q.popleft()
+                if c < 0 or r < 0 or c >= w or r >= h:
+                    continue
+                v = work[r, c]
+                if v != nodata:
+                    work[r, c] = nodata
+                    if v == el:
+                        out.append((c, r))
+                        for dc, dr in ((-1, 0), (1, 0), (0, -1), (0, 1),
+                                       (-1, -1), (-1, 1), (1, -1), (1, 1)):
+                            q.append((c + dc, r + dr))
+            if len(out) >= minsize:
+                for c, r in out:
+                    water[r, c] = el
+    return water

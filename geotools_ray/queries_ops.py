@@ -369,21 +369,12 @@ def q_datum_transform(sf_dir: str):
 
 def q_normalize_height(sf_dir: str):
     """M7: TIN height normalization per 12.5-unit cell; per-cell rollup."""
-    from .ops.gridstats import assign_cells
     from .ops.interp import normalize_height
 
     pts = tpch.read_points(sf_dir)
     res = 12.5
     b = compute_bounds(pts, res)
-    cells = assign_cells(
-        pts, GridConfig(res=res, stats=("count",)), b, keep_cols=("cls",)
-    )
 
-    def attach_xy(t: pa.Table) -> pa.Table:
-        return t
-
-    # assign_cells outputs (cell_id, v=value, cls); we need x/y too —
-    # recompute from the source with coordinates kept
     def with_cells(t: pa.Table) -> pa.Table:
         from .kernels.grid import cell_id_of_points
 
@@ -773,6 +764,22 @@ def q_datum_vectors(sf_dir: str):
             }
         )
     return pd.DataFrame(rows)
+
+
+def q_srtm_lakes(sf_dir: str):
+    """R12 lake flattening over the quantized mean raster (flat
+    regions >= minsize become water at their elevation) — rows-only;
+    the BFS consume-quirk is inherently scan-ordered (driver kernel),
+    pytest-verified with planted lakes."""
+    from .kernels.raster import srtm_lakes
+
+    grid, b = _mean_grid(sf_dir)
+    quant = np.where(grid == -9999.0, -9999.0, np.floor(grid / 5.0) * 5.0)
+    water = srtm_lakes(quant, minsize=10)
+    els, counts = np.unique(water[water > 0], return_counts=True)
+    return pd.DataFrame(
+        {"elevation": els.astype(np.float64), "n_cells": counts.astype(np.int64)}
+    )
 
 
 def q_zonal_wkb(sf_dir: str):

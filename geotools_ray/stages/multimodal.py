@@ -127,3 +127,31 @@ class VideoFrameSampleStage:
                 "mean_luma": pa.array(out_luma),
             }
         )
+
+
+def generate_audio_table(n: int, seed: int = 0) -> pa.Table:
+    """Deterministic synthetic audio rows (payload bytes seed the fake
+    decoder) — the driver-query input analog of generate_image_table."""
+    rng = np.random.RandomState(seed)
+    rows = {
+        "clip_id": [f"clip{i:06d}" for i in range(n)],
+        "bytes": [rng.bytes(64) for _ in range(n)],
+        "sample_rate": pa.array(np.full(n, 16000, dtype=np.int32)),
+        "n_samples": pa.array(rng.randint(8000, 64000, n).astype(np.int64)),
+        "fmt": ["wav"] * n,
+    }
+    return pa.Table.from_pydict(rows, schema=AUDIO_SCHEMA)
+
+
+def generate_video_table(n: int, seed: int = 0) -> pa.Table:
+    rng = np.random.RandomState(seed)
+    rows = {
+        "video_id": [f"v{i:06d}" for i in range(n)],
+        "bytes": [rng.bytes(32) for _ in range(n)],
+        "w": pa.array(np.full(n, 64, dtype=np.int32)),
+        "h": pa.array(np.full(n, 48, dtype=np.int32)),
+        "fps": pa.array(np.full(n, 30.0)),
+        "n_frames": pa.array(rng.randint(30, 240, n).astype(np.int32)),
+        "fmt": ["h264"] * n,
+    }
+    return pa.Table.from_pydict(rows, schema=VIDEO_SCHEMA)

@@ -227,3 +227,19 @@ def test_raster_diff_correction_chains(ray_session):
     for rid in (1, 2, 3):
         assert abs(out.loc[rid] - (-shifts[rid])) < 1e-6
     assert 0 not in out.index  # the root emits no row (reference quirk)
+
+
+def test_srtm_lakes_planted():
+    """R12: planted flat regions >= minsize become water at their
+    elevation; smaller flats and varying terrain do not."""
+    from geotools_ray.kernels.raster import NODATA, srtm_lakes
+
+    rng = np.random.RandomState(5)
+    g = rng.uniform(100, 200, (20, 20))
+    g[2:6, 2:6] = 150.0          # 16-cell lake
+    g[10:12, 10:12] = 170.0      # 4-cell flat (below minsize)
+    g[0, 19] = NODATA
+    water = srtm_lakes(g, minsize=10)
+    assert (water[2:6, 2:6] == 150.0).all()
+    assert (water[10:12, 10:12] == 0.0).all()
+    assert water[15, 15] == 0.0

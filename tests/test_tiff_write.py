@@ -1,0 +1,53 @@
+"""S5 GeoTIFF write path round-trip through our own reader."""
+
+import numpy as np
+
+
+def test_tiff_roundtrip(tmp_path):
+    from geotools_ray.sources.tiff import read_tiff, write_tiff
+
+    rng = np.random.RandomState(0)
+    grid = rng.uniform(-100, 100, (13, 17)).astype(np.float32)
+    gt = (5000.0, 2.0, 0.0, 81000.0, 0.0, -2.0)
+    p = str(tmp_path / "x.tif")
+    write_tiff(p, grid, gt)
+    bands, gt2 = read_tiff(p)
+    np.testing.assert_array_equal(bands[0], grid)
+    assert tuple(np.round(gt2, 9)) == gt
+
+
+def test_tiff_multiband_roundtrip(tmp_path):
+    from geotools_ray.sources.tiff import read_tiff, write_tiff
+
+    rng = np.random.RandomState(1)
+    bands = rng.uniform(0, 1, (3, 7, 9)).astype(np.float32)
+    p = str(tmp_path / "m.tif")
+    write_tiff(p, bands)
+    got, _ = read_tiff(p)
+    np.testing.assert_array_equal(got, bands)
+
+
+def test_gvb_to_tiff_roundtrip(tmp_path):
+    """S10: synthesize a GVB velocity grid, convert, verify bands and
+    geotransform against the source arrays."""
+    from geotools_ray.sources.gvb import gvb_to_tiff, write_gvb
+    from geotools_ray.sources.tiff import read_tiff
+
+    rng = np.random.RandomState(3)
+    rows, cols = 5, 7
+    bands = rng.uniform(-10, 10, (6, rows, cols)).astype(np.float32)
+    # lat 40..41 deg in arcsec steps of 0.25 deg; lon spans (pos-west)
+    lat_inc, lon_inc = 900.0, 900.0
+    s_lat = 40 * 3600.0
+    n_lat = s_lat + (rows - 1) * lat_inc
+    e_lon = 100 * 3600.0
+    w_lon = e_lon + (cols - 1) * lon_inc
+    src = str(tmp_path / "g.gvb")
+    dst = str(tmp_path / "g.tif")
+    write_gvb(src, bands, s_lat, n_lat, w_lon, e_lon, lat_inc, lon_inc)
+    gvb_to_tiff(src, dst)
+    got, gt = read_tiff(dst)
+    np.testing.assert_array_equal(got, bands)
+    assert abs(gt[0] - (-w_lon / 3600.0)) < 1e-9
+    assert abs(gt[1] - lon_inc / 3600.0) < 1e-9
+    assert abs(gt[3] - n_lat / 3600.0) < 1e-9
