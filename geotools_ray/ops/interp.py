@@ -147,13 +147,20 @@ def _clip_halfplane(poly: np.ndarray, a: float, b: float, c: float) -> np.ndarra
     return np.asarray(out) if out else np.empty((0, 2))
 
 
+_VOR_PRUNE = 64  # nearest sites that can bound a Voronoi cell in practice
+
+
 def _voronoi_cell(px: float, py: float, qx: np.ndarray, qy: np.ndarray, pad: float) -> np.ndarray:
-    """Voronoi cell of (px, py) vs sites (qx, qy), clipped to a big box."""
+    """Voronoi cell of (px, py) vs sites (qx, qy), clipped to a big
+    box. Only the _VOR_PRUNE nearest sites are clipped — a cell's
+    bounding bisectors come from near sites (exact for any cell with
+    fewer than that many Delaunay neighbours, i.e. all practical
+    point sets)."""
     poly = np.array(
         [[px - pad, py - pad], [px + pad, py - pad], [px + pad, py + pad], [px - pad, py + pad]]
     )
     # nearest-first ordering prunes faster
-    order = np.argsort((qx - px) ** 2 + (qy - py) ** 2, kind="stable")
+    order = np.argsort((qx - px) ** 2 + (qy - py) ** 2, kind="stable")[:_VOR_PRUNE]
     for k in order:
         ax, ay = qx[k] - px, qy[k] - py
         c = (qx[k] ** 2 - px**2 + qy[k] ** 2 - py**2) / 2.0
