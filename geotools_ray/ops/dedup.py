@@ -148,7 +148,7 @@ def verify_jaccard(
             )
         return pd.concat(out)
 
-    halves = grouped_map(u, ["key"], attach)
+    halves = grouped_map(u, ["key"], attach, num_parts=16)
 
     def jac(df: pd.DataFrame) -> pd.DataFrame:
         out_a, out_b, out_j = [], [], []
@@ -174,7 +174,7 @@ def verify_jaccard(
              "jaccard": np.array(out_j, dtype=np.float64)}
         )
 
-    return grouped_map(halves, ["id_a", "id_b"], jac)
+    return grouped_map(halves, ["id_a", "id_b"], jac, num_parts=16)
 
 
 # ---------------------------------------------------------------------------
@@ -204,7 +204,7 @@ def connected_components(pairs: ray.data.Dataset, max_rounds: int = 30) -> ray.d
         g["label"] = np.minimum(g["node"], g["nbr"])
         return g[["node", "label"]]
 
-    labels = grouped_map(edges, ["node"], init_lab).materialize()
+    labels = grouped_map(edges, ["node"], init_lab, num_parts=16).materialize()
 
     for _ in range(max_rounds):
         # ---- gather: node <- min(own label, labels of neighbours)
@@ -239,13 +239,13 @@ def connected_components(pairs: ray.data.Dataset, max_rounds: int = 30) -> ray.d
                 out.append(pd.DataFrame(rows))
             return pd.concat(out) if out else pd.DataFrame({"node": [], "cand": []})
 
-        msgs = grouped_map(u, ["_k"], gather)
+        msgs = grouped_map(u, ["_k"], gather, num_parts=16)
 
         def minmerge(df: pd.DataFrame) -> pd.DataFrame:
             g = df.groupby("node", sort=False)["cand"].min().reset_index()
             return g.rename(columns={"cand": "label"})
 
-        new_labels = grouped_map(msgs, ["node"], minmerge).materialize()
+        new_labels = grouped_map(msgs, ["node"], minmerge, num_parts=16).materialize()
 
         # ---- changed count (tiny aggregate, no driver dicts)
         def diff_tag(df: pd.DataFrame) -> pd.DataFrame:
@@ -255,7 +255,7 @@ def connected_components(pairs: ray.data.Dataset, max_rounds: int = 30) -> ray.d
 
         both = labels.union(new_labels)
         changed = int(
-            grouped_map(both, ["node"], diff_tag).sum("changed") or 0
+            grouped_map(both, ["node"], diff_tag, num_parts=16).sum("changed") or 0
         )
 
         # ---- pointer jump: label := label(label)
@@ -284,7 +284,7 @@ def connected_components(pairs: ray.data.Dataset, max_rounds: int = 30) -> ray.d
                 out.append(pd.DataFrame({"node": queries["node"].astype(np.int64), "label": tgt}))
             return pd.concat(out) if out else pd.DataFrame({"node": [], "label": []})
 
-        labels = grouped_map(u2, ["_k"], jump).materialize()
+        labels = grouped_map(u2, ["_k"], jump, num_parts=16).materialize()
         if changed == 0:
             break
     else:
@@ -359,12 +359,12 @@ def lsh_candidate_pairs(
             {"id_a": np.concatenate(out_a), "id_b": np.concatenate(out_b)}
         ).drop_duplicates()
 
-    cand = grouped_map(exploded, ["band", "bhash"], pairs)
+    cand = grouped_map(exploded, ["band", "bhash"], pairs, num_parts=16)
 
     def dedup_pairs(df: pd.DataFrame) -> pd.DataFrame:
         return df.drop_duplicates(["id_a", "id_b"])
 
-    return grouped_map(cand, ["id_a", "id_b"], dedup_pairs)
+    return grouped_map(cand, ["id_a", "id_b"], dedup_pairs, num_parts=16)
 
 
 def minhash_lsh_dedup(
@@ -398,50 +398,62 @@ def simhash_pairs(
     widths = [64 // nb + (1 if i < 64 % nb else 0) for i in range(nb)]
     offs = np.cumsum([0] + widths[:-1])
 
-    def hashes(t: pa.Table) -> pa.Table:
-        ids = t[id_col].to_numpy(zero_copy_only=False)
+    def explode(t: pa.Table) -> pa.Table:
+        """(band, bval, doc_id, sh) — one row per doc per band, so ALL
+        bands bucket in ONE grouped shuffle."""
+        ids = t[id_col].to_numpy(zero_copy_only=False).astype(np.int64)
         hs = T.simhash64_batch(t[text_col].to_pylist())
-        out = {id_col: ids, "sh": hs.astype(np.int64)}
-        for b in range(nb):
-            mask = np.uint64((1 << widths[b]) - 1)
-            out[f"band{b}"] = ((hs >> np.uint64(offs[b])) & mask).astype(np.int64)
-        return pa.table(out)
+        n = len(ids)
+        band_col = np.repeat(np.arange(nb, dtype=np.int64), n)
+        bvals = np.concatenate(
+            [
+                ((hs >> np.uint64(offs[b])) & np.uint64((1 << widths[b]) - 1)).astype(
+                    np.int64
+                )
+                for b in range(nb)
+            ]
+        )
+        return pa.table(
+            {
+                "band": band_col,
+                "bval": bvals,
+                id_col: np.tile(ids, nb),
+                "sh": np.tile(hs.astype(np.int64), nb),
+            }
+        )
 
-    hds = docs.map_batches(hashes, batch_format="pyarrow").materialize()
+    exploded = docs.map_batches(explode, batch_format="pyarrow")
 
-    outs = []
-    for b in range(nb):
-        def pairs(df: pd.DataFrame, b=b) -> pd.DataFrame:
-            frames = []
-            for _, g in df.groupby(f"band{b}", sort=False):
-                if len(g) < 2:
-                    continue
-                order = np.argsort(g["doc_id"].to_numpy())
-                ids = g["doc_id"].to_numpy()[order]
-                sh = g["sh"].to_numpy().astype(np.uint64)[order]
-                ii, jj = np.triu_indices(len(ids), k=1)
-                d = _popcount64(sh[ii] ^ sh[jj])
-                keep = d <= max_hamming
-                if keep.any():
-                    frames.append(
-                        pd.DataFrame(
-                            {"id_a": ids[ii[keep]], "id_b": ids[jj[keep]],
-                             "hamming": d[keep]}
-                        )
+    def pairs(df: pd.DataFrame) -> pd.DataFrame:
+        frames = []
+        for _, g in df.groupby(["band", "bval"], sort=False):
+            if len(g) < 2:
+                continue
+            order = np.argsort(g[id_col].to_numpy())
+            ids = g[id_col].to_numpy()[order]
+            sh = g["sh"].to_numpy().astype(np.uint64)[order]
+            ii, jj = np.triu_indices(len(ids), k=1)
+            d = _popcount64(sh[ii] ^ sh[jj])
+            keep = d <= max_hamming
+            if keep.any():
+                frames.append(
+                    pd.DataFrame(
+                        {"id_a": ids[ii[keep]], "id_b": ids[jj[keep]], "hamming": d[keep]}
                     )
-            if not frames:
-                return pd.DataFrame({"id_a": [], "id_b": [], "hamming": []})
-            return pd.concat(frames)
+                )
+        if not frames:
+            return pd.DataFrame(
+                {"id_a": pd.Series(dtype=np.int64), "id_b": pd.Series(dtype=np.int64),
+                 "hamming": pd.Series(dtype=np.int64)}
+            )
+        return pd.concat(frames).drop_duplicates(["id_a", "id_b"])
 
-        outs.append(grouped_map(hds, [f"band{b}"], pairs))
-    allp = outs[0]
-    for o in outs[1:]:
-        allp = allp.union(o)
+    allp = grouped_map(exploded, ["band", "bval"], pairs, num_parts=16)
 
     def final(df: pd.DataFrame) -> pd.DataFrame:
         return df.drop_duplicates(["id_a", "id_b"])
 
-    return grouped_map(allp, ["id_a", "id_b"], final)
+    return grouped_map(allp, ["id_a", "id_b"], final, num_parts=16)
 
 
 # ---------------------------------------------------------------------------
@@ -458,46 +470,85 @@ def ngram_jaccard_pairs(
     verify applies the exact threshold. Shingle buckets larger than
     max_bucket (stop-shingle blowup) are dropped WITH A LOG — at the
     tested scales no bucket comes close."""
-    sets = shingle_sets(docs, text_col, id_col, n).materialize()
+    sets = shingle_sets(docs, text_col, id_col, n)
 
     def explode(t: pa.Table) -> pa.Table:
-        ids = t[id_col].to_numpy(zero_copy_only=False)
-        out_id, out_sh = [], []
-        for i in range(len(t)):
-            hs = t["sh"][i].as_py()
-            out_id.extend([ids[i]] * len(hs))
-            out_sh.extend(hs)
+        """(doc_id, shingle, nset) — each row carries its doc's
+        distinct-shingle count so the pair stage needs no size join."""
+        ids = t[id_col].to_numpy(zero_copy_only=False).astype(np.int64)
+        col = t["sh"]
+        if isinstance(col, pa.ChunkedArray):
+            col = col.combine_chunks()
+        offs = col.offsets.to_numpy(zero_copy_only=False)
+        flat = col.values.to_numpy(zero_copy_only=False)
+        counts = np.diff(offs)
         return pa.table(
-            {"doc_id": np.array(out_id, dtype=np.int64),
-             "shingle": np.array(out_sh, dtype=np.int64)}
+            {
+                "doc_id": np.repeat(ids, counts),
+                "shingle": flat[offs[0] : offs[-1]].astype(np.int64),
+                "nset": np.repeat(counts.astype(np.int64), counts),
+            }
         )
 
     exploded = sets.map_batches(explode, batch_format="pyarrow")
 
-    def pairs(df: pd.DataFrame) -> pd.DataFrame:
+    def shared(df: pd.DataFrame) -> pd.DataFrame:
+        """Per shingle bucket, one (id_a, id_b, na, nb) row per SHARED
+        shingle (multiplicity = |A∩B| after the final count)."""
+        sh = df["shingle"].to_numpy()
+        ids = df["doc_id"].to_numpy()
+        ns = df["nset"].to_numpy()
+        order = np.lexsort((ids, sh))
+        sh_s, ids_s, ns_s = sh[order], ids[order], ns[order]
+        uniq, starts, counts = np.unique(sh_s, return_index=True, return_counts=True)
         out = []
-        for sh, g in df.groupby("shingle", sort=False):
-            m = len(g)
-            if m < 2:
-                continue
+        for k in np.nonzero(counts >= 2)[0]:
+            m = int(counts[k])
             if m > max_bucket:
                 import logging
 
                 logging.getLogger(__name__).warning(
-                    "ngram_jaccard_pairs: dropping shingle bucket %d with %d docs", sh, m
+                    "ngram_jaccard_pairs: dropping shingle bucket %d with %d docs",
+                    int(uniq[k]), m,
                 )
                 continue
-            ids = np.sort(g["doc_id"].to_numpy())
+            sl = slice(starts[k], starts[k] + m)
             ii, jj = np.triu_indices(m, k=1)
-            out.append(pd.DataFrame({"id_a": ids[ii], "id_b": ids[jj]}))
+            out.append((ids_s[sl][ii], ids_s[sl][jj], ns_s[sl][ii], ns_s[sl][jj]))
         if not out:
-            return pd.DataFrame({"id_a": [], "id_b": []})
-        return pd.concat(out).drop_duplicates()
+            return pd.DataFrame(
+                {c: pd.Series(dtype=np.int64) for c in ("id_a", "id_b", "na", "nb")}
+            )
+        return pd.DataFrame(
+            {
+                "id_a": np.concatenate([o[0] for o in out]),
+                "id_b": np.concatenate([o[1] for o in out]),
+                "na": np.concatenate([o[2] for o in out]),
+                "nb": np.concatenate([o[3] for o in out]),
+            }
+        )
 
-    cand = grouped_map(exploded, ["shingle"], pairs)
+    cand = grouped_map(exploded, ["shingle"], shared, num_parts=16)
 
-    def dedup_pairs(df: pd.DataFrame) -> pd.DataFrame:
-        return df.drop_duplicates(["id_a", "id_b"])
+    def finalize(df: pd.DataFrame) -> pd.DataFrame:
+        """|A∩B| = row multiplicity per pair — one vectorized unique."""
+        if not len(df):
+            return pd.DataFrame(
+                {"id_a": pd.Series(dtype=np.int64), "id_b": pd.Series(dtype=np.int64),
+                 "jaccard": pd.Series(dtype=np.float64)}
+            )
+        key = df["id_a"].to_numpy() * (1 << 32) + df["id_b"].to_numpy()
+        uniq, idx, inter = np.unique(key, return_index=True, return_counts=True)
+        na = df["na"].to_numpy()[idx]
+        nb = df["nb"].to_numpy()[idx]
+        jac = inter / (na + nb - inter)
+        keep = jac >= threshold
+        return pd.DataFrame(
+            {
+                "id_a": (uniq[keep] >> 32).astype(np.int64),
+                "id_b": (uniq[keep] & 0xFFFFFFFF).astype(np.int64),
+                "jaccard": jac[keep],
+            }
+        )
 
-    cand = grouped_map(cand, ["id_a", "id_b"], dedup_pairs)
-    return verify_jaccard(cand, docs, threshold, shingle_k=n, sets=sets)
+    return grouped_map(cand, ["id_a", "id_b"], finalize, num_parts=16)

@@ -811,18 +811,68 @@ def q_raster_correction(sf_dir: str):
     from .ops.mosaicgraph import raster_diff_correction
     from .ops.raster import tiles_from_cellstats
 
+    from .stages.grouped import grouped_map
+
     pts = tpch.read_points(sf_dir)
     res = 2.0
     b = compute_bounds(pts, res)
     cols = b.cols(res)
     rows = b.rows(res)
 
-    tagged = None
-    for rid, cf in ((0, None), (1, frozenset({1})), (2, frozenset({2})), (3, frozenset({3}))):
-        stats = grid_stats(
-            pts, GridConfig(res=res, bounds=b, stats=("mean",), class_filter=cf)
+    # ONE pass: per-batch partial (cell, cls) sums -> one grouped
+    # rollup pivots to the 4 mean columns (all/cls1/cls2/cls3);
+    # integer z sums are exact, so the derived means are bit-identical
+    # to 4 separate filtered grid_stats passes
+    def partials(t: pa.Table) -> pa.Table:
+        from .kernels.grid import cell_id_of_points
+
+        x = t["x"].to_numpy(zero_copy_only=False)
+        y = t["y"].to_numpy(zero_copy_only=False)
+        z = t["z"].to_numpy(zero_copy_only=False)
+        cls = t["cls"].to_numpy(zero_copy_only=False)
+        cid = cell_id_of_points(x, y, b, res)
+        key = cid * 4 + np.clip(cls, 0, 3)
+        uniq, inv = np.unique(key, return_inverse=True)
+        return pa.table(
+            {
+                "cell_id": (uniq // 4).astype(np.int64),
+                "cls": (uniq % 4).astype(np.int64),
+                "s": np.bincount(inv, weights=z),
+                "n": np.bincount(inv).astype(np.int64),
+            }
         )
-        tiles = tiles_from_cellstats(stats, "mean", cols, rows, 16, dense=True)
+
+    def rollup(df: pd.DataFrame) -> pd.DataFrame:
+        g = df.groupby(["cell_id", "cls"], sort=False)[["s", "n"]].sum().reset_index()
+        piv_s = g.pivot_table(index="cell_id", columns="cls", values="s",
+                              aggfunc="sum", fill_value=0.0)
+        piv_n = g.pivot_table(index="cell_id", columns="cls", values="n",
+                              aggfunc="sum", fill_value=0)
+        out = {"cell_id": piv_s.index.to_numpy().astype(np.int64)}
+        stot = piv_s.sum(axis=1).to_numpy()
+        ntot = piv_n.sum(axis=1).to_numpy()
+        out["m0"] = stot / ntot
+        for c in (1, 2, 3):
+            sc = piv_s[c].to_numpy() if c in piv_s else np.zeros(len(piv_s))
+            nc = piv_n[c].to_numpy() if c in piv_n else np.zeros(len(piv_n), dtype=np.int64)
+            with np.errstate(divide="ignore", invalid="ignore"):
+                out[f"m{c}"] = np.where(nc > 0, sc / np.where(nc > 0, nc, 1), -9999.0)
+        return pd.DataFrame(out)
+
+    stats = grouped_map(
+        pts.map_batches(partials, batch_format="pyarrow"), ["cell_id"], rollup
+    ).materialize()
+
+    tagged = None
+    for rid in (0, 1, 2, 3):
+        def keepvalid(t: pa.Table, rid=rid) -> pa.Table:
+            v = t[f"m{rid}"].to_numpy(zero_copy_only=False)
+            return t.filter(pa.array(v != -9999.0))
+
+        tiles = tiles_from_cellstats(
+            stats.map_batches(keepvalid, batch_format="pyarrow"),
+            f"m{rid}", cols, rows, 16, dense=True,
+        )
 
         def tag(t: pa.Table, rid=rid) -> pa.Table:
             return t.append_column("rid", pa.array(np.full(len(t), rid, dtype=np.int64)))
