@@ -27,6 +27,28 @@ from ..stages.grouped import grouped_map
 NODATA = KR.NODATA
 
 
+def list_col_views(col) -> list[np.ndarray]:
+    """Tile `data` column -> per-row numpy views of the flat values
+    (zero copy; no .as_py() python-object explosion — a 1024-px
+    reference tile would otherwise box a million floats). Handles
+    arrow list/large_list AND Ray's tensor extension types (what a
+    pandas block with ndarray cells converts to)."""
+    if isinstance(col, pa.ChunkedArray):
+        col = col.combine_chunks()
+    t = col.type
+    if isinstance(t, pa.ExtensionType):  # ray ArrowTensorArray variants
+        arr = col.to_numpy(zero_copy_only=False)
+        return [np.asarray(v, dtype=np.float64).ravel() for v in arr]
+    if pa.types.is_fixed_size_list(t):
+        k = t.list_size
+        flat = col.values.to_numpy(zero_copy_only=False)
+        off0 = col.offset * k
+        return [flat[off0 + i * k : off0 + (i + 1) * k] for i in range(len(col))]
+    offs = col.offsets.to_numpy(zero_copy_only=False)
+    flat = col.values.to_numpy(zero_copy_only=False)
+    return [flat[offs[i] : offs[i + 1]] for i in range(len(col))]
+
+
 # ---------------------------------------------------------------------------
 # tile <-> grid helpers (driver-side, used by tests and export edges)
 
@@ -80,12 +102,17 @@ def tile_map_with_halo(
 
     def emit_pieces(t: pa.Table) -> pa.Table:
         out = []
+        views = list_col_views(t["data"])
+        trows = t["trow"].to_numpy(zero_copy_only=False)
+        tcols = t["tcol"].to_numpy(zero_copy_only=False)
+        hs = t["h"].to_numpy(zero_copy_only=False)
+        ws = t["w"].to_numpy(zero_copy_only=False)
         for i in range(len(t)):
-            tr = t["trow"][i].as_py()
-            tc = t["tcol"][i].as_py()
-            h = t["h"][i].as_py()
-            w = t["w"][i].as_py()
-            data = np.asarray(t["data"][i].as_py(), dtype=np.float64).reshape(h, w)
+            tr = int(trows[i])
+            tc = int(tcols[i])
+            h = int(hs[i])
+            w = int(ws[i])
+            data = views[i].reshape(h, w)
             # this tile's global extent
             gr0, gc0 = tr * tile, tc * tile
             for dr in (-1, 0, 1):
@@ -111,14 +138,20 @@ def tile_map_with_halo(
                             "x": oc0 - pc0,
                             "ph": sub.shape[0],
                             "pw": sub.shape[1],
-                            "data": sub.ravel().tolist(),
+                            "data": np.ascontiguousarray(sub).ravel(),
                         }
                     )
-        return pa.Table.from_pylist(out) if out else pa.table(
-            {"trow": pa.array([], pa.int64()), "tcol": pa.array([], pa.int64()),
-             "y": pa.array([], pa.int64()), "x": pa.array([], pa.int64()),
-             "ph": pa.array([], pa.int64()), "pw": pa.array([], pa.int64()),
-             "data": pa.array([], pa.list_(pa.float64()))}
+        if not out:
+            return pa.table(
+                {"trow": pa.array([], pa.int64()), "tcol": pa.array([], pa.int64()),
+                 "y": pa.array([], pa.int64()), "x": pa.array([], pa.int64()),
+                 "ph": pa.array([], pa.int64()), "pw": pa.array([], pa.int64()),
+                 "data": pa.array([], pa.list_(pa.float64()))}
+            )
+        return pa.table(
+            {k: pa.array([o[k] for o in out])
+             for k in ("trow", "tcol", "y", "x", "ph", "pw")}
+            | {"data": pa.array([o["data"] for o in out], pa.list_(pa.float64()))}
         )
 
     pieces = tiles.map_batches(emit_pieces, batch_format="pyarrow")
@@ -142,7 +175,7 @@ def tile_map_with_halo(
                     "tcol": int(tc),
                     "h": h,
                     "w": w,
-                    "data": interior.ravel().tolist(),
+                    "data": np.ascontiguousarray(interior).ravel().tolist(),
                 }
             )
         return pd.DataFrame(rows)
@@ -256,10 +289,15 @@ def _pieces_grouped(tiles, halo, H, W, tile, nodata, assemble, **kw):
 
     def emit(t: pa.Table) -> pa.Table:
         out = []
+        views = list_col_views(t["data"])
+        trows = t["trow"].to_numpy(zero_copy_only=False)
+        tcols = t["tcol"].to_numpy(zero_copy_only=False)
+        hs = t["h"].to_numpy(zero_copy_only=False)
+        ws = t["w"].to_numpy(zero_copy_only=False)
         for i in range(len(t)):
-            tr = t["trow"][i].as_py(); tc = t["tcol"][i].as_py()
-            h = t["h"][i].as_py(); w = t["w"][i].as_py()
-            data = np.asarray(t["data"][i].as_py(), dtype=np.float64).reshape(h, w)
+            tr = int(trows[i]); tc = int(tcols[i])
+            h = int(hs[i]); w = int(ws[i])
+            data = views[i].reshape(h, w)
             gr0, gc0 = tr * tile, tc * tile
             for dr in (-1, 0, 1):
                 for dc in (-1, 0, 1):
@@ -276,8 +314,19 @@ def _pieces_grouped(tiles, halo, H, W, tile, nodata, assemble, **kw):
                     sub = data[or0 - gr0 : or1 - gr0, oc0 - gc0 : oc1 - gc0]
                     out.append({"trow": ttr, "tcol": ttc, "y": or0 - pr0, "x": oc0 - pc0,
                                 "ph": sub.shape[0], "pw": sub.shape[1],
-                                "data": sub.ravel().tolist()})
-        return pa.Table.from_pylist(out)
+                                "data": np.ascontiguousarray(sub).ravel()})
+        if not out:
+            return pa.table(
+                {"trow": pa.array([], pa.int64()), "tcol": pa.array([], pa.int64()),
+                 "y": pa.array([], pa.int64()), "x": pa.array([], pa.int64()),
+                 "ph": pa.array([], pa.int64()), "pw": pa.array([], pa.int64()),
+                 "data": pa.array([], pa.list_(pa.float64()))}
+            )
+        return pa.table(
+            {k: pa.array([o[k] for o in out])
+             for k in ("trow", "tcol", "y", "x", "ph", "pw")}
+            | {"data": pa.array([o["data"] for o in out], pa.list_(pa.float64()))}
+        )
 
     pieces = tiles.map_batches(emit, batch_format="pyarrow")
     return grouped_map(pieces, ["trow", "tcol"], assemble, **kw)
@@ -309,11 +358,17 @@ def mosaic_tiles(base_tiles, overlay_tiles, distance, resolution, H, W, tile,
 
     def emit(t: pa.Table) -> pa.Table:
         out = []
+        views = list_col_views(t["data"])
+        sides = t["side"].to_pylist()
+        trows = t["trow"].to_numpy(zero_copy_only=False)
+        tcols = t["tcol"].to_numpy(zero_copy_only=False)
+        hs = t["h"].to_numpy(zero_copy_only=False)
+        ws = t["w"].to_numpy(zero_copy_only=False)
         for i in range(len(t)):
-            side = t["side"][i].as_py()
-            tr = t["trow"][i].as_py(); tc = t["tcol"][i].as_py()
-            h = t["h"][i].as_py(); w = t["w"][i].as_py()
-            data = np.asarray(t["data"][i].as_py(), dtype=np.float64).reshape(h, w)
+            side = sides[i]
+            tr = int(trows[i]); tc = int(tcols[i])
+            h = int(hs[i]); w = int(ws[i])
+            data = views[i].reshape(h, w)
             gr0, gc0 = tr * tile, tc * tile
             hal = halo if side == "over" else 0  # base needs no halo
             for dr in (-1, 0, 1):
@@ -334,8 +389,25 @@ def mosaic_tiles(base_tiles, overlay_tiles, distance, resolution, H, W, tile,
                     out.append({"trow": ttr, "tcol": ttc, "side": side,
                                 "y": or0 - pr0, "x": oc0 - pc0,
                                 "ph": sub.shape[0], "pw": sub.shape[1],
-                                "data": sub.ravel().tolist()})
-        return pa.Table.from_pylist(out)
+                                "data": np.ascontiguousarray(sub).ravel()})
+        if not out:
+            return pa.table(
+                {"trow": pa.array([], pa.int64()), "tcol": pa.array([], pa.int64()),
+                 "side": pa.array([], pa.string()),
+                 "y": pa.array([], pa.int64()), "x": pa.array([], pa.int64()),
+                 "ph": pa.array([], pa.int64()), "pw": pa.array([], pa.int64()),
+                 "data": pa.array([], pa.list_(pa.float64()))}
+            )
+        return pa.table(
+            {"trow": pa.array([o["trow"] for o in out]),
+             "tcol": pa.array([o["tcol"] for o in out]),
+             "side": pa.array([o["side"] for o in out]),
+             "y": pa.array([o["y"] for o in out]),
+             "x": pa.array([o["x"] for o in out]),
+             "ph": pa.array([o["ph"] for o in out]),
+             "pw": pa.array([o["pw"] for o in out]),
+             "data": pa.array([o["data"] for o in out], pa.list_(pa.float64()))}
+        )
 
     pieces = both.map_batches(emit, batch_format="pyarrow")
 
@@ -361,7 +433,7 @@ def mosaic_tiles(base_tiles, overlay_tiles, distance, resolution, H, W, tile,
                                    alpha, nodata, nodata, buffer=0)
                 merged = blended[halo : halo + h, halo : halo + w]
             rows.append({"trow": int(tr), "tcol": int(tc), "h": h, "w": w,
-                         "data": merged.ravel().tolist()})
+                         "data": np.ascontiguousarray(merged).ravel().tolist()})
         return pd.DataFrame(rows)
 
     return grouped_map(pieces, ["trow", "tcol"], assemble, **kw)
@@ -553,12 +625,17 @@ def flood_basins_tiles(
     def local(t: pa.Table) -> pa.Table:
         stat_rows = {"elev": [], "gid": [], "cnt": [], "minidx": []}
         edge_rows = {"elev": [], "ek": [], "pos": [], "gid": []}
+        views = list_col_views(t["data"])
+        trows = t["trow"].to_numpy(zero_copy_only=False)
+        tcols = t["tcol"].to_numpy(zero_copy_only=False)
+        hs = t["h"].to_numpy(zero_copy_only=False)
+        ws = t["w"].to_numpy(zero_copy_only=False)
         for i in range(len(t)):
-            tr = t["trow"][i].as_py()
-            tc = t["tcol"][i].as_py()
-            h = t["h"][i].as_py()
-            w = t["w"][i].as_py()
-            sub = np.asarray(t["data"][i].as_py(), dtype=np.float64).reshape(h, w)
+            tr = int(trows[i])
+            tc = int(tcols[i])
+            h = int(hs[i])
+            w = int(ws[i])
+            sub = views[i].reshape(h, w)
             work = np.where(sub == nodata, np.inf, sub)
             gr0, gc0 = tr * tile, tc * tile
             base = (tr * ntc + tc) * cap
