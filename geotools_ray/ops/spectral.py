@@ -88,6 +88,41 @@ def spectral_extract(
     return zip_tiles(index_tiles, band_tiles, fn, num_parts=num_parts)
 
 
+def zip3_tiles(a, b, c, fn, num_parts=None) -> ray.data.Dataset:
+    """Three-way tile co-partition in ONE grouped shuffle;
+    fn(trow, tcol, ga, gb, gc) -> DataFrame rows."""
+
+    def tag(side):
+        def t_(t: pa.Table) -> pa.Table:
+            return t.append_column("side", pa.array([side] * len(t)))
+        return t_
+
+    allt = (
+        a.map_batches(tag("a"), batch_format="pyarrow")
+        .union(b.map_batches(tag("b"), batch_format="pyarrow"))
+        .union(c.map_batches(tag("c"), batch_format="pyarrow"))
+    )
+
+    def per_tile(df: pd.DataFrame) -> pd.DataFrame:
+        out = []
+        for (tr, tc), g in df.groupby(["trow", "tcol"], sort=False):
+            grids = {}
+            h = w = None
+            for _, r in g.iterrows():
+                arr = np.asarray(r["data"], dtype=np.float64).reshape(int(r["h"]), int(r["w"]))
+                h, w = arr.shape
+                grids[r["side"]] = arr
+            ga = grids.get("a", np.full((h, w), NODATA))
+            gb = grids.get("b", np.full((h, w), NODATA))
+            gc = grids.get("c", np.full((h, w), NODATA))
+            res = fn(int(tr), int(tc), ga, gb, gc)
+            if res is not None and len(res):
+                out.append(res)
+        return pd.concat(out) if out else pd.DataFrame()
+
+    return grouped_map(allt, ["trow", "tcol"], per_tile, num_parts=num_parts)
+
+
 def raster_pair_diff_stats(
     a_tiles: ray.data.Dataset,
     b_tiles: ray.data.Dataset,
@@ -97,20 +132,12 @@ def raster_pair_diff_stats(
     """J6/A14: per-pixel diff (a - b) where both valid, grouped by the
     class raster's value; partial (count, sum, sumsq, min, max) per
     tile then a tiny final merge -> exact per-class stats
-    (src/rasterstats.cpp:172-267)."""
+    (src/rasterstats.cpp:172-267). All three tile sets co-partition in
+    ONE grouped shuffle."""
 
-    # first zip a/b into diff tiles, then zip with classes
-    def diff_fn(tr, tc, ga, gb):
-        ok = (ga != NODATA) & (gb != NODATA)
-        d = np.where(ok, ga - gb, NODATA)
-        return pd.DataFrame(
-            {"trow": [tr], "tcol": [tc], "h": [d.shape[0]], "w": [d.shape[1]],
-             "data": [d.ravel().tolist()]}
-        )
-
-    diff_tiles = zip_tiles(a_tiles, b_tiles, diff_fn, num_parts=num_parts)
-
-    def stat_fn(tr, tc, d, cls):
+    def stat_fn(tr, tc, ga, gb, cls):
+        okd = (ga != NODATA) & (gb != NODATA)
+        d = np.where(okd, ga - gb, NODATA)
         ok = (d != NODATA) & (cls != NODATA)
         if not ok.any():
             return None
@@ -126,7 +153,7 @@ def raster_pair_diff_stats(
         np.maximum.at(mx, inv, vals)
         return pd.DataFrame({"cls": uniq, "pn": n, "ps": s, "pss": ss, "pmn": mn, "pmx": mx})
 
-    partials = zip_tiles(diff_tiles, class_tiles, stat_fn, num_parts=num_parts)
+    partials = zip3_tiles(a_tiles, b_tiles, class_tiles, stat_fn, num_parts=num_parts)
 
     def final(df: pd.DataFrame) -> pd.DataFrame:
         rows = []
