@@ -157,6 +157,43 @@ def cmd_flightline(args):
     _write(out, args)
 
 
+def cmd_interp(args):
+    import pyarrow.parquet as pq
+    import ray.data
+
+    from .ops.gridstats import compute_bounds
+    from .ops.interp import avg_at, idw_at, kriging_at, natural_neighbour_at, planar_at
+    from .queries_ops import _all_cells_table
+
+    pts = _read(args)
+    b = compute_bounds(pts, args.res)
+    targets = ray.data.from_arrow(_all_cells_table(b, args.res))
+    smp = pq.read_table(args.samples)
+    fn = {"idw": idw_at, "avg": avg_at, "planar": planar_at,
+          "kriging": kriging_at, "nn": natural_neighbour_at}[args.method]
+    _write(fn(targets, smp), args)
+
+
+def cmd_lakes(args):
+    import numpy as np
+    import pandas as pd
+
+    from .kernels.raster import srtm_lakes
+    from .ops.gridstats import GridConfig, compute_bounds, grid_stats
+
+    pts = _read(args)
+    b = compute_bounds(pts, args.res)
+    stats = grid_stats(pts, GridConfig(res=args.res, bounds=b, stats=("mean",))).to_pandas()
+    cols, rows = b.cols(args.res), b.rows(args.res)
+    grid = np.full(cols * rows, -9999.0)
+    grid[stats["cell_id"].to_numpy()] = stats["mean"].to_numpy()
+    grid = grid.reshape(rows, cols)
+    quant = np.where(grid == -9999.0, -9999.0, np.floor(grid / args.quant) * args.quant)
+    water = srtm_lakes(quant, minsize=args.minsize)
+    rs, cs = np.nonzero(water > 0)
+    _write(pd.DataFrame({"row": rs, "col": cs, "elevation": water[rs, cs]}), args)
+
+
 def cmd_dedup(args):
     from .ops.dedup import exact_dedup, minhash_lsh_dedup
 
@@ -240,6 +277,21 @@ def main(argv=None):
     sp.add_argument("--order", default="image_id")
     sp.add_argument("--threshold", type=float, default=0.7)
     sp.set_defaults(fn=cmd_dedup)
+
+    sp = sub.add_parser("interp", help="rastfit interpolators at cell centroids")
+    common(sp)
+    sp.add_argument("--samples", required=True, help="parquet with sx,sy,sz")
+    sp.add_argument("--method", choices=["idw", "avg", "planar", "kriging", "nn"],
+                    default="idw")
+    sp.add_argument("--res", type=float, default=5.0)
+    sp.set_defaults(fn=cmd_interp)
+
+    sp = sub.add_parser("lakes", help="srtm_lakes: flatten equal-elevation regions")
+    common(sp)
+    sp.add_argument("--res", type=float, default=2.0)
+    sp.add_argument("--quant", type=float, default=5.0)
+    sp.add_argument("--minsize", type=int, default=10)
+    sp.set_defaults(fn=cmd_lakes)
 
     args = p.parse_args(argv)
     _session(args)

@@ -108,3 +108,28 @@ def read_polygon_table(
         index=pd.Index(ids, name=id_col),
     )
     return polys, attrs
+
+
+def write_polygon_table(
+    path: str,
+    polygons,
+    attrs=None,
+    id_col: str = "polygon_id",
+    wkb_col: str = "wkb",
+) -> pa.Table:
+    """S7 vector sink: polygons + carried attributes -> parquet with a
+    WKB geometry column (the reference's shapefile write with copied
+    fields + appended stats, src/pointzonalstats.cpp:417-491).
+    Returns the written table."""
+    import pyarrow.parquet as pq
+
+    cols = {
+        id_col: np.array([p.polygon_id for p in polygons], dtype=np.int64),
+        wkb_col: pa.array([polygon_to_wkb(p.rings) for p in polygons], pa.binary()),
+    }
+    if attrs is not None:
+        for c in attrs.columns:
+            cols[c] = attrs.loc[[p.polygon_id for p in polygons], c].to_numpy()
+    t = pa.table(cols)
+    pq.write_table(t, path)
+    return t

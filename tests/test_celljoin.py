@@ -133,3 +133,39 @@ def test_range_join_cells_matches_broadcast(ray_session):
         want[["l_orderkey", "l_linenumber", "s_suppkey"]],
     )
     np.testing.assert_allclose(got["dist"], want["dist"], rtol=1e-12)
+
+
+def test_sharded_index_knn_matches_bruteforce(ray_session):
+    """ST3 actor-sharded index: lockstep ring kNN == brute force."""
+    import numpy as np
+    import pyarrow as pa
+    import ray.data
+
+    from geotools_ray.kernels.grid import Bounds
+    from geotools_ray.ops.celljoin import (
+        build_sharded_cell_index, knn_cell_ring_sharded,
+    )
+
+    rng = np.random.RandomState(17)
+    n = 4000
+    px = rng.uniform(0, 100, n)
+    py = rng.uniform(0, 100, n)
+    pid = np.arange(n, dtype=np.int64)
+    pts = ray.data.from_arrow(
+        pa.table({"x": px, "y": py, "l_orderkey": pid, "l_linenumber": pid % 7})
+    )
+    idx = build_sharded_cell_index(
+        pts, res=5.0, bounds=Bounds(0.0, 0.0, 100.0, 100.0), num_shards=3
+    )
+    qx = rng.uniform(5, 95, 25)
+    qy = rng.uniform(5, 95, 25)
+    qid = np.arange(25, dtype=np.int64)
+    qds = ray.data.from_arrow(pa.table({"s_suppkey": qid, "sx": qx, "sy": qy}))
+    out = knn_cell_ring_sharded(qds, idx, k=5).to_pandas()
+
+    for qi in range(25):
+        d2 = (px - qx[qi]) ** 2 + (py - qy[qi]) ** 2
+        order = np.lexsort((pid % 7, pid, d2))[:5]
+        want = pid[order]
+        got = out[out["s_suppkey"] == qi].sort_values("rank")["l_orderkey"].to_numpy()
+        np.testing.assert_array_equal(got, want)

@@ -61,3 +61,20 @@ def test_read_polygon_table_attrs():
     polys, attrs = read_polygon_table(t, attr_cols=("name",))
     assert [p.polygon_id for p in polys] == [7, 9]
     assert attrs.loc[9, "name"] == "b"
+
+
+def test_write_polygon_table_roundtrip(tmp_path):
+    import pandas as pd
+    import pyarrow.parquet as pq
+
+    from geotools_ray.ops.zonal import rect
+    from geotools_ray.sources.wkb import read_polygon_table, write_polygon_table
+
+    polys = [rect(1, 0, 0, 5, 5), rect(2, 10, 10, 20, 15)]
+    attrs = pd.DataFrame({"name": ["a", "b"]}, index=pd.Index([1, 2], name="polygon_id"))
+    p = str(tmp_path / "layer.parquet")
+    write_polygon_table(p, polys, attrs)
+    polys2, attrs2 = read_polygon_table(pq.read_table(p), attr_cols=("name",))
+    assert [q.polygon_id for q in polys2] == [1, 2]
+    assert polys2[0].rings == polys[0].rings
+    assert attrs2.loc[2, "name"] == "b"
