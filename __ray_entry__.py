@@ -235,6 +235,8 @@ def oracle_sql() -> dict[str, str]:
         "boundary_cells": QR.SQL_BOUNDARY_CELLS,
         "datum_vectors": QR.SQL_DATUM_VECTORS,
         "zonal_wkb": Q.SQL_ZONAL_PAIRS,
+        "spill_points": QR.SQL_SPILL_POINTS,
+        "raster_correction": QR.SQL_RASTER_CORRECTION,
         # round-2 dedup-family oracles (queries_dedup_sql)
         "ngram_pairs": QD.SQL_NGRAM_PAIRS,
         "minhash_dedup": QD.SQL_MINHASH_DEDUP,

@@ -379,6 +379,108 @@ WHERE o.col = 0 OR o.row = 0 OR o.col >= g.ncols - 1 OR o.row >= g.nrows - 1
          AND nb.col BETWEEN o.col - 1 AND o.col + 1) < 9"""
 
 
+# W5 spill points: basin labels via the recursive CC (as flood_basins),
+# edge cells = basin cells with any in-bounds 8-neighbour of a
+# different label (off-grid neighbours do NOT count,
+# src/flood.cpp:150-173), all cross-basin pairs within distance 4
+# (src/flood.cpp:369-401).
+SQL_SPILL_POINTS = "WITH RECURSIVE " + GRID_BODY + f""",
+f AS (
+  SELECT gr.row * g.w + gr.col AS idx, gr.row, gr.col
+  FROM grid gr, g WHERE gr.v <> {NOD} AND gr.v <= 20.0),
+e AS (
+  SELECT a.idx AS src, b.idx AS dst
+  FROM f a JOIN f b ON abs(a.row - b.row) + abs(a.col - b.col) = 1),
+reach AS (
+  SELECT idx AS node, idx AS lbl FROM f
+  UNION
+  SELECT e.src, r.lbl FROM reach r JOIN e ON e.dst = r.node
+  WHERE r.lbl < e.src),
+comp AS (SELECT node, min(lbl) AS rep FROM reach GROUP BY node),
+rk AS (
+  SELECT rep, row_number() OVER (ORDER BY rep) AS bid
+  FROM (SELECT DISTINCT rep FROM comp)),
+cl AS (
+  SELECT f.row, f.col, rk.bid
+  FROM f JOIN comp ON comp.node = f.idx JOIN rk ON rk.rep = comp.rep),
+same AS (
+  SELECT a.row, a.col, count(*) AS nsame
+  FROM cl a JOIN cl b
+    ON abs(a.row - b.row) <= 1 AND abs(a.col - b.col) <= 1
+   AND NOT (a.row = b.row AND a.col = b.col) AND a.bid = b.bid
+  GROUP BY a.row, a.col),
+edge AS (
+  -- edge iff same-label neighbour count < in-bounds neighbour count
+  SELECT c.bid, c.row, c.col
+  FROM cl c
+  LEFT JOIN same s ON s.row = c.row AND s.col = c.col
+  CROSS JOIN g
+  WHERE coalesce(s.nsame, 0) <
+        (least(c.row + 1, g.h - 1) - greatest(c.row - 1, 0) + 1)
+        * (least(c.col + 1, g.w - 1) - greatest(c.col - 1, 0) + 1) - 1)
+SELECT a.bid::BIGINT AS id1, a.col AS c1, a.row AS r1,
+       b.bid::BIGINT AS id2, b.col AS c2, b.row AS r2,
+       round(sqrt(((a.col - b.col)*(a.col - b.col)
+                   + (a.row - b.row)*(a.row - b.row))::DOUBLE), 6) AS dist
+FROM edge a JOIN edge b
+  ON a.bid < b.bid
+ AND (a.col - b.col)*(a.col - b.col) + (a.row - b.row)*(a.row - b.row) <= 16"""
+
+
+# R8 raster correction: four class-filtered mean rasters from ONE
+# (cell, cls) pass; all-pairs (i<j) diff stats over common-valid
+# cells; greedy max-count chains to root 0 unrolled (edges strictly
+# descend j -> i < j, so depth <= 3).
+SQL_RASTER_CORRECTION = "WITH " + GRID2_BODY.replace(
+    "mm AS (SELECT row, col, avg(z) AS mean, median(z) AS med, count(*) AS n\n       FROM pc GROUP BY row, col)",
+    """pcc AS (
+  SELECT (g.h - CAST(floor((p.y-g.miny)/2.0) AS BIGINT) - 1) AS row,
+         CAST(floor((p.x-g.minx)/2.0) AS BIGINT) AS col, p.z, p.cls
+  FROM pts p, g),
+mz AS (
+  SELECT row, col,
+         sum(z) / count(*) AS m0,
+         CASE WHEN count(*) FILTER (WHERE cls = 1) > 0
+              THEN sum(z) FILTER (WHERE cls = 1) / count(*) FILTER (WHERE cls = 1) END AS m1,
+         CASE WHEN count(*) FILTER (WHERE cls = 2) > 0
+              THEN sum(z) FILTER (WHERE cls = 2) / count(*) FILTER (WHERE cls = 2) END AS m2,
+         CASE WHEN count(*) FILTER (WHERE cls = 3) > 0
+              THEN sum(z) FILTER (WHERE cls = 3) / count(*) FILTER (WHERE cls = 3) END AS m3
+  FROM pcc GROUP BY row, col)""",
+) + f""",
+pairs AS (
+  SELECT 0 AS i, 1 AS j, count(*) AS cnt, sum(m0 - m1) / count(*) AS mean
+    FROM mz WHERE m1 IS NOT NULL
+  UNION ALL
+  SELECT 0, 2, count(*), sum(m0 - m2) / count(*) FROM mz WHERE m2 IS NOT NULL
+  UNION ALL
+  SELECT 0, 3, count(*), sum(m0 - m3) / count(*) FROM mz WHERE m3 IS NOT NULL
+  UNION ALL
+  SELECT 1, 2, count(*), sum(m1 - m2) / count(*) FROM mz
+    WHERE m1 IS NOT NULL AND m2 IS NOT NULL
+  UNION ALL
+  SELECT 1, 3, count(*), sum(m1 - m3) / count(*) FROM mz
+    WHERE m1 IS NOT NULL AND m3 IS NOT NULL
+  UNION ALL
+  SELECT 2, 3, count(*), sum(m2 - m3) / count(*) FROM mz
+    WHERE m2 IS NOT NULL AND m3 IS NOT NULL),
+be AS (
+  SELECT j, i, mean FROM (
+    SELECT j, i, mean,
+           row_number() OVER (PARTITION BY j ORDER BY cnt DESC, i) AS rn
+    FROM pairs WHERE cnt > 0) WHERE rn = 1),
+s1 AS (SELECT j AS rid, i AS nxt, mean AS acc FROM be),
+s2 AS (SELECT s1.rid, be.i AS nxt, s1.acc + be.mean AS acc
+       FROM s1 JOIN be ON be.j = s1.nxt WHERE s1.nxt <> 0),
+s3 AS (SELECT s2.rid, be.i AS nxt, s2.acc + be.mean AS acc
+       FROM s2 JOIN be ON be.j = s2.nxt WHERE s2.nxt <> 0),
+done AS (
+  SELECT rid, acc FROM s1 WHERE nxt = 0
+  UNION ALL SELECT rid, acc FROM s2 WHERE nxt = 0
+  UNION ALL SELECT rid, acc FROM s3 WHERE nxt = 0)
+SELECT rid::BIGINT AS rid, round(acc, 6) AS shift FROM done"""
+
+
 # M6 datum transform over the 11 published las2csrs vectors
 # (reference tests/_test_las2csrs.py:31-45): the oracle pins the
 # engine's outputs at 3 decimals — each axis verified within 0.52 mm
