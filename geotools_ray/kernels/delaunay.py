@@ -93,15 +93,43 @@ def interp_tin(qx, qy, pts_xy: np.ndarray, pts_z: np.ndarray, nodata=np.nan):
     za = pts_z[T[:, 0]]
     zb = pts_z[T[:, 1]]
     zc = pts_z[T[:, 2]]
+    # triangle bboxes for pruning (bbox superset -> excluding a
+    # triangle by bbox can never drop a containing triangle)
+    tminx = np.minimum(np.minimum(a[:, 0], b[:, 0]), c[:, 0])
+    tmaxx = np.maximum(np.maximum(a[:, 0], b[:, 0]), c[:, 0])
+    tminy = np.minimum(np.minimum(a[:, 1], b[:, 1]), c[:, 1])
+    tmaxy = np.maximum(np.maximum(a[:, 1], b[:, 1]), c[:, 1])
     with np.errstate(divide="ignore", invalid="ignore"):
-        for i in range(len(qx)):
-            px, py = qx[i], qy[i]
-            l1 = ((b[:, 1] - c[:, 1]) * (px - c[:, 0]) + (c[:, 0] - b[:, 0]) * (py - c[:, 1])) / det
-            l2 = ((c[:, 1] - a[:, 1]) * (px - c[:, 0]) + (a[:, 0] - c[:, 0]) * (py - c[:, 1])) / det
+        # chunked queries x candidate triangles: callers pass queries
+        # in (x, y) sorted order, so each chunk spans a narrow x-range
+        # and the bbox prune keeps the candidate set small
+        chunk = 256
+        for s in range(0, len(qx), chunk):
+            px = qx[s : s + chunk]
+            py = qy[s : s + chunk]
+            sel = np.nonzero(
+                ok_tri
+                & (tmaxx >= px.min()) & (tminx <= px.max())
+                & (tmaxy >= py.min()) & (tminy <= py.max())
+            )[0]
+            if not len(sel):
+                continue
+            ax, ay = a[sel, 0], a[sel, 1]
+            bx, by = b[sel, 0], b[sel, 1]
+            cx, cy = c[sel, 0], c[sel, 1]
+            d = det[sel]
+            l1 = ((by - cy)[None, :] * (px[:, None] - cx[None, :]) + (cx - bx)[None, :] * (py[:, None] - cy[None, :])) / d[None, :]
+            l2 = ((cy - ay)[None, :] * (px[:, None] - cx[None, :]) + (ax - cx)[None, :] * (py[:, None] - cy[None, :])) / d[None, :]
             l3 = 1.0 - l1 - l2
-            inside = ok_tri & (l1 >= -eps) & (l2 >= -eps) & (l3 >= -eps)
-            hits = np.nonzero(inside)[0]
-            if len(hits):
-                t = hits[0]  # first triangle in list order (deterministic)
-                out[i] = l1[t] * za[t] + l2[t] * zb[t] + l3[t] * zc[t]
+            inside = (l1 >= -eps) & (l2 >= -eps) & (l3 >= -eps)
+            any_hit = inside.any(axis=1)
+            # first containing triangle in original list order: sel is
+            # ascending, so argmax over the subset picks the same one
+            first = np.argmax(inside, axis=1)
+            rows = np.nonzero(any_hit)[0]
+            t = sel[first[rows]]
+            r1 = l1[rows, first[rows]]
+            r2 = l2[rows, first[rows]]
+            r3 = l3[rows, first[rows]]
+            out[s + rows] = r1 * za[t] + r2 * zb[t] + r3 * zc[t]
     return out

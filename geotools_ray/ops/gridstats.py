@@ -51,10 +51,24 @@ class GridConfig:
     strategy: str = "auto"
 
 
+_BOUNDS_CACHE: dict = {}  # (id(ds), res) -> (ds strong ref, Bounds)
+
+
 def compute_bounds(points: ray.data.Dataset, res: float) -> Bounds:
-    """Data-driven snapped bounds (pass 1 of the reference)."""
+    """Data-driven snapped bounds (pass 1 of the reference). Cached per
+    dataset object: the bench sweep shares ONE materialized points
+    table across ~40 queries, each of which needs the same bounds —
+    the identity check (`is`) makes the cache safe against id reuse."""
+    key = (id(points), res)
+    hit = _BOUNDS_CACHE.get(key)
+    if hit is not None and hit[0] is points:
+        return hit[1]
     agg = points.aggregate(Min("x"), Max("x"), Min("y"), Max("y"))
-    return Bounds(agg["min(x)"], agg["min(y)"], agg["max(x)"], agg["max(y)"]).snap(res)
+    b = Bounds(agg["min(x)"], agg["min(y)"], agg["max(x)"], agg["max(y)"]).snap(res)
+    if len(_BOUNDS_CACHE) > 64:
+        _BOUNDS_CACHE.clear()
+    _BOUNDS_CACHE[key] = (points, b)
+    return b
 
 
 def _apply_filters(t: pa.Table, cfg: GridConfig, b: Bounds):

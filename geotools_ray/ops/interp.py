@@ -99,52 +99,140 @@ def natural_neighbour_at(
     to nearest-sample (the reference returns nodata there — callers
     that need parity mask by hull membership first)."""
     ref = _broadcast_samples(samples)
+    return targets.map_batches(
+        _SibsonActor,
+        fn_constructor_kwargs=dict(ref=ref, x_col=x_col, y_col=y_col, out_col=out_col),
+        batch_format="pyarrow",
+        concurrency=(1, 8),
+    )
 
-    def fn(t: pa.Table) -> pa.Table:
+
+class _SibsonActor:
+    """Per-actor Sibson state: KD-tree over the sample sites, each
+    sample's _VOR_PRUNE nearest neighbours, and its original Voronoi
+    cell area — built ONCE in __init__ (per actor), not per batch.
+    Every cell is clipped against a pruned near-site list instead of
+    an argsort over the full sample set."""
+
+    def __init__(self, ref, x_col="cx", y_col="cy", out_col="nn_z"):
         s = ray.get(ref)
-        sx, sy, sz = s["x"], s["y"], s["z"]
-        x = t[x_col].to_numpy(zero_copy_only=False)
-        y = t[y_col].to_numpy(zero_copy_only=False)
-        pad = 4.0 * (max(sx.max() - sx.min(), sy.max() - sy.min()) + 1.0)
-        # target-independent: each sample's original Voronoi cell area,
-        # computed once per actor batch
-        pre = np.array(
-            [
-                _poly_area(
-                    _voronoi_cell(
-                        sx[j], sy[j],
-                        np.concatenate([sx[:j], sx[j + 1 :]]),
-                        np.concatenate([sy[:j], sy[j + 1 :]]),
-                        pad,
-                    )
-                )
-                for j in range(len(sx))
-            ]
-        )
+        self.x_col, self.y_col, self.out_col = x_col, y_col, out_col
+        self.sx, self.sy, self.sz = s["x"], s["y"], s["z"]
+        sx, sy = self.sx, self.sy
+        self.pad = 4.0 * (max(sx.max() - sx.min(), sy.max() - sy.min()) + 1.0)
+        n = len(sx)
+        k = min(_VOR_PRUNE + 1, n)
+        # per-sample nearest-neighbour lists from the full pairwise d2
+        # matrix (samples are the SMALL broadcast side by contract, so
+        # O(S^2) once per actor is cheap and replaces a per-cell argsort)
+        d2 = (sx[:, None] - sx[None, :]) ** 2 + (sy[:, None] - sy[None, :]) ** 2
+        part = np.argpartition(d2, k - 1, axis=1)[:, :k] if k < n else np.tile(np.arange(n), (n, 1))
+        rows = np.arange(n)[:, None]
+        order = np.argsort(d2[rows, part], axis=1, kind="stable")
+        nbr = part[rows, order]
+        # drop self from each neighbour row (self is nearest but ties
+        # can reorder it; mask by index identity, keep first k-1 others)
+        self.nbr = np.empty((n, k - 1), dtype=np.int64)
+        for j in range(n):
+            row = nbr[j][nbr[j] != j]
+            self.nbr[j] = row[: k - 1] if len(row) >= k - 1 else np.pad(row, (0, k - 1 - len(row)), mode="edge")
+        # each sample's original Voronoi cell POLYGON (not just area):
+        # inserting a target adds exactly one bisector, so the post
+        # cell is pre_poly clipped by one half-plane — O(1) per
+        # candidate instead of re-clipping the full near-site list
+        self.pre_poly = [
+            _clip_cell(sx[j], sy[j], sx[self.nbr[j]], sy[self.nbr[j]], self.pad)
+            for j in range(n)
+        ]
+        self.pre = np.array([_poly_area(p) for p in self.pre_poly])
+
+    def __call__(self, t: pa.Table) -> pa.Table:
+        x = t[self.x_col].to_numpy(zero_copy_only=False)
+        y = t[self.y_col].to_numpy(zero_copy_only=False)
         out = np.empty(len(x))
         for i in range(len(x)):
-            out[i] = _sibson_value(x[i], y[i], sx, sy, sz, pad, pre)
-        return t.append_column(out_col, pa.array(out))
+            out[i] = self._value(x[i], y[i])
+        return t.append_column(self.out_col, pa.array(out))
 
-    return targets.map_batches(fn, batch_format="pyarrow")
+    def _value(self, tx, ty) -> float:
+        sx, sy, sz = self.sx, self.sy, self.sz
+        d2 = (sx - tx) ** 2 + (sy - ty) ** 2
+        hit = np.nonzero(d2 == 0.0)[0]
+        if len(hit):
+            return float(sz[hit[0]])
+        # target's Voronoi cell among its nearest samples
+        k = min(_VOR_PRUNE, len(sx))
+        if k < len(sx):
+            part = np.argpartition(d2, k - 1)[:k]
+            near = part[np.argsort(d2[part], kind="stable")]
+        else:
+            near = np.argsort(d2, kind="stable")
+        tcell = _clip_cell(tx, ty, sx[near], sy[near], self.pad)
+        tarea = _poly_area(tcell)
+        if tarea <= 0.0:
+            return float(sz[int(np.argmin(d2))])
+        minx, miny = tcell.min(axis=0)
+        maxx, maxy = tcell.max(axis=0)
+        r2 = max(maxx - tx, tx - minx, maxy - ty, ty - miny) ** 2 * 16.0 + 1.0
+        cand = np.nonzero(d2 <= r2)[0]
+        wsum = 0.0
+        zsum = 0.0
+        for j in cand:
+            # j's cell after inserting the target = its cached pre-cell
+            # clipped by the single target bisector
+            ax, ay = tx - sx[j], ty - sy[j]
+            c = (tx**2 - sx[j] ** 2 + ty**2 - sy[j] ** 2) / 2.0
+            post = _poly_area(_clip_halfplane(self.pre_poly[j], ax, ay, c))
+            stolen = max(self.pre[j] - post, 0.0)
+            if stolen > 0.0:
+                wsum += stolen
+                zsum += stolen * sz[j]
+        if wsum <= 0.0:
+            return float(sz[int(np.argmin(d2))])
+        return zsum / wsum
 
 
 def _clip_halfplane(poly: np.ndarray, a: float, b: float, c: float) -> np.ndarray:
-    """Sutherland–Hodgman clip of polygon (N,2) to a*x + b*y <= c."""
-    if len(poly) == 0:
+    """Vectorized Sutherland–Hodgman clip of polygon (N,2) to
+    a*x + b*y <= c (same arithmetic as the scalar loop it replaces:
+    identical vertex order and intersection formula)."""
+    n = len(poly)
+    if n == 0:
         return poly
     vals = a * poly[:, 0] + b * poly[:, 1] - c
     keep = vals <= 1e-12
-    out = []
-    n = len(poly)
-    for i in range(n):
-        j = (i + 1) % n
-        if keep[i]:
-            out.append(poly[i])
-        if keep[i] != keep[j]:
-            frac = vals[i] / (vals[i] - vals[j])
-            out.append(poly[i] + frac * (poly[j] - poly[i]))
-    return np.asarray(out) if out else np.empty((0, 2))
+    if keep.all():
+        return poly
+    if not keep.any():
+        return np.empty((0, 2))
+    nxt = np.roll(np.arange(n), -1)
+    cross = keep != keep[nxt]
+    frac = np.zeros(n)
+    ci = np.nonzero(cross)[0]
+    frac[ci] = vals[ci] / (vals[ci] - vals[nxt[ci]])
+    inter = poly + frac[:, None] * (poly[nxt] - poly)
+    slots = np.empty((2 * n, 2))
+    slots[0::2] = poly
+    slots[1::2] = inter
+    mask = np.empty(2 * n, dtype=bool)
+    mask[0::2] = keep
+    mask[1::2] = cross
+    return slots[mask]
+
+
+def _clip_cell(px: float, py: float, qx: np.ndarray, qy: np.ndarray, pad: float) -> np.ndarray:
+    """Voronoi cell of (px, py) vs an already-pruned near-site list
+    (no argsort — callers pass nearest-first KD-tree neighbours)."""
+    poly = np.array(
+        [[px - pad, py - pad], [px + pad, py - pad], [px + pad, py + pad], [px - pad, py + pad]]
+    )
+    for k in range(len(qx)):
+        ax, ay = qx[k] - px, qy[k] - py
+        c = (qx[k] ** 2 - px**2 + qy[k] ** 2 - py**2) / 2.0
+        poly = _clip_halfplane(poly, ax, ay, c)
+        if len(poly) == 0:
+            break
+    return poly
 
 
 _VOR_PRUNE = 64  # nearest sites that can bound a Voronoi cell in practice

@@ -40,11 +40,14 @@ def range_join(
 ) -> ray.data.Dataset:
     """-> (point_cols..., sample_key, dist) for every pair with
     d2 <= radius^2."""
+    # broadcast the samples SORTED BY sx so each point slab can prune
+    # the sample side to an x-window via searchsorted
+    s_order = np.argsort(samples[sx].to_numpy(zero_copy_only=False), kind="stable")
     ref = ray.put(
         {
-            "sx": samples[sx].to_numpy(zero_copy_only=False),
-            "sy": samples[sy].to_numpy(zero_copy_only=False),
-            "key": samples[sample_key].to_numpy(zero_copy_only=False),
+            "sx": samples[sx].to_numpy(zero_copy_only=False)[s_order],
+            "sy": samples[sy].to_numpy(zero_copy_only=False)[s_order],
+            "key": samples[sample_key].to_numpy(zero_copy_only=False)[s_order],
         }
     )
     r2 = radius * radius
@@ -53,28 +56,40 @@ def range_join(
         s = ray.get(ref)
         x = t["x"].to_numpy(zero_copy_only=False)
         y = t["y"].to_numpy(zero_copy_only=False)
-        n, m = len(x), len(s["sx"])
-        # chunk both axes so the distance matrix stays ~16 MB per slab
-        # regardless of batch/sample sizes (1000 samples x 40k points
-        # unchunked would be ~1 GB of temporaries per task)
-        pcs, scs = 8192, 256
+        n = len(x)
+        # sort the batch by x so each slab spans a narrow x-range and
+        # only the samples inside [slab_min - r, slab_max + r] are
+        # compared — the distance work drops by the window fraction
+        # (row order is irrelevant: every consumer sorts or groups)
+        order = np.argsort(x, kind="stable")
+        xs, ys = x[order], y[order]
+        pcs, scs = 2048, 256
         out_pi, out_sj, out_d2 = [], [], []
         for p0 in range(0, n, pcs):
-            xc = x[p0 : p0 + pcs, None]
-            yc = y[p0 : p0 + pcs, None]
-            for s0 in range(0, m, scs):
-                dx = xc - s["sx"][None, s0 : s0 + scs]
-                dy = yc - s["sy"][None, s0 : s0 + scs]
+            xc = xs[p0 : p0 + pcs]
+            yc = ys[p0 : p0 + pcs]
+            j0 = int(np.searchsorted(s["sx"], xc[0] - radius, side="left"))
+            j1 = int(np.searchsorted(s["sx"], xc[-1] + radius, side="right"))
+            for s0 in range(j0, j1, scs):
+                s1 = min(s0 + scs, j1)
+                dx = xc[:, None] - s["sx"][None, s0:s1]
+                dy = yc[:, None] - s["sy"][None, s0:s1]
                 d2 = dx * dx + dy * dy
                 pi, sj = np.nonzero(d2 <= r2)
                 out_pi.append(pi + p0)
                 out_sj.append(sj + s0)
                 out_d2.append(d2[pi, sj])
-        pi = np.concatenate(out_pi)
-        sj = np.concatenate(out_sj)
+        if out_pi:
+            pi = order[np.concatenate(out_pi)]
+            sj = np.concatenate(out_sj)
+            d = np.sqrt(np.concatenate(out_d2))
+        else:
+            pi = np.empty(0, dtype=np.int64)
+            sj = np.empty(0, dtype=np.int64)
+            d = np.empty(0)
         cols = {c: t[c].to_numpy(zero_copy_only=False)[pi] for c in point_cols}
         cols[sample_key] = s["key"][sj]
-        cols["dist"] = np.sqrt(np.concatenate(out_d2))
+        cols["dist"] = d
         return pa.table(cols)
 
     return points.map_batches(fn, batch_format="pyarrow")
