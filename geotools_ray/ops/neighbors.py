@@ -106,11 +106,14 @@ def knn_join(
 ) -> ray.data.Dataset:
     """-> (query_key, rank 1..k, point_cols..., dist): the k nearest
     points per query, ranked by (d2, *point_cols)."""
+    # queries sorted by qx so a chunk of consecutive queries spans a
+    # narrow x-range and can prune the point side to an x-window
+    q_order = np.argsort(queries[qx].to_numpy(zero_copy_only=False), kind="stable")
     ref = ray.put(
         {
-            "qx": queries[qx].to_numpy(zero_copy_only=False),
-            "qy": queries[qy].to_numpy(zero_copy_only=False),
-            "key": queries[query_key].to_numpy(zero_copy_only=False),
+            "qx": queries[qx].to_numpy(zero_copy_only=False)[q_order],
+            "qy": queries[qy].to_numpy(zero_copy_only=False)[q_order],
+            "key": queries[query_key].to_numpy(zero_copy_only=False)[q_order],
         }
     )
     tiebreak = list(point_cols)
@@ -119,39 +122,67 @@ def knn_join(
         """Emit a SUPERSET of each query's batch-local top-k (all points
         with d2 <= the k-th smallest, ties included) — the merge stage
         does the exact sort/trim, so no per-query python loop is needed
-        here: argpartition runs vectorized across query columns."""
+        here.  Pruning: a subsample's k-th-nearest distance upper-bounds
+        the true k-th-nearest, so points outside the query chunk's
+        x-window by more than that bound can never make the top-k."""
         q = ray.get(ref)
         x = t["x"].to_numpy(zero_copy_only=False)
         y = t["y"].to_numpy(zero_copy_only=False)
         n = len(x)
         kk = min(k, n)
-        tb = {c: t[c].to_numpy(zero_copy_only=False) for c in point_cols}
         out_cols: dict[str, list] = {c: [] for c in (query_key, "d2", *point_cols)}
-        qcs = 256  # query-column chunk: d2 slab stays ~ n x 256 doubles
+        p_order = np.argsort(x, kind="stable")
+        xs, ys = x[p_order], y[p_order]
+        # every 8th point of the x-sorted batch: spatially uniform
+        # subsample whose per-query k-th distance bounds the window
+        sub = slice(None, None, 8)
+        xsub, ysub = xs[sub], ys[sub]
+        use_bound = len(xsub) >= kk and n > 4 * k
+        qcs = 64 if use_bound else 256
+        tb_src = {c: t[c].to_numpy(zero_copy_only=False)[p_order] for c in point_cols}
         for q0 in range(0, len(q["key"]), qcs):
-            qx_ = q["qx"][None, q0 : q0 + qcs]
-            qy_ = q["qy"][None, q0 : q0 + qcs]
-            dx = x[:, None] - qx_
-            dy = y[:, None] - qy_
-            d2 = dx * dx + dy * dy
-            if kk < n:
-                part = np.partition(d2, kk - 1, axis=0)
-                dmax = part[kk - 1, :]  # k-th smallest per query
+            qx_ = q["qx"][q0 : q0 + qcs]
+            qy_ = q["qy"][q0 : q0 + qcs]
+            if use_bound:
+                ds = (xsub[:, None] - qx_[None, :]) ** 2 + (ysub[:, None] - qy_[None, :]) ** 2
+                bound = np.partition(ds, kk - 1, axis=0)[kk - 1, :]
+                r = float(np.sqrt(bound.max()))
+                j0 = int(np.searchsorted(xs, qx_.min() - r, side="left"))
+                j1 = int(np.searchsorted(xs, qx_.max() + r, side="right"))
             else:
-                dmax = d2.max(axis=0) if n else np.zeros(d2.shape[1])
+                j0, j1 = 0, n
+            xc, yc = xs[j0:j1], ys[j0:j1]
+            m = j1 - j0
+            if m == 0:
+                continue
+            dx = xc[:, None] - qx_[None, :]
+            dy = yc[:, None] - qy_[None, :]
+            d2 = dx * dx + dy * dy
+            if kk < m:
+                dmax = np.partition(d2, kk - 1, axis=0)[kk - 1, :]
+            else:
+                dmax = d2.max(axis=0)
             pi, qj = np.nonzero(d2 <= dmax[None, :])
             out_cols[query_key].append(q["key"][q0 + qj])
             out_cols["d2"].append(d2[pi, qj])
             for c in point_cols:
-                out_cols[c].append(tb[c][pi])
-        return pa.table({c: np.concatenate(v) for c, v in out_cols.items()})
+                out_cols[c].append(tb_src[c][j0 + pi])
+        return pa.table(
+            {
+                c: np.concatenate(v) if v else np.empty(0, dtype=np.float64 if c == "d2" else np.int64)
+                for c, v in out_cols.items()
+            }
+        )
 
     candidates = points.map_batches(local_topk, batch_format="pyarrow")
 
-    def merge(g: pd.DataFrame) -> pd.DataFrame:
-        g = g.sort_values(["d2", *tiebreak]).head(k).reset_index(drop=True)
-        g["rank"] = np.arange(1, len(g) + 1, dtype=np.int64)
-        g["dist"] = np.sqrt(g["d2"].to_numpy())
-        return g.drop(columns=["d2"])
+    def merge_part(df: pd.DataFrame) -> pd.DataFrame:
+        df = df.sort_values([query_key, "d2", *tiebreak])
+        df = df.groupby(query_key, sort=False).head(k).copy()
+        df["rank"] = df.groupby(query_key, sort=False).cumcount().to_numpy() + 1
+        df["dist"] = np.sqrt(df["d2"].to_numpy())
+        return df.drop(columns=["d2"]).reset_index(drop=True)
 
-    return candidates.groupby(query_key).map_groups(merge, batch_format="pandas")
+    from ..stages.grouped import grouped_map
+
+    return grouped_map(candidates, [query_key], merge_part)
