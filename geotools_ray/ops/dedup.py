@@ -180,7 +180,11 @@ def verify_jaccard(
 # ---------------------------------------------------------------------------
 # distributed connected components (hash-min + pointer jumping)
 
-def connected_components(pairs: ray.data.Dataset, max_rounds: int = 30) -> ray.data.Dataset:
+def connected_components(
+    pairs: ray.data.Dataset,
+    max_rounds: int = 30,
+    small_side_limit: int = 1_000_000,
+) -> ray.data.Dataset:
     """Min-label propagation over near-dup pairs, fully distributed:
     each round is (a) a gather step — every node takes the min of its
     own and its neighbours' labels — and (b) a pointer-jumping step —
@@ -188,6 +192,12 @@ def connected_components(pairs: ray.data.Dataset, max_rounds: int = 30) -> ray.d
     rounds, not O(diameter). Labels move only through grouped_map
     shuffles; convergence is a changed-count aggregate (no driver
     dicts). Raises if max_rounds is hit without convergence.
+
+    When the VERIFIED edge list (duplicates only — orders of magnitude
+    smaller than the corpus) is under `small_side_limit` rows, a
+    driver union-find replaces the rounds — the broadcast-small-side
+    pattern: the corpus never moves, only the dup edges do. Pass
+    small_side_limit=0 to force the distributed rounds.
     -> (doc_id, cluster = min id in the component)."""
 
     def seed(t: pa.Table) -> pa.Table:
@@ -198,6 +208,30 @@ def connected_components(pairs: ray.data.Dataset, max_rounds: int = 30) -> ray.d
         )
 
     edges = pairs.map_batches(seed, batch_format="pyarrow").materialize()
+
+    if small_side_limit and edges.count() <= small_side_limit:
+        df = edges.to_pandas()
+        a = df["node"].to_numpy().astype(np.int64)
+        b = df["nbr"].to_numpy().astype(np.int64)
+        nodes, inv = np.unique(np.concatenate([a, b]), return_inverse=True)
+        parent = np.arange(len(nodes), dtype=np.int64)
+
+        def find(i: int) -> int:
+            while parent[i] != i:
+                parent[i] = parent[parent[i]]
+                i = parent[i]
+            return i
+
+        ia, ib = inv[: len(a)], inv[len(a) :]
+        for i, j in zip(ia, ib):
+            ri, rj = find(i), find(j)
+            if ri != rj:
+                parent[max(ri, rj)] = min(ri, rj)  # roots ordered by id index
+        roots = np.array([find(i) for i in range(len(nodes))])
+        # cluster = min node id in the component; nodes[] ascending, so
+        # the root's own id IS the min (union always keeps the smaller)
+        out = pd.DataFrame({"doc_id": nodes, "cluster": nodes[roots]})
+        return ray.data.from_pandas(out)
 
     def init_lab(df: pd.DataFrame) -> pd.DataFrame:
         g = df.groupby("node", sort=False)["nbr"].min().reset_index()

@@ -431,21 +431,30 @@ def q_normalize_height(sf_dir: str):
 def q_minhash_dedup(sf_dir: str):
     from .ops.dedup import minhash_lsh_dedup
 
-    docs = ray.data.read_parquet(f"{sf_dir}/documents.parquet", columns=["doc_id", "text"])
+    docs = ray.data.read_parquet(
+        f"{sf_dir}/documents.parquet", columns=["doc_id", "text"],
+        override_num_blocks=32,  # one-file table: split so the per-doc hashing stages parallelize
+    )
     return minhash_lsh_dedup(docs, threshold=0.5)
 
 
 def q_simhash_pairs(sf_dir: str):
     from .ops.dedup import simhash_pairs
 
-    docs = ray.data.read_parquet(f"{sf_dir}/documents.parquet", columns=["doc_id", "text"])
+    docs = ray.data.read_parquet(
+        f"{sf_dir}/documents.parquet", columns=["doc_id", "text"],
+        override_num_blocks=32,  # one-file table: split so the per-doc hashing stages parallelize
+    )
     return simhash_pairs(docs, max_hamming=10)
 
 
 def q_ngram_pairs(sf_dir: str):
     from .ops.dedup import ngram_jaccard_pairs
 
-    docs = ray.data.read_parquet(f"{sf_dir}/documents.parquet", columns=["doc_id", "text"])
+    docs = ray.data.read_parquet(
+        f"{sf_dir}/documents.parquet", columns=["doc_id", "text"],
+        override_num_blocks=32,  # one-file table: split so the per-doc hashing stages parallelize
+    )
     out = ngram_jaccard_pairs(docs, n=3, threshold=0.3)
 
     def fin(t: pa.Table) -> pa.Table:

@@ -71,3 +71,29 @@ def test_exact_dedup(ray_session):
     out = exact_dedup(ds, ["k"], "v").to_pandas().sort_values("k")
     assert len(out) == 5
     assert list(out["v"]) == [f"r{i:03d}" for i in range(5)]
+
+
+def test_connected_components_driver_equals_distributed(ray_session):
+    """The small-side union-find and the distributed min-label rounds
+    must produce identical (doc_id, cluster) labelings."""
+    import ray.data
+
+    from geotools_ray.ops.dedup import connected_components
+
+    rng = np.random.RandomState(7)
+    a = rng.randint(0, 200, 150).astype(np.int64)
+    b = rng.randint(0, 200, 150).astype(np.int64)
+    keep = a != b
+    pairs = pd.DataFrame({"id_a": a[keep], "id_b": b[keep]})
+    ds = ray.data.from_pandas(pairs)
+
+    small = (
+        connected_components(ds)
+        .to_pandas().sort_values("doc_id").reset_index(drop=True)
+    )
+    dist = (
+        connected_components(ds, small_side_limit=0)
+        .to_pandas().sort_values("doc_id").reset_index(drop=True)
+    )
+    assert small["doc_id"].tolist() == dist["doc_id"].tolist()
+    assert small["cluster"].tolist() == dist["cluster"].tolist()
