@@ -600,6 +600,64 @@ def tiles_from_cellstats(stats, value_col, cols, rows, tile, nodata=NODATA,
     return grouped_map(keyed, ["trow", "tcol"], fill, num_parts=num_parts)
 
 
+def tiles_multi_from_cellstats(stats, value_cols, cols, rows, tile, nodata=NODATA,
+                               num_parts=None, dense=False):
+    """Assemble SEVERAL per-cell stat columns into co-located tile rows
+    in ONE grouped shuffle: each output row is (trow, tcol, h, w,
+    data_<col> ...).  Replaces N separate tiles_from_cellstats passes +
+    a zip co-partition when all rasters derive from the same cell-stat
+    table (the common case for diff/extract/mosaic pipelines).
+    Per-column masking: set a cell's value to `nodata` upstream — dense
+    fill writes `nodata` into unpopulated pixels anyway."""
+
+    def key(t: pa.Table) -> pa.Table:
+        cid = t["cell_id"].to_numpy(zero_copy_only=False)
+        r = cid // cols
+        c = cid % cols
+        d = {
+            "trow": r // tile,
+            "tcol": c // tile,
+            "ir": r % tile,
+            "ic": c % tile,
+        }
+        for vc in value_cols:
+            d["v_" + vc] = t[vc].to_numpy(zero_copy_only=False).astype(np.float64)
+        return pa.table(d)
+
+    keyed = stats.map_batches(key, batch_format="pyarrow")
+    ntr = (rows + tile - 1) // tile
+    ntc = (cols + tile - 1) // tile
+    if dense:
+        tr_all, tc_all = np.meshgrid(np.arange(ntr), np.arange(ntc), indexing="ij")
+        d = {
+            "trow": tr_all.ravel().astype(np.int64),
+            "tcol": tc_all.ravel().astype(np.int64),
+            "ir": np.full(ntr * ntc, -1, dtype=np.int64),
+            "ic": np.full(ntr * ntc, -1, dtype=np.int64),
+        }
+        for vc in value_cols:
+            d["v_" + vc] = np.full(ntr * ntc, nodata)
+        keyed = keyed.union(ray.data.from_arrow(pa.table(d)))
+
+    def fill(df: pd.DataFrame) -> pd.DataFrame:
+        out = []
+        for (tr, tc), g in df.groupby(["trow", "tcol"], sort=False):
+            h = min(tile, rows - int(tr) * tile)
+            w = min(tile, cols - int(tc) * tile)
+            g = g[g["ir"] >= 0]
+            ir = g["ir"].to_numpy()
+            ic = g["ic"].to_numpy()
+            row = {"trow": int(tr), "tcol": int(tc), "h": h, "w": w}
+            for vc in value_cols:
+                arr = np.full((h, w), nodata)
+                arr[ir, ic] = g["v_" + vc].to_numpy()
+                row["data_" + vc] = arr.ravel().tolist()
+            out.append(row)
+        return pd.DataFrame(out)
+
+    return grouped_map(keyed, ["trow", "tcol"], fill, num_parts=num_parts)
+
+
 # ---------------------------------------------------------------------------
 # W4 distributed flood basins: local labels per tile (map_batches),
 # only (label, label) boundary pairs + per-label stats move; a tiny

@@ -88,6 +88,52 @@ def spectral_extract(
     return zip_tiles(index_tiles, band_tiles, fn, num_parts=num_parts)
 
 
+def spectral_extract_cotiled(
+    tiles: ray.data.Dataset,
+    idx_col: str,
+    band_col: str,
+    tile: int,
+    res: float = 1.0,
+    minx: float = 0.0,
+    miny: float = 0.0,
+) -> ray.data.Dataset:
+    """spectral_extract over ONE co-tiled dataset (both rasters in the
+    same row via tiles_multi_from_cellstats) — a narrow map, no zip
+    shuffle."""
+
+    def fn(df: pd.DataFrame) -> pd.DataFrame:
+        out = []
+        for _, r in df.iterrows():
+            h, w = int(r["h"]), int(r["w"])
+            idx = np.asarray(r["data_" + idx_col], dtype=np.float64).reshape(h, w)
+            band = np.asarray(r["data_" + band_col], dtype=np.float64).reshape(h, w)
+            rs, cs = np.nonzero(idx != NODATA)
+            if not len(rs):
+                continue
+            gr = int(r["trow"]) * tile + rs
+            gc = int(r["tcol"]) * tile + cs
+            out.append(
+                pd.DataFrame(
+                    {
+                        "id": idx[rs, cs].astype(np.int64),
+                        "x": gc * res + minx + res / 2.0,
+                        "y": gr * res + miny + res / 2.0,
+                        "dn": band[rs, cs],
+                    }
+                )
+            )
+        return (
+            pd.concat(out)
+            if out
+            else pd.DataFrame({"id": pd.Series(dtype=np.int64),
+                               "x": pd.Series(dtype=np.float64),
+                               "y": pd.Series(dtype=np.float64),
+                               "dn": pd.Series(dtype=np.float64)})
+        )
+
+    return tiles.map_batches(fn, batch_format="pandas")
+
+
 def zip3_tiles(a, b, c, fn, num_parts=None) -> ray.data.Dataset:
     """Three-way tile co-partition in ONE grouped shuffle;
     fn(trow, tcol, ga, gb, gc) -> DataFrame rows."""
@@ -136,43 +182,79 @@ def raster_pair_diff_stats(
     ONE grouped shuffle."""
 
     def stat_fn(tr, tc, ga, gb, cls):
-        okd = (ga != NODATA) & (gb != NODATA)
-        d = np.where(okd, ga - gb, NODATA)
-        ok = (d != NODATA) & (cls != NODATA)
-        if not ok.any():
-            return None
-        vals = d[ok]
-        cl = cls[ok].astype(np.int64)
-        uniq, inv = np.unique(cl, return_inverse=True)
-        n = np.bincount(inv)
-        s = np.bincount(inv, weights=vals)
-        ss = np.bincount(inv, weights=vals * vals)
-        mn = np.full(len(uniq), np.inf)
-        np.minimum.at(mn, inv, vals)
-        mx = np.full(len(uniq), -np.inf)
-        np.maximum.at(mx, inv, vals)
-        return pd.DataFrame({"cls": uniq, "pn": n, "ps": s, "pss": ss, "pmn": mn, "pmx": mx})
+        return _diff_stats_partial(ga, gb, cls)
 
     partials = zip3_tiles(a_tiles, b_tiles, class_tiles, stat_fn, num_parts=num_parts)
+    return grouped_map(partials, ["cls"], _diff_stats_final, num_parts=8)
 
-    def final(df: pd.DataFrame) -> pd.DataFrame:
-        rows = []
-        for cls, g in df.groupby("cls", sort=False):
-            n = int(g["pn"].sum())
-            s = float(g["ps"].sum())
-            ss = float(g["pss"].sum())
-            mean = s / n
-            var = max(ss - n * mean * mean, 0.0) / n
-            rows.append(
-                {
-                    "cls": int(cls),
-                    "n": n,
-                    "mean_diff": mean,
-                    "stddev_diff": float(np.sqrt(var)),
-                    "min_diff": float(g["pmn"].min()),
-                    "max_diff": float(g["pmx"].max()),
-                }
-            )
-        return pd.DataFrame(rows, columns=["cls", "n", "mean_diff", "stddev_diff", "min_diff", "max_diff"])
 
-    return grouped_map(partials, ["cls"], final, num_parts=8)
+def raster_diff_stats_cotiled(
+    tiles: ray.data.Dataset, a_col: str, b_col: str, cls_col: str
+) -> ray.data.Dataset:
+    """Same math as raster_pair_diff_stats, but over ONE co-tiled
+    dataset from tiles_multi_from_cellstats (data_<col> columns are
+    already co-located — zero extra shuffles before the tiny final)."""
+
+    def partial(df: pd.DataFrame) -> pd.DataFrame:
+        frames = []
+        for _, r in df.iterrows():
+            h, w = int(r["h"]), int(r["w"])
+            ga = np.asarray(r["data_" + a_col], dtype=np.float64).reshape(h, w)
+            gb = np.asarray(r["data_" + b_col], dtype=np.float64).reshape(h, w)
+            cls = np.asarray(r["data_" + cls_col], dtype=np.float64).reshape(h, w)
+            res = _diff_stats_partial(ga, gb, cls)
+            if res is not None:
+                frames.append(res)
+        return (
+            pd.concat(frames)
+            if frames
+            else pd.DataFrame({"cls": pd.Series(dtype=np.int64),
+                               "pn": pd.Series(dtype=np.int64),
+                               "ps": pd.Series(dtype=np.float64),
+                               "pss": pd.Series(dtype=np.float64),
+                               "pmn": pd.Series(dtype=np.float64),
+                               "pmx": pd.Series(dtype=np.float64)})
+        )
+
+    partials = tiles.map_batches(partial, batch_format="pandas")
+    return grouped_map(partials, ["cls"], _diff_stats_final, num_parts=8)
+
+
+def _diff_stats_partial(ga, gb, cls):
+    okd = (ga != NODATA) & (gb != NODATA)
+    d = np.where(okd, ga - gb, NODATA)
+    ok = (d != NODATA) & (cls != NODATA)
+    if not ok.any():
+        return None
+    vals = d[ok]
+    cl = cls[ok].astype(np.int64)
+    uniq, inv = np.unique(cl, return_inverse=True)
+    n = np.bincount(inv)
+    s = np.bincount(inv, weights=vals)
+    ss = np.bincount(inv, weights=vals * vals)
+    mn = np.full(len(uniq), np.inf)
+    np.minimum.at(mn, inv, vals)
+    mx = np.full(len(uniq), -np.inf)
+    np.maximum.at(mx, inv, vals)
+    return pd.DataFrame({"cls": uniq, "pn": n, "ps": s, "pss": ss, "pmn": mn, "pmx": mx})
+
+
+def _diff_stats_final(df: pd.DataFrame) -> pd.DataFrame:
+    rows = []
+    for cls, g in df.groupby("cls", sort=False):
+        n = int(g["pn"].sum())
+        s = float(g["ps"].sum())
+        ss = float(g["pss"].sum())
+        mean = s / n
+        var = max(ss - n * mean * mean, 0.0) / n
+        rows.append(
+            {
+                "cls": int(cls),
+                "n": n,
+                "mean_diff": mean,
+                "stddev_diff": float(np.sqrt(var)),
+                "min_diff": float(g["pmn"].min()),
+                "max_diff": float(g["pmx"].max()),
+            }
+        )
+    return pd.DataFrame(rows, columns=["cls", "n", "mean_diff", "stddev_diff", "min_diff", "max_diff"])

@@ -320,8 +320,9 @@ def q_flood_basins(sf_dir: str):
 
 def q_mosaic(sf_dir: str):
     """W3 feather+blend of the count raster over the mean raster —
-    both sides assembled distributed from the same grid stats."""
-    from .ops.raster import mosaic_tiles, tiles_from_cellstats
+    both sides assembled co-tiled in ONE shuffle from the same grid
+    stats, split locally into the blend's base/overlay inputs."""
+    from .ops.raster import NODATA, mosaic_tiles, tiles_multi_from_cellstats
 
     pts = tpch.read_points(sf_dir)
     res = 2.0
@@ -330,17 +331,29 @@ def q_mosaic(sf_dir: str):
     cols = b.cols(res)
     rows = b.rows(res)
 
-    def left_half_counts(t: pa.Table) -> pa.Table:
+    def with_overlay(t: pa.Table) -> pa.Table:
         cid = t["cell_id"].to_numpy(zero_copy_only=False)
-        keep = cid % cols < cols // 2
-        return t.filter(pa.array(keep))
+        n = t["count"].to_numpy(zero_copy_only=False).astype(np.float64)
+        # overlay = counts on the left half only (nodata elsewhere,
+        # matching the old filtered+dense assembly)
+        ov = np.where(cid % cols < cols // 2, n, NODATA)
+        return t.append_column("ocount", pa.array(ov))
 
-    stats = stats.materialize()
-    bt = tiles_from_cellstats(stats, "mean", cols, rows, 16, dense=True)
-    ot = tiles_from_cellstats(
-        stats.map_batches(left_half_counts, batch_format="pyarrow"),
-        "count", cols, rows, 16, dense=True,
-    )
+    mt = tiles_multi_from_cellstats(
+        stats.map_batches(with_overlay, batch_format="pyarrow"),
+        ["mean", "ocount"], cols, rows, 16, dense=True,
+    ).materialize()
+
+    def pick(col):
+        def fn(t: pa.Table) -> pa.Table:
+            return pa.table(
+                {"trow": t["trow"], "tcol": t["tcol"], "h": t["h"], "w": t["w"],
+                 "data": t["data_" + col]}
+            )
+        return fn
+
+    bt = mt.map_batches(pick("mean"), batch_format="pyarrow")
+    ot = mt.map_batches(pick("ocount"), batch_format="pyarrow")
     H, W = rows, cols
     out = mosaic_tiles(bt, ot, distance=3.0, resolution=1.0, H=H, W=W, tile=16, num_parts=8)
     return _tile_checksums(out, H, W, 16)
@@ -548,31 +561,30 @@ def q_spectral(sf_dir: str):
     checkable deterministic labeling) ⋈ mean raster by pixel."""
     import pyarrow as pa
 
-    from .ops.raster import tiles_from_cellstats
-    from .ops.spectral import spectral_extract
+    from .ops.raster import NODATA, tiles_multi_from_cellstats
+    from .ops.spectral import spectral_extract_cotiled
     from .queries_raster_sql import SPECTRAL_MIN_N
 
     pts = tpch.read_points(sf_dir)
     res = 2.0
     b = compute_bounds(pts, res)
-    stats = grid_stats(
-        pts, GridConfig(res=res, bounds=b, stats=("mean", "count"))
-    ).materialize()
+    stats = grid_stats(pts, GridConfig(res=res, bounds=b, stats=("mean", "count")))
     cols = b.cols(res)
     rows = b.rows(res)
 
     def idx_vals(t: pa.Table) -> pa.Table:
         cid = t["cell_id"].to_numpy(zero_copy_only=False)
         n = t["count"].to_numpy(zero_copy_only=False)
-        t = t.append_column("idxval", pa.array((cid + 1).astype(np.float64)))
-        return t.filter(pa.array(n >= SPECTRAL_MIN_N))
+        # below-threshold cells keep their mean but get a nodata index
+        # (same pixel set as the old filtered index raster)
+        v = np.where(n >= SPECTRAL_MIN_N, (cid + 1).astype(np.float64), NODATA)
+        return t.append_column("idxval", pa.array(v))
 
-    it = tiles_from_cellstats(
+    mt = tiles_multi_from_cellstats(
         stats.map_batches(idx_vals, batch_format="pyarrow"),
-        "idxval", cols, rows, 16, dense=True,
+        ["idxval", "mean"], cols, rows, 16, dense=True,
     )
-    bt = tiles_from_cellstats(stats, "mean", cols, rows, 16, dense=True)
-    out = spectral_extract(it, bt, 16, res=2.0, minx=b.minx, miny=b.miny)
+    out = spectral_extract_cotiled(mt, "idxval", "mean", 16, res=2.0, minx=b.minx, miny=b.miny)
 
     def fin(df: pd.DataFrame) -> pd.DataFrame:
         df = df.copy()
@@ -586,15 +598,15 @@ def q_spectral(sf_dir: str):
 def q_raster_diff(sf_dir: str):
     """J6/A14: per-class stats of (mean - median) rasters — all three
     tile sets assembled distributed from the same exact-stat pass."""
-    from .ops.raster import tiles_from_cellstats
-    from .ops.spectral import raster_pair_diff_stats
+    from .ops.raster import tiles_multi_from_cellstats
+    from .ops.spectral import raster_diff_stats_cotiled
 
     pts = tpch.read_points(sf_dir)
     res = 2.0
     b = compute_bounds(pts, res)
     stats = grid_stats(
         pts, GridConfig(res=res, bounds=b, stats=("mean", "median", "count"), strategy="exact")
-    ).materialize()
+    )
     cols = b.cols(res)
     rows = b.rows(res)
 
@@ -602,12 +614,11 @@ def q_raster_diff(sf_dir: str):
         n = t["count"].to_numpy(zero_copy_only=False)
         return t.append_column("clsv", pa.array(n % 4.0 + 1.0))
 
-    at = tiles_from_cellstats(stats, "mean", cols, rows, 16, dense=True)
-    bt = tiles_from_cellstats(stats, "median", cols, rows, 16, dense=True)
-    ct = tiles_from_cellstats(
-        stats.map_batches(clsval, batch_format="pyarrow"), "clsv", cols, rows, 16, dense=True
+    mt = tiles_multi_from_cellstats(
+        stats.map_batches(clsval, batch_format="pyarrow"),
+        ["mean", "median", "clsv"], cols, rows, 16, dense=True,
     )
-    out = raster_pair_diff_stats(at, bt, ct)
+    out = raster_diff_stats_cotiled(mt, "mean", "median", "clsv")
 
     def fin(df: pd.DataFrame) -> pd.DataFrame:
         df = df.copy()
@@ -836,7 +847,7 @@ def q_raster_correction(sf_dir: str):
     raster z shift (rows-only; chain semantics pytest-verified against
     a straight-line transcription)."""
     from .ops.mosaicgraph import raster_diff_correction
-    from .ops.raster import tiles_from_cellstats
+    from .ops.raster import tiles_multi_from_cellstats
 
     from .stages.grouped import grouped_map
 
@@ -890,22 +901,24 @@ def q_raster_correction(sf_dir: str):
         pts.map_batches(partials, batch_format="pyarrow"), ["cell_id"], rollup
     ).materialize()
 
-    tagged = None
-    for rid in (0, 1, 2, 3):
-        def keepvalid(t: pa.Table, rid=rid) -> pa.Table:
-            v = t[f"m{rid}"].to_numpy(zero_copy_only=False)
-            return t.filter(pa.array(v != -9999.0))
+    # one co-tiled assembly for all four rasters (invalid cells carry
+    # -9999 already = the nodata the old per-rid filter produced),
+    # then a narrow local explode into the tagged rows the correction
+    # graph expects — 4 shuffles + union collapse into 1 shuffle
+    mt = tiles_multi_from_cellstats(stats, ["m0", "m1", "m2", "m3"], cols, rows, 16, dense=True)
 
-        tiles = tiles_from_cellstats(
-            stats.map_batches(keepvalid, batch_format="pyarrow"),
-            f"m{rid}", cols, rows, 16, dense=True,
-        )
+    def explode(df: pd.DataFrame) -> pd.DataFrame:
+        out = []
+        for _, r in df.iterrows():
+            for rid in (0, 1, 2, 3):
+                out.append(
+                    {"trow": int(r["trow"]), "tcol": int(r["tcol"]),
+                     "h": int(r["h"]), "w": int(r["w"]),
+                     "data": r[f"data_m{rid}"], "rid": rid}
+                )
+        return pd.DataFrame(out)
 
-        def tag(t: pa.Table, rid=rid) -> pa.Table:
-            return t.append_column("rid", pa.array(np.full(len(t), rid, dtype=np.int64)))
-
-        tagged_k = tiles.map_batches(tag, batch_format="pyarrow")
-        tagged = tagged_k if tagged is None else tagged.union(tagged_k)
+    tagged = mt.map_batches(explode, batch_format="pandas")
 
     out = raster_diff_correction(tagged, root=0)
     out = out.copy()
