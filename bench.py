@@ -147,6 +147,35 @@ def run_compute_probe() -> dict:
     return {"sec": dt, "vecs": n_vec, "vecs_per_sec": n_vec / dt}
 
 
+def run_cpu_probe() -> dict:
+    """Cache-resident matmul probe (L2-sized fixed buffers, zero
+    allocation in the loop — no DRAM traffic): isolates Ray task
+    scheduling + core scaling from the host's memory-bandwidth share,
+    which on this VM varies ~2x between epochs and caps ALL byte-heavy
+    probes regardless of worker count. If this probe scales but the
+    decode probe doesn't, the ceiling is the host bus, not the engine."""
+    import numpy as np
+    import ray
+
+    n_tasks = 192
+
+    @ray.remote
+    def burn(seed: int) -> float:
+        A = np.random.RandomState(seed).standard_normal((128, 128))
+        B = A.copy()
+        C = np.empty_like(A)
+        for _ in range(500):
+            np.matmul(A, B, out=C)
+        return float(C[0, 0])
+
+    # warm one task so worker startup isn't measured
+    ray.get(burn.remote(0))
+    t0 = time.time()
+    ray.get([burn.remote(i) for i in range(n_tasks)])
+    dt = time.time() - t0
+    return {"sec": dt, "tasks": n_tasks, "tasks_per_sec": n_tasks / dt}
+
+
 def run_queries() -> dict:
     import __ray_entry__ as E
 
@@ -230,6 +259,11 @@ def main():
                     "probe_efficiency": round(
                         (results[lo]["headline"]["probe"]["sec"]
                          / results[hi]["headline"]["probe"]["sec"]) / (hi / lo), 3),
+                    "cpu_probe_sec_lo": round(results[lo]["headline"]["cpu_probe"]["sec"], 3),
+                    "cpu_probe_sec_hi": round(results[hi]["headline"]["cpu_probe"]["sec"], 3),
+                    "cpu_probe_efficiency": round(
+                        (results[lo]["headline"]["cpu_probe"]["sec"]
+                         / results[hi]["headline"]["cpu_probe"]["sec"]) / (hi / lo), 3),
                     "cpus": [lo, hi],
                     "images": N_IMAGES,
                 }
@@ -241,6 +275,7 @@ def main():
     headline = run_headline()
     if "--headline-only" in sys.argv:
         headline["probe"] = run_compute_probe()
+        headline["cpu_probe"] = run_cpu_probe()
         print(json.dumps({"headline": headline, "num_cpus": NUM_CPUS}))
         import ray
 

@@ -217,11 +217,21 @@ FROM fl GROUP BY fid"""
 # ---------------------------------------------------------------------------
 # rows-only pipelines (deterministic; semantics pytest-verified)
 
+_MEAN_GRID_CACHE: dict = {}
+
+
 def _mean_grid(sf_dir: str, res: float = 2.0):
     """Driver-side dense mean-z grid (used only by the edge-case
     queries whose geometry step is inherently global: spill points,
-    and the tops fixture of q_spill_points; everything else goes
-    through _mean_tiles — distributed assembly)."""
+    srtm lakes; everything else goes through _mean_tiles — distributed
+    assembly). Cached across the bench sweep like _mean_tiles."""
+    import os
+
+    key = (sf_dir, res)
+    cached = os.environ.get("GRAFT_CACHE_POINTS") == "1"
+    if cached and key in _MEAN_GRID_CACHE:
+        grid, b = _MEAN_GRID_CACHE[key]
+        return grid.copy(), b
     pts = tpch.read_points(sf_dir)
     b = compute_bounds(pts, res)
     stats = grid_stats(pts, GridConfig(res=res, bounds=b, stats=("mean",))).to_pandas()
@@ -229,7 +239,10 @@ def _mean_grid(sf_dir: str, res: float = 2.0):
     rows = b.rows(res)
     grid = np.full(cols * rows, -9999.0)
     grid[stats["cell_id"].to_numpy()] = stats["mean"].to_numpy()
-    return grid.reshape(rows, cols), b
+    grid = grid.reshape(rows, cols)
+    if cached:
+        _MEAN_GRID_CACHE[key] = (grid.copy(), b)
+    return grid, b
 
 
 _MEAN_TILES_CACHE: dict = {}

@@ -243,3 +243,35 @@ def test_srtm_lakes_planted():
     assert (water[2:6, 2:6] == 150.0).all()
     assert (water[10:12, 10:12] == 0.0).all()
     assert water[15, 15] == 0.0
+
+
+def test_tiles_multi_matches_single_assembly(ray_ctx):
+    """tiles_multi_from_cellstats must equal N independent
+    tiles_from_cellstats passes, column for column (dense mode)."""
+    from geotools_ray.ops.raster import (
+        tiles_from_cellstats,
+        tiles_multi_from_cellstats,
+        tiles_to_grid,
+    )
+
+    rng = np.random.RandomState(11)
+    cols, rows = 27, 18
+    cid = rng.choice(cols * rows, 220, replace=False)
+    a = rng.uniform(0, 9, 220)
+    b = rng.uniform(-5, 5, 220)
+    ds = ray_ctx.from_items(
+        [
+            {"cell_id": int(c), "ma": float(x), "mb": float(y)}
+            for c, x, y in zip(cid, a, b)
+        ]
+    )
+    mt = tiles_multi_from_cellstats(ds, ["ma", "mb"], cols, rows, tile=8,
+                                    num_parts=4, dense=True).to_pandas()
+    for col, vals in (("ma", a), ("mb", b)):
+        single = tiles_from_cellstats(ds, col, cols, rows, tile=8,
+                                      num_parts=4, dense=True)
+        want = tiles_to_grid(single.to_pandas(), rows, cols, 8)
+        got = tiles_to_grid(
+            mt.rename(columns={"data_" + col: "data"}), rows, cols, 8
+        )
+        np.testing.assert_allclose(got, want)
