@@ -75,8 +75,14 @@ def run_headline() -> dict:
     # block count is a property of the DATA (≈8k images per block), not
     # of the worker count — keeps the 8- and 32-cpu runs comparable
     nb = max(16, N_IMAGES // 8000)
-    # warm the page cache so we measure compute + shuffle, not cold disk
-    ray.data.read_parquet(CACHE).count()
+    # warm the page cache so we measure compute + shuffle, not cold
+    # disk (count() reads only parquet metadata — touch the data pages)
+    for name in os.listdir(CACHE):
+        p = os.path.join(CACHE, name)
+        if os.path.isfile(p):
+            with open(p, "rb", buffering=0) as f:
+                while f.read(1 << 24):
+                    pass
 
     t0 = time.time()
     images = ray.data.read_parquet(CACHE, override_num_blocks=nb)

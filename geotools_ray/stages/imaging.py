@@ -39,6 +39,25 @@ def footprint_cells_batch(t: pa.Table, level: int, seed: int = 42) -> pa.Table:
     )
 
 
+_GJPG_LUT = np.minimum(np.arange(256, dtype=np.uint16) * 5, 255).astype(np.uint8)
+
+
+def _binary_views(col):
+    """Zero-copy memoryview per value of a (chunked) binary column —
+    avoids to_pylist()'s full copy of every compressed payload."""
+    chunks = col.chunks if isinstance(col, pa.ChunkedArray) else [col]
+    for chunk in chunks:
+        bufs = chunk.buffers()
+        width = 8 if pa.types.is_large_binary(chunk.type) else 4
+        offs = np.frombuffer(
+            bufs[1], dtype=np.int64 if width == 8 else np.int32,
+            count=len(chunk) + 1, offset=chunk.offset * width,
+        )
+        data = memoryview(bufs[2])
+        for j in range(len(chunk)):
+            yield data[offs[j] : offs[j + 1]]
+
+
 def decode_features_batch(t: pa.Table) -> pa.Table:
     """decode -> verify (phash recompute == stored phash) -> featurize
     (mean RGB + 4x4 thumbnail brightness) -> DROP pixel bytes.
@@ -47,18 +66,16 @@ def decode_features_batch(t: pa.Table) -> pa.Table:
     the batch amortizes dispatch and numpy does all pixel math."""
     import zlib
 
-    data = t["bytes"].to_pylist()
     stored_ph = t["phash"].to_numpy(zero_copy_only=False)
-    n = len(data)
+    n = len(t)
     mean_rgb = np.empty((n, 3))
     phash = np.empty(n, dtype=np.int64)
     # per-image zlib decompress is irreducible; ALL pixel math runs
     # batched per (h, w, fmt) size-group so python touches each image
     # once, numpy does the rest over (group, h, w, 3) stacks
     groups: dict[tuple, list] = {}
-    for i in range(n):
-        d = data[i]
-        tag = d[:4]
+    for i, d in enumerate(_binary_views(t["bytes"])):
+        tag = bytes(d[:4])
         w = int.from_bytes(d[4:8], "little")
         h = int.from_bytes(d[8:12], "little")
         groups.setdefault((tag, h, w), []).append((i, zlib.decompress(d[12:])))
@@ -68,13 +85,22 @@ def decode_features_batch(t: pa.Table) -> pa.Table:
             len(items), h, w, 3
         )
         if tag == b"GJPG":
-            px = (px.astype(np.uint16) * 5).clip(0, 255).astype(np.uint8)
+            # single-pass uint8 LUT == (uint16 * 5).clip(0, 255) exactly
+            px = _GJPG_LUT[px]
         elif tag != b"GPNG":
             raise NotImplementedError(f"unknown codec tag {tag!r}")
-        mean_rgb[idx] = px.reshape(len(items), -1, 3).mean(axis=1)
+        # int64 channel sums / count == float64 mean bit-for-bit
+        # (integer-valued float64 partial sums are exact below 2^53);
+        # contiguous per-channel slice sums are ~7x faster than the
+        # strided (n, hw, 3) axis-1 reduction
+        mean_rgb[idx] = np.stack(
+            [px[..., c].sum(axis=(1, 2), dtype=np.int64) for c in range(3)], axis=1
+        ) / (h * w)
         # batched perceptual hash — identical arithmetic to
-        # sources.images.perceptual_hash (float64 gray, 8x8 block means)
-        gray = px.astype(np.float64).mean(axis=3)
+        # sources.images.perceptual_hash (float64 gray, 8x8 block
+        # means): uint16 channel add is exact (<= 765) and / 3.0 is the
+        # same single float64 rounding as mean(axis=3)
+        gray = (px[..., 0].astype(np.uint16) + px[..., 1] + px[..., 2]) / 3.0
         small = gray.reshape(len(items), 8, h // 8, 8, w // 8).mean(axis=(2, 4))
         bits = small > small.mean(axis=(1, 2))[:, None, None]
         packed = (
