@@ -359,6 +359,52 @@ def minhash_signatures(
     return docs.map_batches(fn, batch_format="pyarrow")
 
 
+def minhash_signatures_from_sets(
+    sets: ray.data.Dataset,
+    id_col: str = "doc_id",
+    num_perm: int = 64,
+    seed: int = 1,
+) -> ray.data.Dataset:
+    """Signatures derived from the shingle-HASH sets (the same FNV64
+    hashes minhash_signature computes internally), so the corpus is
+    shingled ONCE for both LSH and the exact-Jaccard verify.
+    Bit-identical to minhash_signatures: min over (a_i * h + b_i) is
+    order-independent. Segment mins run via ONE np.minimum.reduceat
+    over the flattened list column — no per-row python."""
+    rng = np.random.RandomState(seed)
+    a = rng.randint(1, 2**62, size=num_perm).astype(np.uint64) * np.uint64(2) + np.uint64(1)
+    b = rng.randint(0, 2**62, size=num_perm).astype(np.uint64)
+
+    def fn(t: pa.Table) -> pa.Table:
+        col = t["sh"]
+        if isinstance(col, pa.ChunkedArray):
+            col = col.combine_chunks()
+        offs = col.offsets.to_numpy(zero_copy_only=False).astype(np.int64)
+        vals = col.values.to_numpy(zero_copy_only=False).view(np.uint64)
+        vals = vals[offs[0] : offs[-1]]
+        offs = offs - offs[0]
+        n = len(t)
+        sig = np.full((n, num_perm), np.iinfo(np.uint64).max, dtype=np.uint64)
+        lens = np.diff(offs)
+        nonempty = np.nonzero(lens > 0)[0]
+        if len(nonempty):
+            with np.errstate(over="ignore"):
+                H = a[None, :] * vals[: offs[-1], None] + b[None, :]
+            # empty segments contribute no values, so reduceat over the
+            # nonempty starts still covers exactly each row's values
+            sig[nonempty] = np.minimum.reduceat(H, offs[nonempty], axis=0)
+        return pa.table(
+            {
+                id_col: t[id_col],
+                "sig": pa.FixedSizeListArray.from_arrays(
+                    pa.array(sig.reshape(-1).astype(np.int64)), num_perm
+                ).cast(pa.list_(pa.int64())),
+            }
+        )
+
+    return sets.map_batches(fn, batch_format="pyarrow")
+
+
 def lsh_candidate_pairs(
     sigs: ray.data.Dataset, id_col: str = "doc_id", bands: int = 16
 ) -> ray.data.Dataset:
@@ -367,14 +413,35 @@ def lsh_candidate_pairs(
 
     def explode(t: pa.Table) -> pa.Table:
         ids = t[id_col].to_numpy(zero_copy_only=False)
+        col = t["sig"]
+        if isinstance(col, pa.ChunkedArray):
+            col = col.combine_chunks()
+        n = len(t)
+        loffs = col.offsets.to_numpy(zero_copy_only=False).astype(np.int64)
+        flat = col.values.to_numpy(zero_copy_only=False)[loffs[0] : loffs[-1]]
+        S = flat.view(np.uint64).reshape(n, -1)
+        num_perm = S.shape[1]
+        rows = num_perm // bands
+        prime = np.uint64(0x100000001B3)
         out_id, out_band, out_hash = [], [], []
-        for i in range(len(t)):
-            sig = np.asarray(t["sig"][i].as_py(), dtype=np.uint64)
-            for b, h in T.minhash_bands(sig, bands):
-                out_id.append(ids[i])
-                out_band.append(b)
-                out_hash.append(np.int64(h - (1 << 64) if h >= (1 << 63) else h))
-        return pa.table({id_col: out_id, "band": out_band, "bhash": out_hash})
+        for bnd in range(bands):
+            # vectorized FNV-1a over the band's 8*rows bytes per doc —
+            # bit-identical to stable_hash64(chunk.tobytes(), seed=bnd)
+            B = np.ascontiguousarray(S[:, bnd * rows : (bnd + 1) * rows]).view(np.uint8).reshape(n, rows * 8)
+            h = np.full(n, np.uint64(0xCBF29CE484222325 ^ bnd), dtype=np.uint64)
+            with np.errstate(over="ignore"):
+                for j in range(rows * 8):
+                    h = (h ^ B[:, j].astype(np.uint64)) * prime
+            out_id.append(ids)
+            out_band.append(np.full(n, bnd, dtype=np.int64))
+            out_hash.append(h.view(np.int64))
+        return pa.table(
+            {
+                id_col: np.concatenate(out_id),
+                "band": np.concatenate(out_band),
+                "bhash": np.concatenate(out_hash),
+            }
+        )
 
     exploded = sigs.map_batches(explode, batch_format="pyarrow")
 
@@ -412,9 +479,12 @@ def minhash_lsh_dedup(
     2 rows: P(miss a true pair at jaccard j) = (1-j^2)^32 — 1e-4 at
     j=0.5; the exact-Jaccard verify then removes false positives, so
     the output equals the exact-threshold clustering up to that recall."""
-    sigs = minhash_signatures(docs, shingle_k=shingle_k, num_perm=num_perm)
+    # shingle ONCE: the hash sets feed both the LSH signatures and the
+    # exact-Jaccard verify
+    sets = shingle_sets(docs, shingle_k=shingle_k).materialize()
+    sigs = minhash_signatures_from_sets(sets, num_perm=num_perm)
     cand = lsh_candidate_pairs(sigs, bands=bands)
-    verified = verify_jaccard(cand, docs, threshold, shingle_k=shingle_k)
+    verified = verify_jaccard(cand, docs, threshold, shingle_k=shingle_k, sets=sets)
     return connected_components(verified)
 
 
