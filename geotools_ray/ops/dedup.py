@@ -131,34 +131,32 @@ def verify_jaccard(
     )
 
     def attach(df: pd.DataFrame) -> pd.DataFrame:
-        out = []
-        for _, g in df.groupby("key", sort=False):
-            srows = g[g["side"] < 0]
-            prows = g[g["side"] >= 0]
-            if not len(prows):
-                continue
-            val = srows["sh"].iloc[0] if len(srows) else EMPTY
-            prows = prows.copy()
-            prows["sh"] = [val] * len(prows)
-            out.append(prows[["id_a", "id_b", "side", "sh"]])
-        if not out:
+        # vectorized join: pair rows pick up their doc's set by key
+        srows = df[df["side"] < 0][["key", "sh"]].drop_duplicates("key")
+        prows = df[df["side"] >= 0].drop(columns=["sh"])
+        if not len(prows):
             return pd.DataFrame(
                 {"id_a": pd.Series(dtype=np.int64), "id_b": pd.Series(dtype=np.int64),
                  "side": pd.Series(dtype=np.int64), "sh": pd.Series(dtype=object)}
             )
-        return pd.concat(out)
+        m = prows.merge(srows, on="key", how="left")
+        missing = m["sh"].isna()
+        if missing.any():
+            m.loc[missing, "sh"] = pd.Series([EMPTY] * int(missing.sum()), index=m.index[missing])
+        return m[["id_a", "id_b", "side", "sh"]]
 
     halves = grouped_map(u, ["key"], attach, num_parts=16)
 
     def jac(df: pd.DataFrame) -> pd.DataFrame:
+        # vectorized regroup: merge the two halves of each pair, then
+        # one sorted-set intersection per pair (irreducibly per-pair)
+        ga = df[df["side"] == 0][["id_a", "id_b", "sh"]].drop_duplicates(["id_a", "id_b"])
+        gb = df[df["side"] == 1][["id_a", "id_b", "sh"]].drop_duplicates(["id_a", "id_b"])
+        m = ga.merge(gb, on=["id_a", "id_b"], suffixes=("_a", "_b"))
         out_a, out_b, out_j = [], [], []
-        for (ia, ib), g in df.groupby(["id_a", "id_b"], sort=False):
-            ga = g[g["side"] == 0]
-            gb = g[g["side"] == 1]
-            if not len(ga) or not len(gb):
-                continue
-            sa = np.asarray(ga["sh"].iloc[0], dtype=np.int64)
-            sb = np.asarray(gb["sh"].iloc[0], dtype=np.int64)
+        for ia, ib, sa, sb in zip(m["id_a"], m["id_b"], m["sh_a"], m["sh_b"]):
+            sa = np.asarray(sa, dtype=np.int64)
+            sb = np.asarray(sb, dtype=np.int64)
             if len(sa) == 0 and len(sb) == 0:
                 j = 1.0
             else:
@@ -259,19 +257,19 @@ def connected_components(
         )
 
         def gather(df: pd.DataFrame) -> pd.DataFrame:
-            out = []
-            for _, g in df.groupby("_k", sort=False):
-                lab = g[~g["_e"]]
-                if not len(lab):
-                    continue
-                lv = int(lab["label"].iloc[0])
-                msgs = g[g["_e"]]
-                rows = {"node": [int(lab["node"].iloc[0])], "cand": [lv]}
-                if len(msgs):
-                    rows["node"].extend(msgs["node"].astype(np.int64))
-                    rows["cand"].extend([lv] * len(msgs))
-                out.append(pd.DataFrame(rows))
-            return pd.concat(out) if out else pd.DataFrame({"node": [], "cand": []})
+            # vectorized: each edge message picks up its key's label row
+            lab = df[~df["_e"]][["_k", "node", "label"]].drop_duplicates("_k")
+            msgs = df[df["_e"]][["_k", "node"]]
+            m = msgs.merge(lab[["_k", "label"]], on="_k", how="inner")
+            out = pd.concat(
+                [
+                    pd.DataFrame({"node": lab["node"].astype(np.int64),
+                                  "cand": lab["label"].astype(np.int64)}),
+                    pd.DataFrame({"node": m["node"].astype(np.int64),
+                                  "cand": m["label"].astype(np.int64)}),
+                ]
+            )
+            return out if len(out) else pd.DataFrame({"node": [], "cand": []})
 
         msgs = grouped_map(u, ["_k"], gather, num_parts=16)
 
@@ -308,15 +306,15 @@ def connected_components(
         )
 
         def jump(df: pd.DataFrame) -> pd.DataFrame:
-            out = []
-            for _, g in df.groupby("_k", sort=False):
-                anchor = g[~g["_q"]]
-                queries = g[g["_q"]]
-                if not len(queries):
-                    continue
-                tgt = int(anchor["label"].iloc[0]) if len(anchor) else int(g["_k"].iloc[0])
-                out.append(pd.DataFrame({"node": queries["node"].astype(np.int64), "label": tgt}))
-            return pd.concat(out) if out else pd.DataFrame({"node": [], "label": []})
+            # vectorized: each query row takes its anchor's label,
+            # falling back to its own key where no anchor exists
+            anchors = df[~df["_q"]][["_k", "label"]].drop_duplicates("_k")
+            queries = df[df["_q"]][["_k", "node"]]
+            if not len(queries):
+                return pd.DataFrame({"node": [], "label": []})
+            m = queries.merge(anchors, on="_k", how="left")
+            tgt = m["label"].fillna(m["_k"]).astype(np.int64)
+            return pd.DataFrame({"node": m["node"].astype(np.int64), "label": tgt})
 
         labels = grouped_map(u2, ["_k"], jump, num_parts=16).materialize()
         if changed == 0:
