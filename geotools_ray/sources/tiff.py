@@ -53,13 +53,18 @@ def read_tiff(path: str):
     H = tags[257][0]
     spp = tags.get(277, (1,))[0]
     comp = tags.get(259, (1,))[0]
-    if comp != 1:
-        raise NotImplementedError("only uncompressed TIFF supported")
+    pred = tags.get(317, (1,))[0]
+    if comp not in (1, 8, 32946, 32773):
+        raise NotImplementedError(f"unsupported TIFF compression {comp}")
     bps = tags[258]
     if any(b != 32 for b in bps):
         raise NotImplementedError("only 32-bit samples supported")
     fmt = tags.get(339, (3,) * spp)
     dtype = np.float32 if fmt[0] == 3 else (np.int32 if fmt[0] == 2 else np.uint32)
+    if pred == 2 and dtype == np.float32:
+        raise NotImplementedError("predictor=2 applies to integer samples")
+    if pred not in (1, 2):
+        raise NotImplementedError(f"unsupported TIFF predictor {pred}")
     offsets = tags[273]
     counts = tags[279]
     rows_per_strip = tags.get(278, (H,))[0]
@@ -67,8 +72,18 @@ def read_tiff(path: str):
     row = 0
     for o, c in zip(offsets, counts):
         nrows = min(rows_per_strip, H - row)
-        arr = np.frombuffer(buf[o : o + c], dtype=(bo + "f4") if dtype == np.float32 else dtype)
-        data[row : row + nrows] = arr.reshape(nrows, W, spp)
+        raw = buf[o : o + c]
+        if comp in (8, 32946):
+            import zlib
+
+            raw = zlib.decompress(raw)
+        elif comp == 32773:
+            raw = _unpackbits(raw)
+        arr = np.frombuffer(raw, dtype=(bo + "f4") if dtype == np.float32 else dtype)
+        strip = arr[: nrows * W * spp].reshape(nrows, W, spp)
+        if pred == 2:
+            strip = np.cumsum(strip.astype(np.int64), axis=1).astype(dtype)
+        data[row : row + nrows] = strip
         row += nrows
     bands = np.moveaxis(data, 2, 0)
 
@@ -82,12 +97,59 @@ def read_tiff(path: str):
     return bands, tg
 
 
-def write_tiff(path: str, bands: np.ndarray, geotransform=(0.0, 1.0, 0.0, 0.0, 0.0, -1.0)):
-    """S5 write path: minimal little-endian uncompressed GeoTIFF —
-    float32 pixel-interleaved strips (one per row), ModelPixelScale +
-    ModelTiepoint from a gdal-style geotransform. Round-trips through
-    read_tiff; enough for the reference's raster interchange
-    (src/raster.cpp GDAL writes) without GDAL."""
+def _unpackbits(raw: bytes) -> bytes:
+    """TIFF PackBits (RLE) decode."""
+    out = bytearray()
+    i = 0
+    n = len(raw)
+    while i < n:
+        c = raw[i]
+        i += 1
+        if c < 128:
+            out += raw[i : i + c + 1]
+            i += c + 1
+        elif c > 128:
+            out += raw[i : i + 1] * (257 - c)
+            i += 1
+        # c == 128: no-op
+    return bytes(out)
+
+
+def _packbits(raw: bytes) -> bytes:
+    """TIFF PackBits (RLE) encode — literal-runs + repeat-runs,
+    round-trips through _unpackbits."""
+    out = bytearray()
+    i = 0
+    n = len(raw)
+    while i < n:
+        # find a repeat run of >= 3
+        j = i
+        while j + 1 < n and raw[j + 1] == raw[j] and j - i < 127:
+            j += 1
+        run = j - i + 1
+        if run >= 3:
+            out += bytes([257 - run, raw[i]])
+            i = j + 1
+            continue
+        # literal run until the next >=3 repeat (max 128)
+        j = i
+        while j < n and j - i < 127:
+            if j + 2 < n and raw[j] == raw[j + 1] == raw[j + 2]:
+                break
+            j += 1
+        out += bytes([j - i]) + raw[i : j + 1]
+        i = j + 1
+    return bytes(out)
+
+
+def write_tiff(path: str, bands: np.ndarray, geotransform=(0.0, 1.0, 0.0, 0.0, 0.0, -1.0),
+               compress: str | None = None):
+    """S5 write path: minimal little-endian GeoTIFF — float32
+    pixel-interleaved strips (one per row), ModelPixelScale +
+    ModelTiepoint from a gdal-style geotransform; compress in
+    {None, "deflate", "packbits"}. Round-trips through read_tiff;
+    enough for the reference's raster interchange (src/raster.cpp
+    GDAL writes) without GDAL."""
     bands = np.asarray(bands, dtype=np.float32)
     if bands.ndim == 2:
         bands = bands[None, ...]
@@ -96,7 +158,17 @@ def write_tiff(path: str, bands: np.ndarray, geotransform=(0.0, 1.0, 0.0, 0.0, 0
 
     gx, sx, _, gy, _, nsy = geotransform
     sy = -nsy
-    rowbytes = W * S * 4
+    raw_rows = [pix[r].astype("<f4").tobytes() for r in range(H)]
+    if compress is None:
+        comp_code, strips = 1, raw_rows
+    elif compress == "deflate":
+        import zlib
+
+        comp_code, strips = 8, [zlib.compress(r, 6) for r in raw_rows]
+    elif compress == "packbits":
+        comp_code, strips = 32773, [_packbits(r) for r in raw_rows]
+    else:
+        raise ValueError(f"unknown compress {compress!r}")
     entries = []  # (tag, type, count, value_or_bytes)
 
     data_start_placeholder = 0  # patched below
@@ -108,12 +180,12 @@ def write_tiff(path: str, bands: np.ndarray, geotransform=(0.0, 1.0, 0.0, 0.0, 0
     val_entry(256, 3, 1, (W,))
     val_entry(257, 3, 1, (H,))
     val_entry(258, 3, S, tuple([32] * S))
-    val_entry(259, 3, 1, (1,))           # uncompressed
+    val_entry(259, 3, 1, (comp_code,))
     val_entry(262, 3, 1, (1,))           # BlackIsZero
     val_entry(273, 4, H, None)           # strip offsets (patched)
     val_entry(277, 3, 1, (S,))
     val_entry(278, 3, 1, (1,))           # 1 row per strip
-    val_entry(279, 4, H, tuple([rowbytes] * H))
+    val_entry(279, 4, H, tuple(len(s) for s in strips))
     val_entry(284, 3, 1, (1,))           # chunky
     val_entry(339, 3, S, tuple([3] * S))  # IEEE float
     val_entry(33550, 12, 3, (sx, sy, 0.0))
@@ -138,7 +210,8 @@ def write_tiff(path: str, bands: np.ndarray, geotransform=(0.0, 1.0, 0.0, 0.0, 0
             laid.append((tag, typ, cnt, vals, cur))
             cur += size
     data_off = cur
-    strip_offsets = tuple(data_off + i * rowbytes for i in range(H))
+    cum = np.concatenate([[0], np.cumsum([len(s) for s in strips])[:-1]]).astype(np.int64)
+    strip_offsets = tuple(int(data_off + c) for c in cum)
 
     out = bytearray()
     out += header
@@ -160,6 +233,6 @@ def write_tiff(path: str, bands: np.ndarray, geotransform=(0.0, 1.0, 0.0, 0.0, 0
             vals = strip_offsets
         out += struct.pack("<" + _TYPEFMT[typ] * cnt, *vals)
     assert len(out) == data_off, (len(out), data_off)
-    out += pix.astype("<f4").tobytes()
+    out += b"".join(strips)
     with open(path, "wb") as f:
         f.write(bytes(out))

@@ -51,3 +51,39 @@ def test_gvb_to_tiff_roundtrip(tmp_path):
     assert abs(gt[0] - (-w_lon / 3600.0)) < 1e-9
     assert abs(gt[1] - lon_inc / 3600.0) < 1e-9
     assert abs(gt[3] - n_lat / 3600.0) < 1e-9
+
+
+def test_write_read_roundtrip_deflate(tmp_path):
+    from geotools_ray.sources.tiff import read_tiff, write_tiff
+
+    rng = np.random.RandomState(5)
+    bands = rng.uniform(-100, 100, (2, 13, 9)).astype(np.float32)
+    gt = (500.0, 2.0, 0.0, 7200.0, 0.0, -2.0)
+    p = str(tmp_path / "c.tif")
+    write_tiff(p, bands, gt, compress="deflate")
+    got, ggt = read_tiff(p)
+    np.testing.assert_array_equal(got, bands)
+    assert tuple(np.round(ggt, 9)) == gt
+
+
+def test_write_read_roundtrip_packbits(tmp_path):
+    from geotools_ray.sources.tiff import read_tiff, write_tiff
+
+    # constant regions give PackBits real runs to encode
+    bands = np.zeros((1, 7, 33), dtype=np.float32)
+    bands[0, 2:5, 10:20] = 3.5
+    p = str(tmp_path / "p.tif")
+    write_tiff(p, bands, compress="packbits")
+    got, _ = read_tiff(p)
+    np.testing.assert_array_equal(got, bands)
+
+
+def test_packbits_roundtrip_random():
+    from geotools_ray.sources.tiff import _packbits, _unpackbits
+
+    rng = np.random.RandomState(9)
+    for _ in range(50):
+        n = rng.randint(0, 400)
+        # mix runs and noise
+        raw = bytes(rng.choice([0, 0, 0, 7, rng.randint(256)], size=n).astype(np.uint8))
+        assert _unpackbits(_packbits(raw)) == raw
