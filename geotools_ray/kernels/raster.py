@@ -390,21 +390,20 @@ def edge_cells_boundary(occ: np.ndarray) -> list[tuple[int, int]]:
     cells that do NOT have all 8 neighbours occupied (grid-border
     occupied cells are always edges)."""
     h, w = occ.shape
-    out = []
-    for r in range(h):
-        for c in range(w):
-            if not occ[r, c]:
+    occb = occ.astype(bool)
+    pad = np.pad(occb, 1, constant_values=False)
+    all_nb = np.ones((h, w), dtype=bool)
+    for dr in (0, 1, 2):
+        for dc in (0, 1, 2):
+            if dr == 1 and dc == 1:
                 continue
-            if c == 0 or r == 0 or c >= w - 1 or r >= h - 1:
-                out.append((c, r))
-                continue
-            if not (
-                occ[r - 1, c - 1] and occ[r - 1, c] and occ[r - 1, c + 1]
-                and occ[r, c - 1] and occ[r, c + 1]
-                and occ[r + 1, c - 1] and occ[r + 1, c] and occ[r + 1, c + 1]
-            ):
-                out.append((c, r))
-    return out
+            all_nb &= pad[dr : dr + h, dc : dc + w]
+    border = np.zeros((h, w), dtype=bool)
+    border[0, :] = border[-1, :] = True
+    border[:, 0] = border[:, -1] = True
+    edge = occb & (border | ~all_nb)
+    rs, cs = np.nonzero(edge)  # row-major == the scan order above
+    return [(int(c), int(r)) for r, c in zip(rs, cs)]
 
 
 def srtm_lakes(grid: np.ndarray, minsize: int, nodata: float = NODATA) -> np.ndarray:
