@@ -190,7 +190,9 @@ def _load_queries(sf_dir: str, n: int = 5):
 
     t = pq.read_table(f"{sf_dir}/embeddings.parquet")
     t = t.filter(pc.less(t["vec_id"], n))
-    q = np.stack([np.asarray(v, dtype=np.float64) for v in t["embedding"].to_pylist()])
+    from .ops.ann import _stack
+
+    q = _stack(t["embedding"])
     return t["vec_id"].to_numpy(zero_copy_only=False).astype(np.int64), q
 
 
@@ -206,7 +208,9 @@ def q_ann_bruteforce(sf_dir: str, k: int = 10):
     def local_topk(t: pa.Table) -> pa.Table:
         qids_, qn = ray.get(ref)
         vid = t["vec_id"].to_numpy(zero_copy_only=False).astype(np.int64)
-        E = np.stack([np.asarray(v, dtype=np.float64) for v in t["embedding"].to_pylist()])
+        from .ops.ann import _stack
+
+        E = _stack(t["embedding"])
         En = E / np.linalg.norm(E, axis=1, keepdims=True)
         sims = En @ qn.T  # (n, nq)
         out = {"q_id": [], "vec_id": [], "sim": []}
@@ -251,7 +255,9 @@ def q_embed_pairs(sf_dir: str, threshold: float = 0.35):
 
     t = pq.read_table(f"{sf_dir}/embeddings.parquet", columns=["vec_id", "embedding"])
     vid_all = t["vec_id"].to_numpy(zero_copy_only=False).astype(np.int64)
-    E = np.stack([np.asarray(v, dtype=np.float64) for v in t["embedding"].to_pylist()])
+    from .ops.ann import _stack
+
+    E = _stack(t["embedding"])
     En = E / np.linalg.norm(E, axis=1, keepdims=True)
     ref = ray.put((vid_all, En))
     ds = ray.data.read_parquet(f"{sf_dir}/embeddings.parquet", columns=["vec_id", "embedding"])
@@ -259,7 +265,9 @@ def q_embed_pairs(sf_dir: str, threshold: float = 0.35):
     def fn(batch: pa.Table) -> pa.Table:
         vids, Mn = ray.get(ref)
         vid = batch["vec_id"].to_numpy(zero_copy_only=False).astype(np.int64)
-        B = np.stack([np.asarray(v, dtype=np.float64) for v in batch["embedding"].to_pylist()])
+        from .ops.ann import _stack
+
+        B = _stack(batch["embedding"])
         Bn = B / np.linalg.norm(B, axis=1, keepdims=True)
         sims = Bn @ Mn.T
         bi, mj = np.nonzero((sims >= threshold) & (vid[:, None] < vids[None, :]))
