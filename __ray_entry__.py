@@ -133,6 +133,7 @@ def queries() -> dict[str, Callable[[str], Any]]:
         "fingerprint": QT.q_fingerprint,
         "ann_bruteforce": QT.q_ann_bruteforce,
         "embed_pairs": QT.q_embed_pairs,
+        "embed_lsh": QT.q_embed_lsh,
         "window_hourly": QT.q_window_hourly,
         "sessionize": QT.q_sessionize,
         # interpolators / flight-lines (R2-R4, M8)
@@ -212,6 +213,7 @@ def oracle_sql() -> dict[str, str]:
         "fingerprint": QT.SQL_FINGERPRINT,
         "ann_bruteforce": QT.SQL_ANN,
         "embed_pairs": QT.SQL_EMBED_PAIRS,
+        "embed_lsh": QT.SQL_EMBED_LSH,
         "window_hourly": QT.SQL_WINDOW_HOURLY,
         "sessionize": QT.SQL_SESSIONIZE,
         "idw": QO.SQL_IDW,

@@ -331,46 +331,49 @@ def embedding_near_dup_pairs(
     width = num_bits // bands
 
     def sig(t: pa.Table) -> pa.Table:
+        """(band, bval, id, normalized embedding) — ALL bands explode
+        into one row set so bucketing is ONE grouped shuffle (the
+        simhash pattern), not a pipeline per band."""
         R_ = ray.get(rref)
         En = _norm_rows(_stack(t[emb_col]))
         bits = (En @ R_) > 0
-        out = {id_col: t[id_col].to_numpy(zero_copy_only=False).astype(np.int64)}
+        ids = t[id_col].to_numpy(zero_copy_only=False).astype(np.int64)
+        n = len(ids)
         weights = (1 << np.arange(width)).astype(np.int64)
-        for b in range(bands):
-            chunk = bits[:, b * width : (b + 1) * width].astype(np.int64)
-            out[f"band{b}"] = chunk @ weights
-        # carry the normalized embedding for the verify join
-        flat = pa.array(En.ravel(), pa.float64())
-        out_t = pa.table(out)
-        return out_t.append_column(emb_col, pa.FixedSizeListArray.from_arrays(flat, dim))
+        bvals = np.concatenate(
+            [bits[:, b * width : (b + 1) * width].astype(np.int64) @ weights for b in range(bands)]
+        )
+        flat = pa.array(np.tile(En, (bands, 1)).ravel(), pa.float64())
+        return pa.table(
+            {
+                "band": np.repeat(np.arange(bands, dtype=np.int64), n),
+                "bval": bvals,
+                id_col: np.tile(ids, bands),
+                emb_col: pa.FixedSizeListArray.from_arrays(flat, dim),
+            }
+        )
 
-    sds = vectors.map_batches(sig, batch_format="pyarrow").materialize()
+    exploded = vectors.map_batches(sig, batch_format="pyarrow")
 
-    outs = []
-    for b in range(bands):
-        def pairs(df: pd.DataFrame, b=b) -> pd.DataFrame:
-            frames = []
-            for _, g in df.groupby(f"band{b}", sort=False):
-                if len(g) < 2:
-                    continue
-                order = np.argsort(g[id_col].to_numpy())
-                ids = g[id_col].to_numpy()[order]
-                E = np.stack([np.asarray(v) for v in g[emb_col].to_numpy()[order]])
-                sims = E @ E.T
-                ii, jj = np.triu_indices(len(ids), k=1)
-                keep = sims[ii, jj] >= threshold
-                if keep.any():
-                    frames.append(pd.DataFrame({"id_a": ids[ii[keep]], "id_b": ids[jj[keep]]}))
-            if not frames:
-                return pd.DataFrame({"id_a": pd.Series(dtype=np.int64),
-                                     "id_b": pd.Series(dtype=np.int64)})
-            return pd.concat(frames)
+    def pairs(df: pd.DataFrame) -> pd.DataFrame:
+        frames = []
+        for _, g in df.groupby(["band", "bval"], sort=False):
+            if len(g) < 2:
+                continue
+            order = np.argsort(g[id_col].to_numpy())
+            ids = g[id_col].to_numpy()[order]
+            E = np.stack([np.asarray(v) for v in g[emb_col].to_numpy()[order]])
+            sims = E @ E.T
+            ii, jj = np.triu_indices(len(ids), k=1)
+            keep = sims[ii, jj] >= threshold
+            if keep.any():
+                frames.append(pd.DataFrame({"id_a": ids[ii[keep]], "id_b": ids[jj[keep]]}))
+        if not frames:
+            return pd.DataFrame({"id_a": pd.Series(dtype=np.int64),
+                                 "id_b": pd.Series(dtype=np.int64)})
+        return pd.concat(frames)
 
-        outs.append(grouped_map(sds.select_columns([id_col, f"band{b}", emb_col]),
-                                [f"band{b}"], pairs))
-    allp = outs[0]
-    for o in outs[1:]:
-        allp = allp.union(o)
+    allp = grouped_map(exploded, ["band", "bval"], pairs)
 
     def final(df: pd.DataFrame) -> pd.DataFrame:
         return df.drop_duplicates(["id_a", "id_b"])

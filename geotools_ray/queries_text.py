@@ -285,6 +285,47 @@ FROM embeddings a JOIN embeddings b ON a.vec_id < b.vec_id
 WHERE list_cosine_similarity(a.embedding, b.embedding) >= 0.35"""
 
 
+def q_embed_lsh(sf_dir: str, threshold: float = 0.9):
+    """Embedding near-dup SCALE path: random-hyperplane LSH buckets +
+    in-bucket exact-cosine verify (ops/ann.embedding_near_dup_pairs —
+    no driver matrix, no all-pairs shuffle). The corpus is augmented
+    with deterministic planted duplicates (vec_id + 100000, identical
+    embedding, for vec_id < 50) so the high-threshold regime the LSH
+    config targets has ground-truth pairs; identical sign bits land in
+    identical buckets, so recall on the planted set is exactly 1 and
+    the SQL oracle hash-matches (max natural cosine in the synthetic
+    table is ~0.60, far under the 0.9 threshold)."""
+    from .ops.ann import embedding_near_dup_pairs
+
+    base = ray.data.read_parquet(f"{sf_dir}/embeddings.parquet", columns=["vec_id", "embedding"])
+
+    def planted(t: pa.Table) -> pa.Table:
+        keep = pc.less(t["vec_id"], 50)
+        d = t.filter(keep)
+        vid = pc.add(d["vec_id"], 100000)
+        return pa.table({"vec_id": vid, "embedding": d["embedding"]})
+
+    allv = base.union(base.map_batches(planted, batch_format="pyarrow"))
+    out = embedding_near_dup_pairs(allv, threshold=threshold)
+
+    def fin(df: pd.DataFrame) -> pd.DataFrame:
+        return pd.DataFrame(
+            {"id_a": df["id_a"].astype(np.int64), "id_b": df["id_b"].astype(np.int64)}
+        )
+
+    return out.map_batches(fin, batch_format="pandas")
+
+
+SQL_EMBED_LSH = """
+WITH allv AS (
+  SELECT vec_id, embedding FROM embeddings
+  UNION ALL
+  SELECT vec_id + 100000 AS vec_id, embedding FROM embeddings WHERE vec_id < 50)
+SELECT a.vec_id AS id_a, b.vec_id AS id_b
+FROM allv a JOIN allv b ON a.vec_id < b.vec_id
+WHERE list_cosine_similarity(a.embedding, b.embedding) >= 0.9"""
+
+
 # ---------------------------------------------------------------------------
 # events: windows / sessionization (M8 analog, §2.11)
 
