@@ -198,3 +198,82 @@ def test_natural_neighbour_convex_combination():
     ty = rng.uniform(2, 8, 8)
     out = _nn_eval(tx, ty, sx, sy, sz)
     assert np.all(out >= sz.min() - 1e-9) and np.all(out <= sz.max() + 1e-9)
+
+
+def test_sibson_actor_matches_scalar_kernel(ray_session):
+    """The pruned/cached _SibsonActor must reproduce the straight-line
+    Sibson kernel (_sibson_value over unpruned clips) on random sites."""
+    import pyarrow as pa
+    import ray as _ray
+
+    from geotools_ray.ops.interp import (
+        _SibsonActor,
+        _broadcast_samples,
+        _poly_area,
+        _sibson_value,
+        _voronoi_cell,
+    )
+
+    rng = np.random.RandomState(21)
+    n = 150
+    sx = rng.uniform(0, 50, n)
+    sy = rng.uniform(0, 50, n)
+    sz = rng.uniform(-5, 5, n)
+    smp = pa.table({"sx": sx, "sy": sy, "sz": sz})
+    actor = _SibsonActor(_broadcast_samples(smp))
+    # interior targets: outside the sites' hull the reference returns
+    # nodata (callers mask), and pad-box-bounded exterior cells are
+    # where the near-site pruning is allowed to differ
+    tx = rng.uniform(3, 47, 40)
+    ty = rng.uniform(3, 47, 40)
+    out = actor(pa.table({"cx": tx, "cy": ty}))["nn_z"].to_numpy()
+    pad = 4.0 * (max(sx.max() - sx.min(), sy.max() - sy.min()) + 1.0)
+    pre = np.array(
+        [
+            _poly_area(
+                _voronoi_cell(
+                    sx[j], sy[j],
+                    np.concatenate([sx[:j], sx[j + 1 :]]),
+                    np.concatenate([sy[:j], sy[j + 1 :]]),
+                    pad,
+                )
+            )
+            for j in range(n)
+        ]
+    )
+    want = np.array([_sibson_value(tx[i], ty[i], sx, sy, sz, pad, pre) for i in range(40)])
+    np.testing.assert_allclose(out, want, rtol=0, atol=1e-9)
+
+
+def test_interp_tin_chunked_matches_per_query():
+    """Chunked bbox-pruned point location == the per-query reference
+    loop (first containing triangle in list order), bit for bit."""
+    from geotools_ray.kernels.delaunay import delaunay, interp_tin
+
+    rng = np.random.RandomState(4)
+    pts = rng.uniform(0, 60, (300, 2))
+    z = rng.uniform(0, 10, 300)
+    qx = np.sort(rng.uniform(-3, 63, 700))
+    qy = rng.uniform(-3, 63, 700)
+    got = interp_tin(qx, qy, pts, z)
+
+    tris = delaunay(pts)
+    T = np.asarray(tris, dtype=np.int64)
+    a, b, c = pts[T[:, 0]], pts[T[:, 1]], pts[T[:, 2]]
+    det = (b[:, 1] - c[:, 1]) * (a[:, 0] - c[:, 0]) + (c[:, 0] - b[:, 0]) * (a[:, 1] - c[:, 1])
+    ok = det != 0
+    eps = 1e-12
+    za, zb, zc = z[T[:, 0]], z[T[:, 1]], z[T[:, 2]]
+    want = np.full(len(qx), np.nan)
+    with np.errstate(divide="ignore", invalid="ignore"):
+        for i in range(len(qx)):
+            l1 = ((b[:, 1] - c[:, 1]) * (qx[i] - c[:, 0]) + (c[:, 0] - b[:, 0]) * (qy[i] - c[:, 1])) / det
+            l2 = ((c[:, 1] - a[:, 1]) * (qx[i] - c[:, 0]) + (a[:, 0] - c[:, 0]) * (qy[i] - c[:, 1])) / det
+            l3 = 1.0 - l1 - l2
+            inside = ok & (l1 >= -eps) & (l2 >= -eps) & (l3 >= -eps)
+            h = np.nonzero(inside)[0]
+            if len(h):
+                want[i] = l1[h[0]] * za[h[0]] + l2[h[0]] * zb[h[0]] + l3[h[0]] * zc[h[0]]
+    assert (np.isnan(got) == np.isnan(want)).all()
+    m = ~np.isnan(got)
+    np.testing.assert_array_equal(got[m], want[m])
