@@ -164,3 +164,50 @@ def test_rastfit_correction(ray_session):
     adjust = ref + 3.0  # constant offset to be removed
     out = rastfit_correction(adjust, ref, n_samples=60, method="planar")
     np.testing.assert_allclose(out, ref, atol=1e-6)
+
+
+def test_cotiled_consumers_match_zip_variants(ray_session):
+    """raster_diff_stats_cotiled / spectral_extract_cotiled over one
+    multi-column assembly == the zip-co-partition variants over
+    separate assemblies."""
+    import ray.data
+
+    from geotools_ray.ops.raster import tiles_from_cellstats, tiles_multi_from_cellstats
+    from geotools_ray.ops.spectral import (
+        raster_diff_stats_cotiled,
+        raster_pair_diff_stats,
+        spectral_extract,
+        spectral_extract_cotiled,
+    )
+
+    rng = np.random.RandomState(13)
+    cols, rows, tile = 24, 16, 8
+    cid = rng.choice(cols * rows, 200, replace=False)
+    a = rng.uniform(0, 20, 200)
+    b = rng.uniform(0, 20, 200)
+    cls = rng.randint(1, 4, 200).astype(float)
+    ds = ray.data.from_items(
+        [
+            {"cell_id": int(c), "a": float(x), "b": float(y), "cls": float(k)}
+            for c, x, y, k in zip(cid, a, b, cls)
+        ]
+    )
+    mt = tiles_multi_from_cellstats(ds, ["a", "b", "cls"], cols, rows, tile, dense=True).materialize()
+
+    at = tiles_from_cellstats(ds, "a", cols, rows, tile, dense=True)
+    bt = tiles_from_cellstats(ds, "b", cols, rows, tile, dense=True)
+    ct = tiles_from_cellstats(ds, "cls", cols, rows, tile, dense=True)
+
+    want = raster_pair_diff_stats(at, bt, ct).to_pandas().sort_values("cls").reset_index(drop=True)
+    got = raster_diff_stats_cotiled(mt, "a", "b", "cls").to_pandas().sort_values("cls").reset_index(drop=True)
+    pd.testing.assert_frame_equal(got, want)
+
+    wsp = (
+        spectral_extract(ct, at, tile, res=2.0, minx=1.0, miny=3.0)
+        .to_pandas().sort_values(["id", "x", "y"]).reset_index(drop=True)
+    )
+    gsp = (
+        spectral_extract_cotiled(mt, "cls", "a", tile, res=2.0, minx=1.0, miny=3.0)
+        .to_pandas().sort_values(["id", "x", "y"]).reset_index(drop=True)
+    )
+    pd.testing.assert_frame_equal(gsp, wsp)
