@@ -207,7 +207,16 @@ def connected_components(
 
     edges = pairs.map_batches(seed, batch_format="pyarrow").materialize()
 
-    if small_side_limit and edges.count() <= small_side_limit:
+    n_edges = edges.count()
+    if n_edges == 0:
+        # no near-dups: empty clustering with the stable int64 schema
+        # (edges.to_pandas() would be column-less -> KeyError 'node')
+        return ray.data.from_arrow(
+            pa.table({"doc_id": pa.array([], pa.int64()),
+                      "cluster": pa.array([], pa.int64())})
+        )
+
+    if small_side_limit and n_edges <= small_side_limit:
         df = edges.to_pandas()
         a = df["node"].to_numpy().astype(np.int64)
         b = df["nbr"].to_numpy().astype(np.int64)
@@ -225,7 +234,7 @@ def connected_components(
             ri, rj = find(i), find(j)
             if ri != rj:
                 parent[max(ri, rj)] = min(ri, rj)  # roots ordered by id index
-        roots = np.array([find(i) for i in range(len(nodes))])
+        roots = np.array([find(i) for i in range(len(nodes))], dtype=np.int64)
         # cluster = min node id in the component; nodes[] ascending, so
         # the root's own id IS the min (union always keeps the smaller)
         out = pd.DataFrame({"doc_id": nodes, "cluster": nodes[roots]})

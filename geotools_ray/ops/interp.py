@@ -112,7 +112,23 @@ class _SibsonActor:
     sample's _VOR_PRUNE nearest neighbours, and its original Voronoi
     cell area — built ONCE in __init__ (per actor), not per batch.
     Every cell is clipped against a pruned near-site list instead of
-    an argsort over the full sample set."""
+    an argsort over the full sample set.
+
+    APPROXIMATION: pre-cells are clipped against only the
+    _VOR_PRUNE-1 = 63 nearest sites, and stolen-area contributors are
+    pruned by a bbox-radius heuristic (16x the target cell's extent).
+    For well-distributed sites a Voronoi cell is bounded by its few
+    nearest neighbours and the result equals the exact all-sites
+    kernel (tests/test_interp.py::test_sibson_actor_matches_scalar_
+    kernel). For DEGENERATE distributions — e.g. >63 co-circular
+    sites all adjacent to one target, or extreme anisotropy where a
+    cell is bounded by a site beyond the 63 nearest — the pruned cell
+    can be larger than the true cell and weights shift toward the
+    retained neighbours. The output remains a convex combination of
+    sample values (weights are genuine non-negative stolen areas);
+    tests/test_interp.py::test_sibson_degenerate_cocircular bounds
+    the divergence on the worst co-circular case. Raise _VOR_PRUNE
+    if exactness on such inputs matters more than the O(S*k) setup."""
 
     def __init__(self, ref, x_col="cx", y_col="cy", out_col="nn_z"):
         s = ray.get(ref)

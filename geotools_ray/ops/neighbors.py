@@ -167,9 +167,18 @@ def knn_join(
             out_cols["d2"].append(d2[pi, qj])
             for c in point_cols:
                 out_cols[c].append(tb_src[c][j0 + pi])
+        def _empty_dtype(c: str):
+            # derive from the sources so all-pruned batches emit blocks
+            # schema-compatible with non-empty ones (float keys/cols)
+            if c == "d2":
+                return np.float64
+            if c == query_key:
+                return q["key"].dtype
+            return tb_src[c].dtype
+
         return pa.table(
             {
-                c: np.concatenate(v) if v else np.empty(0, dtype=np.float64 if c == "d2" else np.int64)
+                c: np.concatenate(v) if v else np.empty(0, dtype=_empty_dtype(c))
                 for c, v in out_cols.items()
             }
         )

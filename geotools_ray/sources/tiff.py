@@ -131,14 +131,17 @@ def _packbits(raw: bytes) -> bytes:
             out += bytes([257 - run, raw[i]])
             i = j + 1
             continue
-        # literal run until the next >=3 repeat (max 128)
+        # literal run until the next >=3 repeat (max 128); j is the
+        # EXCLUSIVE end — code byte (j-i-1) promises exactly j-i bytes,
+        # so spec-compliant readers (libtiff/GDAL) stay in sync even
+        # when the data ends mid-literal
         j = i
-        while j < n and j - i < 127:
+        while j < n and j - i < 128:
             if j + 2 < n and raw[j] == raw[j + 1] == raw[j + 2]:
                 break
             j += 1
-        out += bytes([j - i]) + raw[i : j + 1]
-        i = j + 1
+        out += bytes([j - i - 1]) + raw[i:j]
+        i = j
     return bytes(out)
 
 

@@ -97,3 +97,40 @@ def test_connected_components_driver_equals_distributed(ray_session):
     )
     assert small["doc_id"].tolist() == dist["doc_id"].tolist()
     assert small["cluster"].tolist() == dist["cluster"].tolist()
+
+
+def test_connected_components_empty_edges(ray_session):
+    """A corpus with no near-dups yields an EMPTY verified-pair set;
+    connected_components must return an empty (doc_id, cluster)
+    dataset with int64 schema, not crash (regression: KeyError 'node'
+    / float64 roots IndexError on the union-find fast path)."""
+    import pyarrow as pa
+    import ray.data
+
+    from geotools_ray.ops.dedup import connected_components
+
+    empty = ray.data.from_arrow(
+        pa.table({"id_a": pa.array([], pa.int64()),
+                  "id_b": pa.array([], pa.int64())})
+    )
+    for limit in (1_000_000, 0):
+        out = connected_components(empty, small_side_limit=limit)
+        assert out.count() == 0
+        sch = out.schema()
+        assert sch.names == ["doc_id", "cluster"]
+        assert [str(t) for t in sch.types] == ["int64", "int64"]
+
+
+def test_minhash_dedup_no_dups_corpus(ray_session):
+    """minhash_lsh_dedup on an all-distinct corpus returns an empty
+    clustering (round-2 regression: crashed on the empty edge set)."""
+    import ray.data
+
+    from geotools_ray.ops.dedup import minhash_lsh_dedup
+
+    rows = [
+        {"doc_id": i, "text": " ".join(f"w{i}_{j}" for j in range(30))}
+        for i in range(12)
+    ]
+    out = minhash_lsh_dedup(ray.data.from_items(rows), threshold=0.6).to_pandas()
+    assert len(out) == 0

@@ -277,3 +277,35 @@ def test_interp_tin_chunked_matches_per_query():
     assert (np.isnan(got) == np.isnan(want)).all()
     m = ~np.isnan(got)
     np.testing.assert_array_equal(got[m], want[m])
+
+
+def test_sibson_degenerate_cocircular():
+    """Degenerate distribution where the 63-nearest-site pruning is
+    actually exercised: 120 co-circular sites are ALL Voronoi-adjacent
+    to a centre target, so the pruned actor sees only a tie-broken
+    subset. The result must stay a convex combination of site values
+    and, for a linear field, within the field's span across the ring
+    (documenting the approximation, _SibsonActor docstring)."""
+    import pyarrow as pa
+
+    from geotools_ray.ops.interp import _SibsonActor, _broadcast_samples
+
+    n = 120
+    th = np.linspace(0.0, 2 * np.pi, n, endpoint=False)
+    sx = 10.0 + 5.0 * np.cos(th)
+    sy = 10.0 + 5.0 * np.sin(th)
+    a, b, c = 0.3, -0.7, 2.0
+    sz = a * sx + b * sy + c
+    smp = pa.table({"sx": sx, "sy": sy, "sz": sz})
+    actor = _SibsonActor(_broadcast_samples(smp))
+    # centre (equidistant from every site) + slightly offset targets
+    tx = np.array([10.0, 10.1, 9.7])
+    ty = np.array([10.0, 9.9, 10.2])
+    out = actor(pa.table({"cx": tx, "cy": ty}))["nn_z"].to_numpy()
+    # convex combination always holds (weights = real stolen areas)
+    assert np.all(out >= sz.min() - 1e-9) and np.all(out <= sz.max() + 1e-9)
+    # exact Sibson reproduces the plane; the pruned kernel may deviate
+    # on this worst case but must stay within 15% of the ring's span
+    want = a * tx + b * ty + c
+    span = sz.max() - sz.min()
+    assert np.all(np.abs(out - want) <= 0.15 * span)

@@ -78,6 +78,26 @@ def test_write_read_roundtrip_packbits(tmp_path):
     np.testing.assert_array_equal(got, bands)
 
 
+def _unpackbits_strict(raw: bytes) -> bytes:
+    """Spec-compliant PackBits decoder: every literal code byte must be
+    followed by exactly code+1 bytes (libtiff/GDAL behavior). Catches
+    encoders whose trailing literal claims more bytes than remain."""
+    out = bytearray()
+    i, n = 0, len(raw)
+    while i < n:
+        c = raw[i]
+        i += 1
+        if c < 128:
+            assert i + c + 1 <= n, f"literal code {c} at {i - 1} overruns stream"
+            out += raw[i : i + c + 1]
+            i += c + 1
+        elif c > 128:
+            assert i < n, "repeat code at end of stream"
+            out += raw[i : i + 1] * (257 - c)
+            i += 1
+    return bytes(out)
+
+
 def test_packbits_roundtrip_random():
     from geotools_ray.sources.tiff import _packbits, _unpackbits
 
@@ -87,3 +107,16 @@ def test_packbits_roundtrip_random():
         # mix runs and noise
         raw = bytes(rng.choice([0, 0, 0, 7, rng.randint(256)], size=n).astype(np.uint8))
         assert _unpackbits(_packbits(raw)) == raw
+        assert _unpackbits_strict(_packbits(raw)) == raw
+
+
+def test_packbits_trailing_literal_strict():
+    # data ending in a literal run: the code byte must count exactly the
+    # bytes that follow (a prior encoder claimed one extra)
+    from geotools_ray.sources.tiff import _packbits, _unpackbits
+
+    for raw in (b"abcdef", b"a", b"ab", b"aab", b"\x00" * 3 + b"xy",
+                bytes(range(200)), b"zz" + bytes(range(130))):
+        enc = _packbits(raw)
+        assert _unpackbits_strict(enc) == raw
+        assert _unpackbits(enc) == raw
