@@ -145,7 +145,7 @@ def verify_jaccard(
             m.loc[missing, "sh"] = pd.Series([EMPTY] * int(missing.sum()), index=m.index[missing])
         return m[["id_a", "id_b", "side", "sh"]]
 
-    halves = grouped_map(u, ["key"], attach, num_parts=16)
+    halves = grouped_map(u, ["key"], attach)
 
     def jac(df: pd.DataFrame) -> pd.DataFrame:
         # vectorized regroup: merge the two halves of each pair, then
@@ -172,7 +172,7 @@ def verify_jaccard(
              "jaccard": np.array(out_j, dtype=np.float64)}
         )
 
-    return grouped_map(halves, ["id_a", "id_b"], jac, num_parts=16)
+    return grouped_map(halves, ["id_a", "id_b"], jac)
 
 
 # ---------------------------------------------------------------------------
@@ -245,7 +245,7 @@ def connected_components(
         g["label"] = np.minimum(g["node"], g["nbr"])
         return g[["node", "label"]]
 
-    labels = grouped_map(edges, ["node"], init_lab, num_parts=16).materialize()
+    labels = grouped_map(edges, ["node"], init_lab).materialize()
 
     for _ in range(max_rounds):
         # ---- gather: node <- min(own label, labels of neighbours)
@@ -280,13 +280,13 @@ def connected_components(
             )
             return out if len(out) else pd.DataFrame({"node": [], "cand": []})
 
-        msgs = grouped_map(u, ["_k"], gather, num_parts=16)
+        msgs = grouped_map(u, ["_k"], gather)
 
         def minmerge(df: pd.DataFrame) -> pd.DataFrame:
             g = df.groupby("node", sort=False)["cand"].min().reset_index()
             return g.rename(columns={"cand": "label"})
 
-        new_labels = grouped_map(msgs, ["node"], minmerge, num_parts=16).materialize()
+        new_labels = grouped_map(msgs, ["node"], minmerge).materialize()
 
         # ---- changed count (tiny aggregate, no driver dicts)
         def diff_tag(df: pd.DataFrame) -> pd.DataFrame:
@@ -296,7 +296,7 @@ def connected_components(
 
         both = labels.union(new_labels)
         changed = int(
-            grouped_map(both, ["node"], diff_tag, num_parts=16).sum("changed") or 0
+            grouped_map(both, ["node"], diff_tag).sum("changed") or 0
         )
 
         # ---- pointer jump: label := label(label)
@@ -325,7 +325,7 @@ def connected_components(
             tgt = m["label"].fillna(m["_k"]).astype(np.int64)
             return pd.DataFrame({"node": m["node"].astype(np.int64), "label": tgt})
 
-        labels = grouped_map(u2, ["_k"], jump, num_parts=16).materialize()
+        labels = grouped_map(u2, ["_k"], jump).materialize()
         if changed == 0:
             break
     else:
@@ -467,12 +467,12 @@ def lsh_candidate_pairs(
             {"id_a": np.concatenate(out_a), "id_b": np.concatenate(out_b)}
         ).drop_duplicates()
 
-    cand = grouped_map(exploded, ["band", "bhash"], pairs, num_parts=16)
+    cand = grouped_map(exploded, ["band", "bhash"], pairs)
 
     def dedup_pairs(df: pd.DataFrame) -> pd.DataFrame:
         return df.drop_duplicates(["id_a", "id_b"])
 
-    return grouped_map(cand, ["id_a", "id_b"], dedup_pairs, num_parts=16)
+    return grouped_map(cand, ["id_a", "id_b"], dedup_pairs)
 
 
 def minhash_lsh_dedup(
@@ -499,15 +499,34 @@ def minhash_lsh_dedup(
 # SimHash — exhaustive banding + vectorized Hamming verify
 
 def simhash_pairs(
-    docs: ray.data.Dataset, max_hamming: int = 6, text_col: str = "text", id_col: str = "doc_id"
+    docs: ray.data.Dataset, max_hamming: int = 4, text_col: str = "text",
+    id_col: str = "doc_id", max_bucket: int = 2048,
 ) -> ray.data.Dataset:
     """ALL pairs with simhash Hamming distance <= max_hamming:
     max_hamming+1 bands of the 64-bit simhash guarantee (pigeonhole)
     that every such pair shares at least one exact band, so recall is
-    complete; per-bucket verify is one vectorized XOR + popcount."""
+    complete; per-bucket verify is one vectorized XOR + popcount.
+
+    Each pair is emitted by exactly ONE bucket — its FIRST matching
+    band (a vectorized xor-mask check) — so no global dedup shuffle is
+    needed: the grouped candidate pass IS the result. Buckets larger
+    than max_bucket are split recursively by sub-bands of the not-yet-
+    used bits (pigeonhole again: <= max_hamming mismatches among the
+    remaining bits => some sub-band of max_hamming+1 matches), keeping
+    per-bucket pair enumeration O(max_bucket^2), not O(corpus^2).
+
+    max_hamming defaults to 4 — loose thresholds (e.g. 10) mean 11
+    bands of 5-6 bits whose buckets hold ~n/32 of the corpus AND an
+    output that is itself near-quadratic on template-heavy corpora;
+    pass max_hamming=10 explicitly to opt in (the oracle-checked query
+    does, at its known scale)."""
     nb = max_hamming + 1
     widths = [64 // nb + (1 if i < 64 % nb else 0) for i in range(nb)]
     offs = np.cumsum([0] + widths[:-1])
+    band_masks = np.array(
+        [np.uint64(((1 << w) - 1) << o) for w, o in zip(widths, offs)],
+        dtype=np.uint64,
+    )
 
     def explode(t: pa.Table) -> pa.Table:
         """(band, bval, doc_id, sh) — one row per doc per band, so ALL
@@ -535,36 +554,141 @@ def simhash_pairs(
 
     exploded = docs.map_batches(explode, batch_format="pyarrow")
 
-    def pairs(df: pd.DataFrame) -> pd.DataFrame:
-        frames = []
-        for _, g in df.groupby(["band", "bval"], sort=False):
-            if len(g) < 2:
-                continue
-            order = np.argsort(g[id_col].to_numpy())
-            ids = g[id_col].to_numpy()[order]
-            sh = g["sh"].to_numpy().astype(np.uint64)[order]
-            ii, jj = np.triu_indices(len(ids), k=1)
-            d = _popcount64(sh[ii] ^ sh[jj])
+    all_bits = np.arange(64, dtype=np.uint64)
+    EMPTY_OUT = pa.table(
+        {"id_a": pa.array([], pa.int64()), "id_b": pa.array([], pa.int64()),
+         "hamming": pa.array([], pa.int64())}
+    )
+
+    def pairs(t: pa.Table) -> pa.Table:
+        """Pure-numpy segment pass: lexsort the partition by
+        (band, bval), walk bucket segments, enumerate each with one
+        triu + xor + popcount — no pandas groupby in the hot path."""
+        if t.num_rows < 2:
+            return EMPTY_OUT
+        band_c = t["band"].to_numpy(zero_copy_only=False)
+        bval_c = t["bval"].to_numpy(zero_copy_only=False)
+        ids_c = t[id_col].to_numpy(zero_copy_only=False).astype(np.int64)
+        sh_c = t["sh"].to_numpy(zero_copy_only=False).astype(np.uint64)
+        order = np.lexsort((ids_c, bval_c, band_c))
+        band_c, bval_c = band_c[order], bval_c[order]
+        ids_c, sh_c = ids_c[order], sh_c[order]
+        cut = np.nonzero((np.diff(band_c) != 0) | (np.diff(bval_c) != 0))[0] + 1
+        seg_starts = np.concatenate([[0], cut])
+        seg_ends = np.concatenate([cut, [len(band_c)]])
+
+        out_a: list[np.ndarray] = []
+        out_b: list[np.ndarray] = []
+        out_h: list[np.ndarray] = []
+
+        def emit(band: int, ids_i: np.ndarray, ids_j: np.ndarray,
+                 x: np.ndarray) -> None:
+            d = _popcount64(x)
             keep = d <= max_hamming
+            # FIRST-match rule: skip pairs that already matched an
+            # earlier band — that band's bucket emits them. Makes the
+            # global pair set exactly-once with no dedup shuffle.
+            for j in range(band):
+                keep &= (x & band_masks[j]) != 0
             if keep.any():
-                frames.append(
-                    pd.DataFrame(
-                        {"id_a": ids[ii[keep]], "id_b": ids[jj[keep]], "hamming": d[keep]}
-                    )
-                )
-        if not frames:
-            return pd.DataFrame(
-                {"id_a": pd.Series(dtype=np.int64), "id_b": pd.Series(dtype=np.int64),
-                 "hamming": pd.Series(dtype=np.int64)}
-            )
-        return pd.concat(frames).drop_duplicates(["id_a", "id_b"])
+                out_a.append(ids_i[keep])
+                out_b.append(ids_j[keep])
+                out_h.append(d[keep])
 
-    allp = grouped_map(exploded, ["band", "bval"], pairs, num_parts=16)
+        TILE = 2048
 
-    def final(df: pd.DataFrame) -> pd.DataFrame:
-        return df.drop_duplicates(["id_a", "id_b"])
+        def enumerate_bucket(band: int, ids: np.ndarray, sh: np.ndarray) -> None:
+            """All-pairs xor+popcount, tiled so peak memory is
+            O(TILE^2) regardless of bucket size."""
+            n = len(ids)
+            if n <= TILE:
+                ii, jj = np.triu_indices(n, k=1)
+                emit(band, ids[ii], ids[jj], sh[ii] ^ sh[jj])
+                return
+            for ti in range(0, n, TILE):
+                ia = slice(ti, min(ti + TILE, n))
+                # diagonal tile: upper triangle only
+                ii, jj = np.triu_indices(ia.stop - ia.start, k=1)
+                emit(band, ids[ia][ii], ids[ia][jj], sh[ia][ii] ^ sh[ia][jj])
+                for tj in range(ti + TILE, n, TILE):
+                    ib = slice(tj, min(tj + TILE, n))
+                    xa = sh[ia][:, None] ^ sh[ib][None, :]
+                    gi = np.repeat(ids[ia], ib.stop - ib.start)
+                    gj = np.tile(ids[ib], ia.stop - ia.start)
+                    emit(band, gi, gj, xa.ravel())
 
-    return grouped_map(allp, ["id_a", "id_b"], final, num_parts=16)
+        def split(band: int, ids: np.ndarray, sh: np.ndarray,
+                  avail: np.ndarray) -> bool:
+            """Recursive sub-band split of an oversize bucket; returns
+            True if this bucket's pairs may have been emitted more than
+            once (=> the caller must dedup locally: a pair can match
+            several sub-bands).
+
+            Recursion only proceeds while the split makes progress: a
+            chunk whose largest sub-bucket still holds > half the rows
+            (low-entropy corpora — near-identical hashes) aborts to ONE
+            tiled enumeration of the whole bucket, whose cost is then
+            of the order of the genuinely-quadratic output. High-entropy
+            oversize buckets (random band collisions at corpus scale)
+            shrink geometrically, so depth <= log2(n/max_bucket) and
+            total work stays O(nb^depth * n * max_bucket)."""
+            if len(ids) <= max_bucket or len(avail) < nb:
+                enumerate_bucket(band, ids, sh)
+                return False
+            chunks = np.array_split(avail, nb)
+            resplit = False
+            for ci, chunk in enumerate(chunks):
+                rem = np.concatenate([c for k, c in enumerate(chunks) if k != ci])
+                v = np.zeros(len(ids), dtype=np.uint64)
+                for pos_idx, p in enumerate(chunk):
+                    v |= ((sh >> np.uint64(p)) & np.uint64(1)) << np.uint64(pos_idx)
+                so = np.argsort(v, kind="stable")
+                vs = v[so]
+                scut = np.nonzero(np.diff(vs))[0] + 1
+                ss = np.concatenate([[0], scut])
+                se = np.concatenate([scut, [len(vs)]])
+                if (se - ss).max() > len(ids) // 2:
+                    # chunk barely discriminates: enumerate the whole
+                    # bucket once (covers every remaining chunk too)
+                    enumerate_bucket(band, ids, sh)
+                    return True
+                for s, e in zip(ss, se):
+                    if e - s >= 2:
+                        sub = so[s:e]
+                        split(band, ids[sub], sh[sub], rem)
+                        resplit = True
+            return resplit
+
+        for s, e in zip(seg_starts, seg_ends):
+            if e - s < 2:
+                continue
+            band = int(band_c[s])
+            mark = len(out_a)
+            if split(band, ids_c[s:e], sh_c[s:e], all_bits) and len(out_a) > mark:
+                # local dedup of this bucket's (possibly re-emitted) pairs
+                a = np.concatenate(out_a[mark:])
+                b = np.concatenate(out_b[mark:])
+                h = np.concatenate(out_h[mark:])
+                key = np.stack([a, b], axis=1)
+                _, uniq = np.unique(key, axis=0, return_index=True)
+                del out_a[mark:], out_b[mark:], out_h[mark:]
+                out_a.append(a[uniq])
+                out_b.append(b[uniq])
+                out_h.append(h[uniq])
+        if not out_a:
+            return EMPTY_OUT
+        return pa.table(
+            {"id_a": np.concatenate(out_a), "id_b": np.concatenate(out_b),
+             "hamming": np.concatenate(out_h).astype(np.int64)}
+        )
+
+    # exactly-once emission (first-match rule + per-bucket local dedup)
+    # means the grouped candidate pass IS the final pair set.
+    # coalesce=False: exploded has exactly the reader's block count
+    # (controlled upstream), so the pre-repartition is pure overhead.
+    return grouped_map(
+        exploded, ["band", "bval"], pairs, batch_format="pyarrow", coalesce=False
+    )
 
 
 # ---------------------------------------------------------------------------
@@ -639,7 +763,7 @@ def ngram_jaccard_pairs(
             }
         )
 
-    cand = grouped_map(exploded, ["shingle"], shared, num_parts=16)
+    cand = grouped_map(exploded, ["shingle"], shared)
 
     def finalize(df: pd.DataFrame) -> pd.DataFrame:
         """|A∩B| = row multiplicity per pair — one vectorized unique."""
@@ -662,4 +786,4 @@ def ngram_jaccard_pairs(
             }
         )
 
-    return grouped_map(cand, ["id_a", "id_b"], finalize, num_parts=16)
+    return grouped_map(cand, ["id_a", "id_b"], finalize)

@@ -134,3 +134,59 @@ def test_minhash_dedup_no_dups_corpus(ray_session):
     ]
     out = minhash_lsh_dedup(ray.data.from_items(rows), threshold=0.6).to_pandas()
     assert len(out) == 0
+
+
+def test_simhash_pairs_equals_bruteforce(ray_session):
+    """Pigeonhole recall + first-match exactly-once emission: the
+    banded distributed pair set must EQUAL the brute-force all-pairs
+    set (ids, multiplicity one, and hamming values), across hamming
+    gates and forced sub-band splits (tiny max_bucket)."""
+    import ray.data
+
+    from geotools_ray.kernels import text as T
+    from geotools_ray.ops.dedup import _popcount64, simhash_pairs
+
+    rng = np.random.RandomState(3)
+    base = [f"w{i}" for i in range(40)]
+    rows = [
+        {"doc_id": i, "text": " ".join(rng.choice(base, 25))} for i in range(250)
+    ]
+    docs = ray.data.from_items(rows)
+    hs = T.simhash64_batch([r["text"] for r in rows])
+    ii, jj = np.triu_indices(len(rows), k=1)
+    d = _popcount64(hs[ii] ^ hs[jj])
+    for mh, mb in [(4, 2048), (10, 2048), (10, 8)]:
+        out = simhash_pairs(docs, max_hamming=mh, max_bucket=mb).to_pandas()
+        got = set(zip(out["id_a"], out["id_b"]))
+        assert len(got) == len(out), "duplicate pair emitted"
+        want = set(zip(ii[d <= mh].tolist(), jj[d <= mh].tolist()))
+        assert got == want
+        hm = dict(zip(zip(out["id_a"], out["id_b"]), out["hamming"]))
+        kept = d <= mh
+        for a, b, dd in zip(ii[kept], jj[kept], d[kept]):
+            assert hm[(a, b)] == dd
+
+
+def test_simhash_low_entropy_bucket_bounded(ray_session):
+    """Near-identical corpus (one giant band bucket): the progress
+    guard must fall back to tiled enumeration — output still exact."""
+    import ray.data
+
+    from geotools_ray.kernels import text as T
+    from geotools_ray.ops.dedup import _popcount64, simhash_pairs
+
+    tmpl = [f"t{i}" for i in range(30)]
+    rows = []
+    for i in range(300):
+        w = list(tmpl)
+        w[i % 30] = f"x{i % 7}"
+        rows.append({"doc_id": i, "text": " ".join(w)})
+    docs = ray.data.from_items(rows)
+    hs = T.simhash64_batch([r["text"] for r in rows])
+    out = simhash_pairs(docs, max_hamming=10, max_bucket=16).to_pandas()
+    got = set(zip(out["id_a"], out["id_b"]))
+    assert len(got) == len(out)
+    ii, jj = np.triu_indices(len(rows), k=1)
+    d = _popcount64(hs[ii] ^ hs[jj])
+    want = set(zip(ii[d <= 10].tolist(), jj[d <= 10].tolist()))
+    assert got == want
