@@ -322,6 +322,7 @@ def embedding_near_dup_pairs(
     from ..stages.grouped import grouped_map
     import pandas as pd
 
+    assert num_bits <= 64 and num_bits % bands == 0
     # dim probe from the first row's embedding
     first = vectors.limit(1).to_pandas()
     dim = len(np.asarray(first[emb_col].iloc[0]))
@@ -329,53 +330,150 @@ def embedding_near_dup_pairs(
     R = rng.standard_normal((dim, num_bits))
     rref = ray.put(R)
     width = num_bits // bands
+    band_masks = np.array(
+        [np.uint64(((1 << width) - 1) << (b * width)) for b in range(bands)],
+        dtype=np.uint64,
+    )
 
     def sig(t: pa.Table) -> pa.Table:
-        """(band, bval, id, normalized embedding) — ALL bands explode
-        into one row set so bucketing is ONE grouped shuffle (the
-        simhash pattern), not a pipeline per band."""
+        """(band, bval, id, packed 64-bit signature) — ALL bands
+        explode into one row set so bucketing is ONE grouped shuffle
+        (the simhash pattern). The shuffle payload is 4 ints per
+        (row, band) — the embedding matrix itself never moves here
+        (round-2 shipped it xbands through the shuffle)."""
         R_ = ray.get(rref)
         En = _norm_rows(_stack(t[emb_col]))
         bits = (En @ R_) > 0
         ids = t[id_col].to_numpy(zero_copy_only=False).astype(np.int64)
         n = len(ids)
-        weights = (1 << np.arange(width)).astype(np.int64)
-        bvals = np.concatenate(
-            [bits[:, b * width : (b + 1) * width].astype(np.int64) @ weights for b in range(bands)]
+        shifts = np.arange(num_bits, dtype=np.uint64)
+        packed = (bits.astype(np.uint64) << shifts[None, :]).sum(
+            axis=1, dtype=np.uint64
         )
-        flat = pa.array(np.tile(En, (bands, 1)).ravel(), pa.float64())
+        bvals = np.concatenate(
+            [
+                ((packed >> np.uint64(b * width)) & np.uint64((1 << width) - 1)).astype(np.int64)
+                for b in range(bands)
+            ]
+        )
         return pa.table(
             {
                 "band": np.repeat(np.arange(bands, dtype=np.int64), n),
                 "bval": bvals,
                 id_col: np.tile(ids, bands),
-                emb_col: pa.FixedSizeListArray.from_arrays(flat, dim),
+                "sig": np.tile(packed.astype(np.int64), bands),
             }
         )
 
     exploded = vectors.map_batches(sig, batch_format="pyarrow")
 
-    def pairs(df: pd.DataFrame) -> pd.DataFrame:
-        frames = []
-        for _, g in df.groupby(["band", "bval"], sort=False):
-            if len(g) < 2:
+    def pairs(t: pa.Table) -> pa.Table:
+        """Candidate pairs, emitted exactly once: a pair surfaces only
+        from its FIRST matching band (xor of the packed signatures
+        against earlier band masks), so no global dedup shuffle."""
+        if t.num_rows < 2:
+            return pa.table({"id_a": pa.array([], pa.int64()),
+                             "id_b": pa.array([], pa.int64())})
+        band_c = t["band"].to_numpy(zero_copy_only=False)
+        bval_c = t["bval"].to_numpy(zero_copy_only=False)
+        ids_c = t[id_col].to_numpy(zero_copy_only=False).astype(np.int64)
+        sig_c = t["sig"].to_numpy(zero_copy_only=False).astype(np.uint64)
+        order = np.lexsort((ids_c, bval_c, band_c))
+        band_c, bval_c = band_c[order], bval_c[order]
+        ids_c, sig_c = ids_c[order], sig_c[order]
+        cut = np.nonzero((np.diff(band_c) != 0) | (np.diff(bval_c) != 0))[0] + 1
+        starts = np.concatenate([[0], cut])
+        ends = np.concatenate([cut, [len(band_c)]])
+        out_a, out_b = [], []
+        for s, e in zip(starts, ends):
+            if e - s < 2:
                 continue
-            order = np.argsort(g[id_col].to_numpy())
-            ids = g[id_col].to_numpy()[order]
-            E = np.stack([np.asarray(v) for v in g[emb_col].to_numpy()[order]])
-            sims = E @ E.T
-            ii, jj = np.triu_indices(len(ids), k=1)
-            keep = sims[ii, jj] >= threshold
+            band = int(band_c[s])
+            ids = ids_c[s:e]
+            sg = sig_c[s:e]
+            ii, jj = np.triu_indices(e - s, k=1)
+            x = sg[ii] ^ sg[jj]
+            keep = np.ones(len(x), dtype=bool)
+            for j in range(band):
+                keep &= (x & band_masks[j]) != 0
             if keep.any():
-                frames.append(pd.DataFrame({"id_a": ids[ii[keep]], "id_b": ids[jj[keep]]}))
-        if not frames:
-            return pd.DataFrame({"id_a": pd.Series(dtype=np.int64),
-                                 "id_b": pd.Series(dtype=np.int64)})
-        return pd.concat(frames)
+                out_a.append(ids[ii[keep]])
+                out_b.append(ids[jj[keep]])
+        if not out_a:
+            return pa.table({"id_a": pa.array([], pa.int64()),
+                             "id_b": pa.array([], pa.int64())})
+        return pa.table({"id_a": np.concatenate(out_a), "id_b": np.concatenate(out_b)})
 
-    allp = grouped_map(exploded, ["band", "bval"], pairs)
+    cand = grouped_map(exploded, ["band", "bval"], pairs, batch_format="pyarrow")
 
-    def final(df: pd.DataFrame) -> pd.DataFrame:
-        return df.drop_duplicates(["id_a", "id_b"])
+    # ---- exact-cosine verify as an id-keyed shuffle join (the
+    # verify_jaccard pattern): candidates pull their two normalized
+    # vectors by id; shuffle bytes ~ candidates, not corpus x bands.
+    def normed(t: pa.Table) -> pa.Table:
+        En = _norm_rows(_stack(t[emb_col]))
+        ids = t[id_col].to_numpy(zero_copy_only=False).astype(np.int64)
+        return pa.table(
+            {
+                "key": ids,
+                "id_a": np.full(len(ids), -1, dtype=np.int64),
+                "id_b": np.full(len(ids), -1, dtype=np.int64),
+                "side": np.full(len(ids), -1, dtype=np.int64),
+                "en": pa.FixedSizeListArray.from_arrays(
+                    pa.array(En.ravel(), pa.float64()), dim
+                ),
+            }
+        )
 
-    return grouped_map(allp, ["id_a", "id_b"], final)
+    def explode_cand(t: pa.Table) -> pa.Table:
+        a = t["id_a"].to_numpy(zero_copy_only=False)
+        b = t["id_b"].to_numpy(zero_copy_only=False)
+        n = len(a)
+        zeros = np.zeros(n * dim * 2, dtype=np.float64)
+        return pa.table(
+            {
+                "key": np.concatenate([a, b]),
+                "id_a": np.concatenate([a, a]),
+                "id_b": np.concatenate([b, b]),
+                "side": np.concatenate(
+                    [np.zeros(n, dtype=np.int64), np.ones(n, dtype=np.int64)]
+                ),
+                "en": pa.FixedSizeListArray.from_arrays(
+                    pa.array(zeros, pa.float64()), dim
+                ),
+            }
+        )
+
+    u = cand.map_batches(explode_cand, batch_format="pyarrow").union(
+        vectors.map_batches(normed, batch_format="pyarrow")
+    )
+
+    def attach(df: pd.DataFrame) -> pd.DataFrame:
+        srows = df[df["side"] < 0][["key", "en"]].drop_duplicates("key")
+        prows = df[df["side"] >= 0].drop(columns=["en"])
+        if not len(prows):
+            return pd.DataFrame(
+                {"id_a": pd.Series(dtype=np.int64), "id_b": pd.Series(dtype=np.int64),
+                 "side": pd.Series(dtype=np.int64), "en": pd.Series(dtype=object)}
+            )
+        m = prows.merge(srows, on="key", how="inner")
+        return m[["id_a", "id_b", "side", "en"]]
+
+    halves = grouped_map(u, ["key"], attach)
+
+    def cosine(df: pd.DataFrame) -> pd.DataFrame:
+        ga = df[df["side"] == 0][["id_a", "id_b", "en"]].drop_duplicates(["id_a", "id_b"])
+        gb = df[df["side"] == 1][["id_a", "id_b", "en"]].drop_duplicates(["id_a", "id_b"])
+        m = ga.merge(gb, on=["id_a", "id_b"], suffixes=("_a", "_b"))
+        if not len(m):
+            return pd.DataFrame(
+                {"id_a": pd.Series(dtype=np.int64), "id_b": pd.Series(dtype=np.int64)}
+            )
+        Ea = np.stack([np.asarray(v, dtype=np.float64) for v in m["en_a"]])
+        Eb = np.stack([np.asarray(v, dtype=np.float64) for v in m["en_b"]])
+        sims = np.einsum("ij,ij->i", Ea, Eb)
+        keep = sims >= threshold
+        return pd.DataFrame(
+            {"id_a": m["id_a"].to_numpy()[keep], "id_b": m["id_b"].to_numpy()[keep]}
+        )
+
+    return grouped_map(halves, ["id_a", "id_b"], cosine)
