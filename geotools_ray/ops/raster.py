@@ -440,84 +440,6 @@ def mosaic_tiles(base_tiles, overlay_tiles, distance, resolution, H, W, tile,
 
 
 # ---------------------------------------------------------------------------
-# W4 flood fill with cross-tile label union (the iterative operator)
-
-def flood_label_tiles(tiles_df: pd.DataFrame, elevation, H, W, tile, nodata=NODATA):
-    """Distributed-shaped flood fill: local labels per tile + boundary
-    label-union merged with a driver-side union-find (bounded label
-    count).  Takes/returns driver-side DataFrames for the label map;
-    the per-tile labeling is the parallelizable part (kept simple here
-    since the union step is inherently iterative; at scale the local
-    step runs in grouped_map and only (label, label) edge pairs move).
-
-    Returns an int32 (H, W) global label grid, labels canonicalized to
-    the scan-order ids the full-grid reference kernel would produce.
-    """
-    # local labels
-    local = {}
-    offsets = {}
-    nxt = 0
-    for _, r in tiles_df.iterrows():
-        tr, tc = int(r["trow"]), int(r["tcol"])
-        h, w = int(r["h"]), int(r["w"])
-        sub = np.asarray(r["data"], dtype=np.float64).reshape(h, w)
-        lab = KR.flood_fill_label(sub, elevation, nodata)
-        local[(tr, tc)] = lab
-        offsets[(tr, tc)] = nxt
-        nxt += int(lab.max())
-    # global ids = local + offset
-    glob = np.zeros((H, W), dtype=np.int64)
-    for (tr, tc), lab in local.items():
-        off = offsets[(tr, tc)]
-        g = np.where(lab > 0, lab + off, 0)
-        glob[tr * tile : tr * tile + lab.shape[0], tc * tile : tc * tile + lab.shape[1]] = g
-    # union across tile boundaries (4-connectivity)
-    parent = list(range(nxt + 1))
-
-    def find(a):
-        while parent[a] != a:
-            parent[a] = parent[parent[a]]
-            a = parent[a]
-        return a
-
-    def union(a, b):
-        ra, rb = find(a), find(b)
-        if ra != rb:
-            parent[max(ra, rb)] = min(ra, rb)
-
-    for tr in range((H + tile - 1) // tile):
-        r_edge = tr * tile
-        if 0 < r_edge < H:
-            a = glob[r_edge - 1, :]
-            b = glob[r_edge, :]
-            for x in np.nonzero((a > 0) & (b > 0))[0]:
-                union(int(a[x]), int(b[x]))
-    for tc in range((W + tile - 1) // tile):
-        c_edge = tc * tile
-        if 0 < c_edge < W:
-            a = glob[:, c_edge - 1]
-            b = glob[:, c_edge]
-            for y in np.nonzero((a > 0) & (b > 0))[0]:
-                union(int(a[y]), int(b[y]))
-    roots = np.array([find(i) for i in range(nxt + 1)])
-    merged = np.where(glob > 0, roots[glob], 0)
-    # canonicalize to scan-order ids (match the full-grid kernel)
-    out = np.zeros_like(merged, dtype=np.int32)
-    seen = {}
-    k = 0
-    flat = merged.ravel()
-    canon = np.zeros(flat.shape, dtype=np.int32)
-    for i, v in enumerate(flat):
-        if v == 0:
-            continue
-        if v not in seen:
-            k += 1
-            seen[v] = k
-        canon[i] = seen[v]
-    return canon.reshape(H, W)
-
-
-# ---------------------------------------------------------------------------
 # W2 void-fill IDW (bounded-radius tile variant)
 
 def void_fill_tiles(tiles, radius, count, exp, H, W, tile, max_radius=None,
@@ -810,6 +732,315 @@ def flood_basins_tiles(
             out_rows.append({"elevation": float(elev), "basin": bid, "area": area})
     return pd.DataFrame(out_rows, columns=["elevation", "basin", "area"]).astype(
         {"basin": np.int64, "area": np.int64}
+    )
+
+
+def flood_label_tiles(
+    tiles: ray.data.Dataset,
+    elevation: float,
+    H: int,
+    W: int,
+    tile: int,
+    nodata: float = NODATA,
+    num_parts: int | None = None,
+) -> ray.data.Dataset:
+    """Distributed flood labels (W4 front half, src/flood.cpp LEFill):
+    tile-local flood_fill_label per tile (pixels never leave their
+    task), boundary strips + per-label min row-major index to the
+    driver (label-graph only), union-find over LABELS, then one
+    relabel pass mapping local gids to the full-grid kernel's
+    scan-order basin ids (rank of component min index). Returns tile
+    rows (trow, tcol, h, w, data) where data holds the canonical
+    basin id per pixel (0 = not in any basin)."""
+    ntc = (W + tile - 1) // tile
+    cap = tile * tile
+
+    def local(t: pa.Table) -> pa.Table:
+        out = {"trow": [], "tcol": [], "h": [], "w": [], "data": []}
+        views = list_col_views(t["data"])
+        trows = t["trow"].to_numpy(zero_copy_only=False)
+        tcols = t["tcol"].to_numpy(zero_copy_only=False)
+        hs = t["h"].to_numpy(zero_copy_only=False)
+        ws = t["w"].to_numpy(zero_copy_only=False)
+        for i in range(len(t)):
+            tr = int(trows[i]); tc = int(tcols[i])
+            h = int(hs[i]); w = int(ws[i])
+            sub = views[i].reshape(h, w)
+            work = np.where(sub == nodata, np.inf, sub)
+            lab = KR.flood_fill_label(work, elevation).astype(np.float64)
+            base = (tr * ntc + tc) * cap
+            lab[lab > 0] += base
+            out["trow"].append(tr); out["tcol"].append(tc)
+            out["h"].append(h); out["w"].append(w)
+            out["data"].append(lab.ravel())
+        return pa.table(
+            {
+                "trow": np.array(out["trow"], dtype=np.int64),
+                "tcol": np.array(out["tcol"], dtype=np.int64),
+                "h": np.array(out["h"], dtype=np.int64),
+                "w": np.array(out["w"], dtype=np.int64),
+                "data": pa.array(out["data"], pa.list_(pa.float64())),
+            }
+        )
+
+    local_tiles = tiles.map_batches(local, batch_format="pyarrow").materialize()
+
+    # label-graph extraction: per-gid min row-major index + boundary
+    # strips — small int rows; pixels stay in the object store
+    def graph(t: pa.Table) -> pa.Table:
+        st = {"kind": [], "ek": [], "pos": [], "gid": [], "minidx": []}
+        views = list_col_views(t["data"])
+        trows = t["trow"].to_numpy(zero_copy_only=False)
+        tcols = t["tcol"].to_numpy(zero_copy_only=False)
+        hs = t["h"].to_numpy(zero_copy_only=False)
+        ws = t["w"].to_numpy(zero_copy_only=False)
+        for i in range(len(t)):
+            tr = int(trows[i]); tc = int(tcols[i])
+            h = int(hs[i]); w = int(ws[i])
+            lab = views[i].reshape(h, w).astype(np.int64)
+            gr0, gc0 = tr * tile, tc * tile
+            gidx = (gr0 + np.arange(h))[:, None] * W + (gc0 + np.arange(w))[None, :]
+            flat = lab.ravel()
+            m = flat > 0
+            if m.any():
+                uniq, inv = np.unique(flat[m], return_inverse=True)
+                mi = np.full(len(uniq), np.iinfo(np.int64).max)
+                np.minimum.at(mi, inv, gidx.ravel()[m])
+                st["kind"].extend([0] * len(uniq))
+                st["ek"].extend([0] * len(uniq))
+                st["pos"].extend([0] * len(uniq))
+                st["gid"].extend(uniq.tolist())
+                st["minidx"].extend(mi.tolist())
+            for ek, strip in (
+                ((0, tr, tc), lab[:, w - 1]),
+                ((0, tr, tc - 1), lab[:, 0]),
+                ((1, tr, tc), lab[h - 1, :]),
+                ((1, tr - 1, tc), lab[0, :]),
+            ):
+                pos = np.nonzero(strip > 0)[0]
+                if not len(pos):
+                    continue
+                kid = ((ek[0] * 100000 + ek[1]) * 100000 + ek[2])
+                st["kind"].extend([1] * len(pos))
+                st["ek"].extend([kid] * len(pos))
+                st["pos"].extend(pos.tolist())
+                st["gid"].extend((strip[pos]).tolist())
+                st["minidx"].extend([0] * len(pos))
+        return pa.table({k: np.array(v, dtype=np.int64) for k, v in st.items()})
+
+    g = local_tiles.map_batches(graph, batch_format="pyarrow").materialize()
+
+    def keep(kind):
+        def fn(t: pa.Table) -> pa.Table:
+            return t.filter(pa.array(t["kind"].to_numpy(zero_copy_only=False) == kind))
+
+        return fn
+
+    def pair_up(df: pd.DataFrame) -> pd.DataFrame:
+        out_a, out_b = [], []
+        for _, gg in df.groupby(["ek", "pos"], sort=False):
+            gids = gg["gid"].to_numpy()
+            if len(gids) == 2:
+                out_a.append(int(gids[0]))
+                out_b.append(int(gids[1]))
+        return pd.DataFrame({"ga": np.array(out_a, dtype=np.int64),
+                             "gb": np.array(out_b, dtype=np.int64)})
+
+    edges_df = grouped_map(
+        g.map_batches(keep(1), batch_format="pyarrow"), ["ek"], pair_up,
+        num_parts=num_parts,
+    ).to_pandas()
+    stats_df = g.map_batches(keep(0), batch_format="pyarrow").to_pandas()
+
+    parent = {int(gid): int(gid) for gid in stats_df["gid"]}
+
+    def find(a):
+        while parent[a] != a:
+            parent[a] = parent[parent[a]]
+            a = parent[a]
+        return a
+
+    if "ga" in edges_df.columns:
+        for ga, gb in zip(edges_df["ga"], edges_df["gb"]):
+            ra, rb = find(int(ga)), find(int(gb))
+            if ra != rb:
+                parent[max(ra, rb)] = min(ra, rb)
+    roots = np.array([find(int(gd)) for gd in stats_df["gid"]], dtype=np.int64)
+    mini = stats_df["minidx"].to_numpy()
+    root_min: dict[int, int] = {}
+    for r, mi in zip(roots.tolist(), mini.tolist()):
+        if r not in root_min or mi < root_min[r]:
+            root_min[r] = mi
+    ordered = sorted(root_min, key=lambda r: root_min[r])
+    bid_of_root = {r: i + 1 for i, r in enumerate(ordered)}
+    gids_sorted = np.sort(stats_df["gid"].to_numpy())
+    order = np.argsort(stats_df["gid"].to_numpy())
+    bids_sorted = np.array(
+        [bid_of_root[int(r)] for r in roots[order]], dtype=np.int64
+    )
+    import ray as _ray
+
+    mref = _ray.put((gids_sorted, bids_sorted))
+
+    def relabel(t: pa.Table) -> pa.Table:
+        gs, bs = _ray.get(mref)
+        views = list_col_views(t["data"])
+        out = []
+        for v in views:
+            lab = v.astype(np.int64)
+            m = lab > 0
+            canon = np.zeros(len(lab), dtype=np.float64)
+            if m.any():
+                canon[m] = bs[np.searchsorted(gs, lab[m])]
+            out.append(canon)
+        return pa.table(
+            {
+                "trow": t["trow"],
+                "tcol": t["tcol"],
+                "h": t["h"],
+                "w": t["w"],
+                "data": pa.array(out, pa.list_(pa.float64())),
+            }
+        )
+
+    return local_tiles.map_batches(relabel, batch_format="pyarrow")
+
+
+def spill_points_tiles(
+    label_tiles: ray.data.Dataset,
+    max_dist: float,
+    H: int,
+    W: int,
+    tile: int,
+    num_parts: int | None = None,
+) -> ray.data.Dataset:
+    """W5 findSpillPoints (src/flood.cpp:369-401), distributed: halo'd
+    per-tile edge-cell detection (a basin cell with any in-bounds
+    8-neighbour of a different label; off-grid neighbours do NOT
+    count), then an exactly-once bucketed pair join — edge cells land
+    in ceil(max_dist)-sized buckets, each point replicates to its 3x3
+    bucket neighbourhood, and a pair is emitted only from the task of
+    the lexicographically smaller home bucket. Per-bucket work is
+    bounded by bucket capacity (<= ceil(max_dist)^2 cells), never n^2
+    in the basin count. Emits (id1, c1, r1, id2, c2, r2, dist) with
+    id1 < id2 like the kernel."""
+
+    def assemble_edges(df: pd.DataFrame) -> pd.DataFrame:
+        bids, cols_, rows_ = [], [], []
+        for (tr, tc), gg in df.groupby(["trow", "tcol"], sort=False):
+            gr0, gc0 = int(tr) * tile, int(tc) * tile
+            h = min(tile, H - gr0)
+            w = min(tile, W - gc0)
+            padded = np.zeros((h + 2, w + 2), dtype=np.float64)
+            for _, p in gg.iterrows():
+                y, x, ph, pw = int(p["y"]), int(p["x"]), int(p["ph"]), int(p["pw"])
+                padded[y : y + ph, x : x + pw] = np.asarray(
+                    p["data"], dtype=np.float64
+                ).reshape(ph, pw)
+            center = padded[1:-1, 1:-1]
+            rr = gr0 + np.arange(h)
+            cc = gc0 + np.arange(w)
+            edge = np.zeros((h, w), dtype=bool)
+            for dr in (-1, 0, 1):
+                for dc in (-1, 0, 1):
+                    if dr == 0 and dc == 0:
+                        continue
+                    nb = padded[1 + dr : 1 + dr + h, 1 + dc : 1 + dc + w]
+                    inb = (
+                        ((rr + dr >= 0) & (rr + dr < H))[:, None]
+                        & ((cc + dc >= 0) & (cc + dc < W))[None, :]
+                    )
+                    edge |= inb & (nb != center)
+            edge &= center > 0
+            er, ec = np.nonzero(edge)
+            bids.append(center[er, ec].astype(np.int64))
+            cols_.append(gc0 + ec)
+            rows_.append(gr0 + er)
+        if not bids:
+            return pd.DataFrame(
+                {"bid": pd.Series(dtype=np.int64), "col": pd.Series(dtype=np.int64),
+                 "row": pd.Series(dtype=np.int64)}
+            )
+        return pd.DataFrame(
+            {"bid": np.concatenate(bids), "col": np.concatenate(cols_),
+             "row": np.concatenate(rows_)}
+        ).astype({"bid": np.int64, "col": np.int64, "row": np.int64})
+
+    edges = _pieces_grouped(
+        label_tiles, 1, H, W, tile, 0.0, assemble_edges, num_parts=num_parts
+    )
+
+    B = max(1, int(np.ceil(max_dist)))
+    nbx = (W + B - 1) // B
+    max2 = float(max_dist) * float(max_dist)
+
+    def replicate(t: pa.Table) -> pa.Table:
+        bid = t["bid"].to_numpy(zero_copy_only=False)
+        col = t["col"].to_numpy(zero_copy_only=False)
+        row = t["row"].to_numpy(zero_copy_only=False)
+        home = (row // B) * nbx + (col // B)
+        outs = {"bk": [], "home": [], "bid": [], "col": [], "row": []}
+        for dr in (-1, 0, 1):
+            for dc in (-1, 0, 1):
+                by = row // B + dr
+                bx = col // B + dc
+                m = (by >= 0) & (bx >= 0) & (bx < nbx)
+                outs["bk"].append((by * nbx + bx)[m])
+                outs["home"].append(home[m])
+                outs["bid"].append(bid[m])
+                outs["col"].append(col[m])
+                outs["row"].append(row[m])
+        return pa.table({k: np.concatenate(v) for k, v in outs.items()})
+
+    def pairs(df: pd.DataFrame) -> pd.DataFrame:
+        out = []
+        for bk, gg in df.groupby("bk", sort=False):
+            bid = gg["bid"].to_numpy()
+            col = gg["col"].to_numpy()
+            row = gg["row"].to_numpy()
+            home = gg["home"].to_numpy()
+            idx = row * W + col
+            hm = home == bk
+            if not hm.any():
+                continue
+            d2 = (
+                (col[hm][:, None] - col[None, :]) ** 2
+                + (row[hm][:, None] - row[None, :]) ** 2
+            ).astype(np.float64)
+            once = (home[None, :] > bk) | (
+                (home[None, :] == bk) & (idx[hm][:, None] < idx[None, :])
+            )
+            keep = (d2 <= max2) & once & (bid[hm][:, None] != bid[None, :])
+            ii, jj = np.nonzero(keep)
+            if not len(ii):
+                continue
+            ba, ca, ra = bid[hm][ii], col[hm][ii], row[hm][ii]
+            bb, cb, rb = bid[jj], col[jj], row[jj]
+            swap = ba > bb
+            id1 = np.where(swap, bb, ba)
+            id2 = np.where(swap, ba, bb)
+            c1 = np.where(swap, cb, ca)
+            r1 = np.where(swap, rb, ra)
+            c2 = np.where(swap, ca, cb)
+            r2 = np.where(swap, ra, rb)
+            out.append(
+                pd.DataFrame(
+                    {"id1": id1, "c1": c1, "r1": r1, "id2": id2, "c2": c2,
+                     "r2": r2, "dist": np.sqrt(d2[ii, jj])}
+                )
+            )
+        if not out:
+            return pd.DataFrame(
+                {"id1": pd.Series(dtype=np.int64), "c1": pd.Series(dtype=np.int64),
+                 "r1": pd.Series(dtype=np.int64), "id2": pd.Series(dtype=np.int64),
+                 "c2": pd.Series(dtype=np.int64), "r2": pd.Series(dtype=np.int64),
+                 "dist": pd.Series(dtype=np.float64)}
+            )
+        return pd.concat(out, ignore_index=True)
+
+    return grouped_map(
+        edges.map_batches(replicate, batch_format="pyarrow"), ["bk"], pairs,
+        num_parts=num_parts,
     )
 
 

@@ -217,34 +217,6 @@ FROM fl GROUP BY fid"""
 # ---------------------------------------------------------------------------
 # rows-only pipelines (deterministic; semantics pytest-verified)
 
-_MEAN_GRID_CACHE: dict = {}
-
-
-def _mean_grid(sf_dir: str, res: float = 2.0):
-    """Driver-side dense mean-z grid (used only by the edge-case
-    queries whose geometry step is inherently global: spill points,
-    srtm lakes; everything else goes through _mean_tiles — distributed
-    assembly). Cached across the bench sweep like _mean_tiles."""
-    import os
-
-    key = (sf_dir, res)
-    cached = os.environ.get("GRAFT_CACHE_POINTS") == "1"
-    if cached and key in _MEAN_GRID_CACHE:
-        grid, b = _MEAN_GRID_CACHE[key]
-        return grid.copy(), b
-    pts = tpch.read_points(sf_dir)
-    b = compute_bounds(pts, res)
-    stats = grid_stats(pts, GridConfig(res=res, bounds=b, stats=("mean",))).to_pandas()
-    cols = b.cols(res)
-    rows = b.rows(res)
-    grid = np.full(cols * rows, -9999.0)
-    grid[stats["cell_id"].to_numpy()] = stats["mean"].to_numpy()
-    grid = grid.reshape(rows, cols)
-    if cached:
-        _MEAN_GRID_CACHE[key] = (grid.copy(), b)
-    return grid, b
-
-
 _MEAN_TILES_CACHE: dict = {}
 
 
@@ -818,19 +790,38 @@ def q_datum_vectors(sf_dir: str):
 
 
 def q_srtm_lakes(sf_dir: str):
-    """R12 lake flattening over the quantized mean raster (flat
-    regions >= minsize become water at their elevation) — rows-only;
-    the BFS consume-quirk is inherently scan-ordered (driver kernel),
-    pytest-verified with planted lakes."""
+    """R12 lake flattening (flat regions >= minsize become water at
+    their elevation) — rows-only; the BFS consume-on-pop quirk
+    (src/utils/srtm_lakes.cpp:23-93) is globally scan-ordered, so the
+    kernel is inherently per-SCENE: the reference itself processes one
+    SRTM tile per invocation, and cross-scene map_batches is the
+    100-TB parallel axis. The dense grid is assembled INSIDE a worker
+    task (grouped_map over scene id) from the distributed tile table —
+    the driver never holds pixels; per-task memory is bounded by one
+    scene (a 1-degree SRTM tile), pytest-verified with planted
+    lakes."""
     from .kernels.raster import srtm_lakes
+    from .ops.raster import tiles_to_grid
+    from .stages.grouped import grouped_map
 
-    grid, b = _mean_grid(sf_dir)
-    quant = np.where(grid == -9999.0, -9999.0, np.floor(grid / 5.0) * 5.0)
-    water = srtm_lakes(quant, minsize=10)
-    els, counts = np.unique(water[water > 0], return_counts=True)
-    return pd.DataFrame(
-        {"elevation": els.astype(np.float64), "n_cells": counts.astype(np.int64)}
+    tiles, b, H, W = _mean_tiles(sf_dir)
+    scene = tiles.map_batches(
+        lambda t: t.append_column(
+            "scene", pa.array(np.zeros(len(t), dtype=np.int64))
+        ),
+        batch_format="pyarrow",
     )
+
+    def per_scene(df: pd.DataFrame) -> pd.DataFrame:
+        grid = tiles_to_grid(df, H, W, 16)
+        quant = np.where(grid == -9999.0, -9999.0, np.floor(grid / 5.0) * 5.0)
+        water = srtm_lakes(quant, minsize=10)
+        els, counts = np.unique(water[water > 0], return_counts=True)
+        return pd.DataFrame(
+            {"elevation": els.astype(np.float64), "n_cells": counts.astype(np.int64)}
+        )
+
+    return grouped_map(scene, ["scene"], per_scene, num_parts=4)
 
 
 def q_zonal_wkb(sf_dir: str):
@@ -964,16 +955,24 @@ def q_natural_neighbour(sf_dir: str):
 
 
 def q_spill_points(sf_dir: str):
-    """W5: spill points between flood basins."""
-    from .kernels.raster import flood_fill_label, spill_points
+    """W5: spill points between flood basins — fully distributed:
+    tile-local flood labels + label-graph union-find (pixels never
+    leave their tasks), halo'd edge-cell detection, exactly-once
+    bucketed pair join (J4 range-join pattern, src/flood.cpp:369-401).
+    No driver dense grid anywhere."""
+    from .ops.raster import flood_label_tiles, spill_points_tiles
 
-    grid, b = _mean_grid(sf_dir)
-    dem = np.where(grid == -9999.0, 1e9, grid)
-    labels = flood_fill_label(dem, 20.0)
-    sp = spill_points(labels, max_dist=4.0)
-    df = pd.DataFrame(sp, columns=["id1", "c1", "r1", "id2", "c2", "r2", "dist"])
-    df["dist"] = _round_away(df["dist"].to_numpy(), 6)
-    return df
+    tiles, b, H, W = _mean_tiles(sf_dir)
+    labels = flood_label_tiles(tiles, 20.0, H, W, 16)
+    sp = spill_points_tiles(labels, 4.0, H, W, 16)
+
+    def fin(t: pa.Table) -> pa.Table:
+        return t.set_column(
+            t.schema.get_field_index("dist"), "dist",
+            pa.array(_round_away(t["dist"].to_numpy(zero_copy_only=False), 6)),
+        )
+
+    return sp.map_batches(fin, batch_format="pyarrow")
 
 
 def q_tin_interp(sf_dir: str):

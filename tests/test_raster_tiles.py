@@ -88,18 +88,6 @@ def test_mosaic_tiles_match_kernel(ray_ctx):
     np.testing.assert_allclose(got, want, rtol=0, atol=1e-12)
 
 
-def test_flood_labels_match_kernel():
-    from geotools_ray.ops.raster import flood_label_tiles, grid_to_tiles
-
-    g = make_grid(21, 27, holes=False, seed=11)
-    elev = 12.0
-    want = KR.flood_fill_label(g, elev)
-    tiles_df = grid_to_tiles(g, 8).to_pandas()
-    got = flood_label_tiles(tiles_df, elev, 21, 27, 8)
-    # same partition structure and same scan-order canonical ids
-    np.testing.assert_array_equal(got, want)
-
-
 def test_spill_points_and_edges():
     g = np.full((9, 12), 50.0)
     g[2:4, 2:4] = 1.0   # basin A
@@ -275,3 +263,52 @@ def test_tiles_multi_matches_single_assembly(ray_ctx):
             mt.rename(columns={"data_" + col: "data"}), rows, cols, 8
         )
         np.testing.assert_allclose(got, want)
+
+
+def test_flood_label_tiles_canonical_ids(ray_session):
+    """Distributed label tiles == the full-grid kernel's label grid,
+    including scan-order id assignment across tile merges."""
+    import ray.data
+
+    from geotools_ray.ops.raster import (
+        flood_label_tiles, grid_to_tiles, tiles_to_grid)
+
+    rng = np.random.RandomState(11)
+    grid = rng.uniform(0, 40, (37, 53))
+    grid[rng.uniform(size=grid.shape) < 0.3] = NODATA
+    H, W = grid.shape
+    want = KR.flood_fill_label(np.where(grid == NODATA, np.inf, grid), 20.0)
+    for tile in (8, 16):
+        tiles = ray.data.from_arrow(grid_to_tiles(grid, tile))
+        lab = flood_label_tiles(tiles, 20.0, H, W, tile)
+        got = tiles_to_grid(lab.to_pandas(), H, W, tile, nodata=0.0)
+        assert np.array_equal(got.astype(np.int64), want)
+
+
+def test_spill_points_tiles_matches_kernel(ray_session):
+    """Distributed halo'd edges + bucketed exactly-once pair join ==
+    the full-grid all-pairs kernel (same pair set, same coords)."""
+    import ray.data
+
+    from geotools_ray.ops.raster import (
+        flood_label_tiles, grid_to_tiles, spill_points_tiles)
+
+    rng = np.random.RandomState(12)
+    grid = rng.uniform(0, 40, (41, 47))
+    grid[rng.uniform(size=grid.shape) < 0.25] = NODATA
+    H, W = grid.shape
+    labels = KR.flood_fill_label(np.where(grid == NODATA, np.inf, grid), 20.0)
+    want = pd.DataFrame(
+        KR.spill_points(labels, max_dist=4.0),
+        columns=["id1", "c1", "r1", "id2", "c2", "r2", "dist"],
+    )
+    tiles = ray.data.from_arrow(grid_to_tiles(grid, 16))
+    lab = flood_label_tiles(tiles, 20.0, H, W, 16)
+    got = spill_points_tiles(lab, 4.0, H, W, 16).to_pandas()
+    key = ["id1", "c1", "r1", "id2", "c2", "r2"]
+    want = want.sort_values(key).reset_index(drop=True)
+    got = got.sort_values(key).reset_index(drop=True)
+    assert len(got) == len(want)
+    for c in key:
+        assert np.array_equal(got[c].to_numpy(), want[c].to_numpy()), c
+    assert np.allclose(got["dist"], want["dist"])
