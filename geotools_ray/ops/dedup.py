@@ -40,13 +40,40 @@ def _popcount64(x: np.ndarray) -> np.ndarray:
 
 
 def exact_dedup(ds: ray.data.Dataset, key_cols: list[str], order_col: str,
-                num_parts: int | None = None) -> ray.data.Dataset:
-    """Keep the row with min(order_col) per key (U4)."""
+                num_parts: int | None = None, salt_hot: bool = False,
+                hot_hashes=None) -> ray.data.Dataset:
+    """Keep the row with min(order_col) per key (U4).
+
+    min-per-key is associative, so skewed keys (a 10^5x-duplicated
+    document) salt cleanly (north_rule): with `salt_hot` a sampled
+    probe finds hot keys, phase 1 keeps min per (key, salt) — a hot
+    key's rows split over salt_k partitions — and phase 2 merges the
+    <= salt_k survivors per key. Pass `hot_hashes` to skip the probe
+    (e.g. counts known from a manifest)."""
 
     def drop(df: pd.DataFrame) -> pd.DataFrame:
         return df.sort_values(order_col).drop_duplicates(key_cols, keep="first")
 
-    return grouped_map(ds, key_cols, drop, num_parts=num_parts)
+    if not (salt_hot or hot_hashes is not None):
+        return grouped_map(ds, key_cols, drop, num_parts=num_parts)
+
+    from ..stages.grouped import detect_hot_key_hashes, salted_grouped_map
+
+    if hot_hashes is None:
+        hot_hashes = detect_hot_key_hashes(ds, key_cols)
+
+    def drop_salted(df: pd.DataFrame) -> pd.DataFrame:
+        return df.sort_values(order_col).drop_duplicates(
+            key_cols + ["_salt"], keep="first"
+        )
+
+    def merge(df: pd.DataFrame) -> pd.DataFrame:
+        return drop(df).drop(columns=["_salt"], errors="ignore")
+
+    return salted_grouped_map(
+        ds, key_cols, drop_salted, merge, hot_hashes=hot_hashes,
+        num_parts=num_parts,
+    )
 
 
 # ---------------------------------------------------------------------------

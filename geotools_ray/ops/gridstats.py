@@ -49,6 +49,7 @@ class GridConfig:
     quantiles: int = 4                      # num for qN stats (n+2 values semantics)
     value_col: str = "z"
     strategy: str = "auto"
+    salt_hot: bool = False  # exact path: probe for hot cells and salt them
 
 
 _BOUNDS_CACHE: dict = {}  # (id(ds), res) -> (ds strong ref, Bounds)
@@ -180,14 +181,13 @@ def grid_stats(points: ray.data.Dataset, cfg: GridConfig) -> ray.data.Dataset:
     stats = cfg.stats
     qn = cfg.quantiles
 
-    from ..stages.grouped import grouped_map
+    from ..stages.grouped import detect_hot_key_hashes, grouped_map, salted_grouped_map
 
-    def per_part(df: pd.DataFrame) -> pd.DataFrame:
+    def _finalize_rows(cids, values) -> pd.DataFrame:
         rows: dict[str, list] = {"cell_id": []}
         for st in stats:
             rows[st] = []
-        for cid, g in df.groupby("cell_id", sort=False):
-            v = g["v"].to_numpy(dtype=np.float64)
+        for cid, v in zip(cids, values):
             rows["cell_id"].append(cid)
             for st in stats:
                 if st.startswith("q") and st[1:].isdigit():
@@ -198,7 +198,50 @@ def grid_stats(points: ray.data.Dataset, cfg: GridConfig) -> ray.data.Dataset:
                     rows[st].append(K.STAT_KERNELS[st](v))
         return pd.DataFrame(rows)
 
-    return grouped_map(cells, ["cell_id"], per_part)
+    if not cfg.salt_hot:
+
+        def per_part(df: pd.DataFrame) -> pd.DataFrame:
+            groups = list(df.groupby("cell_id", sort=False))
+            return _finalize_rows(
+                [cid for cid, _ in groups],
+                [g["v"].to_numpy(dtype=np.float64) for _, g in groups],
+            )
+
+        return grouped_map(cells, ["cell_id"], per_part)
+
+    # skew-salted exact path (north_rule: hot cells are salted and
+    # split): a sampled probe finds cells holding > ~1% of the data;
+    # their raw values shuffle under (cell_id, salt) so no phase-1
+    # partition holds more than ~1/salt_k of a hot cell, then the
+    # per-cell exact kernels run on the re-merged (sorted) values.
+    # The exact kernels need the full value multiset, so a hot cell's
+    # bytes still meet in its phase-2 merge task — but that task holds
+    # ONE cell, not a partition's worth, and every algebraic stat
+    # should use the 'partial' strategy instead (skew-free by design).
+    hot = detect_hot_key_hashes(cells, ["cell_id"])
+
+    def chunk(df: pd.DataFrame) -> pd.DataFrame:
+        groups = list(df.groupby(["cell_id", "_salt"], sort=False))
+        return pd.DataFrame(
+            {
+                "cell_id": [cid for (cid, _s), _ in groups],
+                "vals": [np.sort(g["v"].to_numpy(dtype=np.float64)) for _, g in groups],
+            }
+        )
+
+    def merge(df: pd.DataFrame) -> pd.DataFrame:
+        groups = list(df.groupby("cell_id", sort=False))
+        return _finalize_rows(
+            [cid for cid, _ in groups],
+            [
+                np.sort(np.concatenate([np.asarray(a, dtype=np.float64) for a in g["vals"]]))
+                for _, g in groups
+            ],
+        )
+
+    return salted_grouped_map(
+        cells, ["cell_id"], chunk, merge, hot_hashes=hot
+    )
 
 
 def add_cell_coords(stats_ds: ray.data.Dataset, b: Bounds, res: float) -> ray.data.Dataset:

@@ -91,7 +91,8 @@ def assign_and_join(
     return narrow.map_batches(fn, batch_format="pyarrow")
 
 
-def dedup_by_phash(joined: ray.data.Dataset, num_parts: int | None = None) -> ray.data.Dataset:
+def dedup_by_phash(joined: ray.data.Dataset, num_parts: int | None = None,
+                   hot_hashes=None) -> ray.data.Dataset:
     """Exact dedup (U4): keep the lexicographically-first image_id per
     (phash, polygon_id), permutation-safe and fully vectorized.
 
@@ -99,24 +100,45 @@ def dedup_by_phash(joined: ray.data.Dataset, num_parts: int | None = None) -> ra
     batch (shrinks the shuffle), then (2) grouped_map hash-partitions
     by key and drops duplicates per partition — ONE shuffle, Python
     dispatch per partition rather than per key (a per-group map_groups
-    here cost ~30 s at 100k images / 50k keys; this path is ~1 s)."""
-    from ..stages.grouped import grouped_map
+    here cost ~30 s at 100k images / 50k keys; this path is ~1 s).
 
-    from ..stages.grouped import hash_columns
+    first-per-key is associative, so a hot phash (a meme duplicated
+    10^5x across the corpus) salts cleanly: pass `hot_hashes`
+    (detect_hot_key_hashes over the same keys, or counts known from
+    the ingest manifest) and the hot keys' rows split over salt_k
+    phase-1 partitions, a per-(key, salt) first each, then a
+    per-key merge of the <= salt_k survivors (north_rule)."""
+    from ..stages.grouped import grouped_map, hash_columns, salted_grouped_map
 
-    def dedup_arrow(t: pa.Table) -> pa.Table:
-        import pyarrow.compute as pc
+    def _first_per(cols):
+        def fn(t: pa.Table) -> pa.Table:
+            import pyarrow.compute as pc
 
-        order = pc.sort_indices(t, sort_keys=[("image_id", "ascending")])
-        t2 = t.take(order)
-        key = hash_columns(t2, ["phash", "polygon_id"])
-        _, first = np.unique(key, return_index=True)  # first occurrence in id order
-        return t2.take(np.sort(first))
+            order = pc.sort_indices(t, sort_keys=[("image_id", "ascending")])
+            t2 = t.take(order)
+            key = hash_columns(t2, cols)
+            _, first = np.unique(key, return_index=True)  # first in id order
+            return t2.take(np.sort(first))
+
+        return fn
+
+    if hot_hashes is not None and len(hot_hashes):
+
+        def merge(t: pa.Table) -> pa.Table:
+            out = _first_per(["phash", "polygon_id"])(t)
+            return out.drop_columns(["_salt"])
+
+        return salted_grouped_map(
+            joined, ["phash", "polygon_id"],
+            _first_per(["phash", "polygon_id", "_salt"]), merge,
+            hot_hashes=hot_hashes, num_parts=num_parts, batch_format="pyarrow",
+        )
 
     # batch-local combine is skipped: dups are ~1% so it wouldn't shrink
     # the shuffle; the single grouped_map shuffle does all the work
     return grouped_map(
-        joined, ["phash", "polygon_id"], dedup_arrow, num_parts=num_parts, batch_format="pyarrow"
+        joined, ["phash", "polygon_id"], _first_per(["phash", "polygon_id"]),
+        num_parts=num_parts, batch_format="pyarrow",
     )
 
 

@@ -137,6 +137,7 @@ def q_grid_exact(sf_dir: str):
             res=RES,
             stats=("count", "median", "variance", "stddev", "skew", "kurtosis", "q1", "q2", "q3"),
             strategy="exact",
+            salt_hot=True,  # probe + salt skewed cells (north_rule)
         ),
     )
 

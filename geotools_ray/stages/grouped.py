@@ -124,3 +124,105 @@ def grouped_map(
         .groupby("_part")
         .map_groups(apply, batch_format=batch_format)
     )
+
+
+def detect_hot_key_hashes(
+    ds: ray.data.Dataset,
+    keys: list[str],
+    threshold_frac: float = 0.01,
+    sample_frac: float = 0.05,
+    seed: int = 7,
+) -> np.ndarray:
+    """Skew probe (north_rule: 'skewed cells are salted and split'):
+    sampled per-key counts, computed DISTRIBUTED — the driver receives
+    only the keys whose sampled share exceeds threshold_frac (at most
+    1/threshold_frac of them), never the full key-count table.
+    Returns the uint64 hash_columns() values of the hot keys, ready
+    for salted_grouped_map."""
+    from ray.data.aggregate import Count, Sum
+
+    def keyhash(t: pa.Table) -> pa.Table:
+        return pa.table({"_kh": hash_columns(t, keys).view(np.int64)})
+
+    sampled = ds.random_sample(sample_frac, seed=seed)
+    counts = (
+        sampled.map_batches(keyhash, batch_format="pyarrow")
+        .groupby("_kh")
+        .aggregate(Count(alias_name="n"))
+        .materialize()
+    )
+    total = counts.aggregate(Sum("n", alias_name="t"))["t"] or 0
+    if not total:
+        return np.array([], dtype=np.uint64)
+    cut = threshold_frac * total
+
+    def hot_only(t: pa.Table) -> pa.Table:
+        m = t["n"].to_numpy(zero_copy_only=False) > cut
+        return t.filter(pa.array(m))
+
+    hot = counts.map_batches(hot_only, batch_format="pyarrow").to_pandas()
+    if not len(hot):
+        return np.array([], dtype=np.uint64)
+    return hot["_kh"].to_numpy().view(np.uint64)
+
+
+def salted_grouped_map(
+    ds: ray.data.Dataset,
+    keys: list[str],
+    partial_fn: Callable,
+    merge_fn: Callable,
+    *,
+    hot_hashes: np.ndarray | None,
+    salt_k: int | None = None,
+    num_parts: int | None = None,
+    batch_format: str = "pandas",
+) -> ray.data.Dataset:
+    """Skew-salted two-phase grouped computation (north_rule).
+
+    Rows whose key is hot get a `_salt` column cycling 0..salt_k-1, so
+    a 10^5x hot key splits across salt_k phase-1 partitions; phase 1
+    runs `partial_fn` per partition grouping by keys + ['_salt'],
+    phase 2 runs `merge_fn` per partition grouping by keys over the
+    (<= salt_k per key) partial rows.  Both fns receive whole
+    partitions (grouped_map contract).  partial_fn must emit rows that
+    merge_fn can combine into the same result the unsalted computation
+    would produce (associative partials: min/first for dedup, sorted
+    value chunks for exact order statistics).
+
+    With no hot keys the two fns compose in ONE grouped_map (single
+    shuffle — the common, unskewed case pays nothing extra)."""
+    k = salt_k or max(8, default_num_parts() // 2)
+
+    if hot_hashes is None or len(hot_hashes) == 0:
+
+        def add_zero(t: pa.Table) -> pa.Table:
+            return t.append_column("_salt", pa.array(np.zeros(len(t), dtype=np.int64)))
+
+        def both_pd(df: pd.DataFrame) -> pd.DataFrame:
+            return merge_fn(partial_fn(df))
+
+        def both_pa(t: pa.Table) -> pa.Table:
+            return merge_fn(partial_fn(t))
+
+        both = both_pa if batch_format == "pyarrow" else both_pd
+        return grouped_map(
+            ds.map_batches(add_zero, batch_format="pyarrow"), keys, both,
+            num_parts=num_parts, batch_format=batch_format,
+        )
+
+    hh = np.sort(np.asarray(hot_hashes, dtype=np.uint64))
+
+    def add_salt(t: pa.Table) -> pa.Table:
+        h = hash_columns(t, keys)
+        pos = np.minimum(np.searchsorted(hh, h), len(hh) - 1)
+        m = hh[pos] == h
+        salt = np.zeros(len(t), dtype=np.int64)
+        if m.any():
+            salt[m] = np.arange(int(m.sum()), dtype=np.int64) % k
+        return t.append_column("_salt", pa.array(salt))
+
+    p1 = grouped_map(
+        ds.map_batches(add_salt, batch_format="pyarrow"),
+        keys + ["_salt"], partial_fn, num_parts=num_parts, batch_format=batch_format,
+    )
+    return grouped_map(p1, keys, merge_fn, num_parts=num_parts, batch_format=batch_format)
