@@ -305,13 +305,17 @@ class ShardedCellIndex:
             )[0]
         )
 
-    def fetch(self, keys: list[int]) -> dict:
+    def fetch(self, keys) -> dict:
         """Batched lookup: one get_cells RPC per shard that owns any
-        of `keys`."""
-        by_shard: dict[int, list[int]] = {}
-        for k in keys:
-            by_shard.setdefault(self.shard_for_key(k), []).append(k)
-        futs = [self.actors[s].get_cells.remote(ks) for s, ks in by_shard.items()]
+        of `keys` (shard routing vectorized)."""
+        ka = np.asarray(keys, dtype=np.int64)
+        c = ka >> 22
+        r = ka & ((1 << 22) - 1)
+        shard = _shard_of(c // PARENT, r // PARENT, self.num_shards)
+        futs = [
+            self.actors[s].get_cells.remote(ka[shard == s].tolist())
+            for s in np.unique(shard)
+        ]
         out: dict = {}
         for d in ray.get(futs):
             out.update(d)
@@ -347,7 +351,10 @@ def build_sharded_cell_index(
         ray.get(futs)  # backpressure: don't let adds pile up unbounded
         return pa.table({"n": np.array([len(x)], dtype=np.int64)})
 
-    points.map_batches(push, batch_format="pyarrow").materialize()
+    # batch_size=None: one push per BLOCK — the per-batch add RPC +
+    # backpressure ray.get round-trips dominate at the default 1024-row
+    # batches (6k rounds at sf0.1); block-sized pushes cut that ~200x
+    points.map_batches(push, batch_format="pyarrow", batch_size=None).materialize()
     ray.get([a.seal.remote() for a in actors])
     return ShardedCellIndex(actors, res, bounds.minx, bounds.miny, num_shards)
 
@@ -361,12 +368,33 @@ def knn_cell_ring_sharded(
     query_key: str = "s_suppkey",
     point_cols: tuple[str, ...] = ("l_orderkey", "l_linenumber"),
     max_ring: int = 64,
+    num_query_blocks: int | None = 32,
 ) -> ray.data.Dataset:
     """kNN ring expansion against the sharded index: each query batch
     expands its rings LOCKSTEP — all still-open queries' ring-d cells
-    are fetched in ONE batched RPC round per ring."""
+    are fetched in ONE batched RPC round per ring, and the whole
+    expansion is vectorized: ring offsets broadcast over the open
+    queries, per-cell point lists are pooled once per ring and
+    gathered into (query, candidate) rows with a grouped-arange index
+    (no per-query Python, no per-(cell, query) appends)."""
     res = index.res
     minx, miny = index.minx, index.miny
+    fields = ("x", "y", *point_cols)
+
+    def _grouped_arange(lens: np.ndarray) -> np.ndarray:
+        """[0..lens[0]), [0..lens[1]), ... concatenated."""
+        tot = int(lens.sum())
+        cum = np.concatenate([[0], np.cumsum(lens)[:-1]])
+        return np.arange(tot, dtype=np.int64) - np.repeat(cum, lens)
+
+    def _ring_offsets(ring: int):
+        if ring == 0:
+            return np.zeros(1, dtype=np.int64), np.zeros(1, dtype=np.int64)
+        span = np.arange(-ring, ring + 1, dtype=np.int64)
+        side = np.arange(-ring + 1, ring, dtype=np.int64)
+        dc = np.concatenate([span, span, np.full(len(side), -ring), np.full(len(side), ring)])
+        dr = np.concatenate([np.full(len(span), -ring), np.full(len(span), ring), side, side])
+        return dc, dr
 
     def per_batch(t: pa.Table) -> pa.Table:
         xs = t[qx].to_numpy(zero_copy_only=False)
@@ -375,76 +403,106 @@ def knn_cell_ring_sharded(
         n = len(xs)
         qc = np.floor((xs - minx) / res).astype(np.int64)
         qr = np.floor((ys - miny) / res).astype(np.int64)
-        cand = [{c2: [] for c2 in ("x", "y", *point_cols)} for _ in range(n)]
         found = np.zeros(n, dtype=np.int64)
         done = np.zeros(n, dtype=bool)
+        acc_qi: list[np.ndarray] = []
+        acc_d2: list[np.ndarray] = []
+        acc = {c2: [] for c2 in fields}
         cache: dict = {}
         for ring in range(max_ring + 1):
             open_idx = np.nonzero(~done)[0]
             if not len(open_idx):
                 break
-            # all (query, cell) needs of this ring
-            need: dict[int, list[int]] = {}
-            for i in open_idx:
-                if ring == 0:
-                    cells = [(qc[i], qr[i])]
-                else:
-                    cells = []
-                    for dc in range(-ring, ring + 1):
-                        cells.append((qc[i] + dc, qr[i] - ring))
-                        cells.append((qc[i] + dc, qr[i] + ring))
-                    for dr in range(-ring + 1, ring):
-                        cells.append((qc[i] - ring, qr[i] + dr))
-                        cells.append((qc[i] + ring, qr[i] + dr))
-                for cc, rr in cells:
-                    kk = int(cc) * (1 << 22) + int(rr)
-                    need.setdefault(kk, []).append(i)
-            missing = [kk for kk in need if kk not in cache]
+            dc, dr = _ring_offsets(ring)
+            cc = (qc[open_idx][:, None] + dc[None, :]).ravel()
+            rr = (qr[open_idx][:, None] + dr[None, :]).ravel()
+            qi = np.repeat(open_idx, len(dc))
+            kk = cc * (1 << 22) + rr
+            slots, inv = np.unique(kk, return_inverse=True)
+            missing = [int(s) for s in slots if s not in cache]
             if missing:
-                cache.update(index.fetch(missing))
-                for kk in missing:
-                    cache.setdefault(kk, None)
-            for kk, qis in need.items():
-                ent = cache[kk]
+                fetched = index.fetch(missing)
+                for m in missing:
+                    cache[m] = fetched.get(m)
+            # per-cell distance blocks: for each populated cell, one
+            # broadcasted (queries-wanting-it x cell-points) d2 matrix,
+            # pruned to each query's k best FROM THAT CELL (keeping
+            # d2 == kth ties so downstream tie-breaking stays exact) —
+            # a dense cell contributes O(k) rows per query to the
+            # accumulator, not O(cell size)
+            order_p = np.argsort(inv, kind="stable")
+            inv_s = inv[order_p]
+            qi_s = qi[order_p]
+            cuts = np.searchsorted(inv_s, np.arange(len(slots) + 1))
+            for j in range(len(slots)):
+                ent = cache[int(slots[j])]
                 if ent is None:
                     continue
-                for i in qis:
-                    for c2 in cand[i]:
-                        cand[i][c2].append(ent[c2])
-                    found[i] += len(ent["x"])
-            # ring-closure test per still-open query
-            for i in open_idx:
-                if found[i] >= k:
-                    cx = np.concatenate(cand[i]["x"])
-                    cy = np.concatenate(cand[i]["y"])
-                    d2 = (cx - xs[i]) ** 2 + (cy - ys[i]) ** 2
-                    kk2 = min(k, len(d2))
-                    kth = np.sqrt(np.partition(d2, kk2 - 1)[kk2 - 1])
-                    if kth <= ring * res:
-                        done[i] = True
-        out = {query_key: [], "rank": [], "dist": []}
-        for c2 in point_cols:
-            out[c2] = []
-        for i in range(n):
-            if not cand[i]["x"]:
-                continue
-            cx = np.concatenate(cand[i]["x"])
-            cy = np.concatenate(cand[i]["y"])
-            d2 = (cx - xs[i]) ** 2 + (cy - ys[i]) ** 2
-            tb = {c2: np.concatenate(cand[i][c2]) for c2 in point_cols}
-            order = np.lexsort(tuple(tb[c2] for c2 in reversed(point_cols)) + (d2,))
-            sel = order[: min(k, len(order))]
-            out[query_key].append(np.full(len(sel), keys[i]))
-            out["rank"].append(np.arange(1, len(sel) + 1, dtype=np.int64))
-            out["dist"].append(np.sqrt(d2[sel]))
-            for c2 in point_cols:
-                out[c2].append(tb[c2][sel])
-        if not out[query_key]:
+                qs = qi_s[cuts[j] : cuts[j + 1]]
+                if not len(qs):
+                    continue
+                ex = ent["x"]
+                ns = len(ex)
+                d2 = (ex[None, :] - xs[qs][:, None]) ** 2 + (
+                    ent["y"][None, :] - ys[qs][:, None]
+                ) ** 2
+                if ns > k:
+                    kthv = np.partition(d2, k - 1, axis=1)[:, k - 1]
+                    mask = d2 <= kthv[:, None]
+                    rows_, cols_ = np.nonzero(mask)
+                else:
+                    rows_ = np.repeat(np.arange(len(qs)), ns)
+                    cols_ = np.tile(np.arange(ns), len(qs))
+                rows_qi = qs[rows_]
+                acc_qi.append(rows_qi)
+                acc_d2.append(d2[rows_, cols_])
+                acc["x"].append(ex[cols_])
+                acc["y"].append(ent["y"][cols_])
+                for c2 in point_cols:
+                    acc[c2].append(ent[c2][cols_])
+                found += np.bincount(rows_qi, minlength=n)
+            # ring closure: a query with >= k candidates is done when
+            # its kth distance <= ring * res (no farther ring can beat)
+            ready = np.nonzero(~done & (found >= k))[0]
+            if len(ready) and acc_qi:
+                aqi = np.concatenate(acc_qi)
+                ad2 = np.concatenate(acc_d2)
+                rmask = np.zeros(n, dtype=bool)
+                rmask[ready] = True
+                m = rmask[aqi]
+                order = np.lexsort((ad2[m], aqi[m]))
+                sq = aqi[m][order]
+                sd = ad2[m][order]
+                su, sstarts = np.unique(sq, return_index=True)
+                kth = np.sqrt(sd[sstarts + (k - 1)])
+                done[su[kth <= ring * res]] = True
+        if not acc_qi:
             empty = {query_key: pa.array([], pa.int64()), "rank": pa.array([], pa.int64()),
                      "dist": pa.array([], pa.float64())}
             for c2 in point_cols:
                 empty[c2] = pa.array([], pa.int64())
             return pa.table(empty)
-        return pa.table({c2: np.concatenate(v) for c2, v in out.items()})
+        aqi = np.concatenate(acc_qi)
+        ad2 = np.concatenate(acc_d2)
+        cols = {c2: np.concatenate(acc[c2]) for c2 in fields}
+        # per-query top-k in ONE global lexsort: (qi, d2, point_cols...)
+        order = np.lexsort(
+            tuple(cols[c2] for c2 in reversed(point_cols)) + (ad2, aqi)
+        )
+        sq = aqi[order]
+        su, sstarts, scounts = np.unique(sq, return_index=True, return_counts=True)
+        take = np.minimum(scounts, k)
+        ranks = _grouped_arange(take) + 1
+        sel = order[np.repeat(sstarts, take) + ranks - 1]
+        out = {
+            query_key: keys[aqi[sel]],
+            "rank": ranks,
+            "dist": np.sqrt(ad2[sel]),
+        }
+        for c2 in point_cols:
+            out[c2] = cols[c2][sel]
+        return pa.table(out)
 
+    if num_query_blocks:
+        queries = queries.repartition(num_query_blocks)
     return queries.map_batches(per_batch, batch_format="pyarrow")

@@ -1054,7 +1054,7 @@ def q_knn_cellring(sf_dir: str):
     pts = tpch.read_points(sf_dir)
     smp = tpch.read_samples_table(sf_dir)
     idx = build_sharded_cell_index(
-        pts, res=5.0, bounds=Bounds(0.0, 0.0, 100.0, 100.0), num_shards=4
+        pts, res=5.0, bounds=Bounds(0.0, 0.0, 100.0, 100.0), num_shards=16
     )
     qds = ray.data.from_arrow(smp)
     out = knn_cell_ring_sharded(qds, idx, k=5)
