@@ -23,7 +23,7 @@ import ray.data
 
 from ..kernels import raster as KR
 from ..stages.grouped import grouped_map
-from .raster import _pieces_grouped
+from .raster import _pieces_grouped, iter_padded_tiles, list_col_of
 
 
 def crown_growth_tiles(
@@ -51,18 +51,11 @@ def crown_growth_tiles(
     )
     tops_z_ref = ray.put(tops["z"].to_numpy(zero_copy_only=False).astype(np.float64))
 
-    def assemble(df: pd.DataFrame) -> pd.DataFrame:
+    def assemble(t: pa.Table) -> pa.Table:
         T = ray.get(tops_ref)
         TZ = ray.get(tops_z_ref)
-        rows = []
-        for (tr, tc), g in df.groupby(["trow", "tcol"], sort=False):
-            gr0, gc0 = int(tr) * tile, int(tc) * tile
-            h = min(tile, H - gr0)
-            w = min(tile, W - gc0)
-            padded = np.full((h + 2 * halo, w + 2 * halo), nodata, dtype=np.float64)
-            for _, p in g.iterrows():
-                y, x, ph, pw = int(p["y"]), int(p["x"]), int(p["ph"]), int(p["pw"])
-                padded[y : y + ph, x : x + pw] = np.asarray(p["data"], dtype=np.float64).reshape(ph, pw)
+        out_tr, out_tc, out_h, out_w, arrays = [], [], [], [], []
+        for tr, tc, gr0, gc0, h, w, padded in iter_padded_tiles(t, tile, halo, H, W, nodata):
             # tops inside the padded window, converted to padded coords
             sel = (
                 (T[:, 1] >= gc0 - halo) & (T[:, 1] < gc0 + w + halo)
@@ -75,11 +68,17 @@ def crown_growth_tiles(
             local.sort()  # by id — deterministic seeding order
             ids = KR.crown_growth(padded, local, min_height, height_fraction, radius, nodata)
             interior = ids[halo : halo + h, halo : halo + w]
-            rows.append(
-                {"trow": int(tr), "tcol": int(tc), "h": h, "w": w,
-                 "data": interior.astype(np.float64).ravel().tolist()}
-            )
-        return pd.DataFrame(rows)
+            out_tr.append(tr); out_tc.append(tc); out_h.append(h); out_w.append(w)
+            arrays.append(interior.astype(np.float64))
+        return pa.table(
+            {
+                "trow": np.array(out_tr, dtype=np.int64),
+                "tcol": np.array(out_tc, dtype=np.int64),
+                "h": np.array(out_h, dtype=np.int64),
+                "w": np.array(out_w, dtype=np.int64),
+                "data": list_col_of(arrays),
+            }
+        )
 
     return _pieces_grouped(tiles, halo, H, W, tile, nodata, assemble, **kw)
 

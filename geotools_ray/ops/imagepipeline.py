@@ -181,11 +181,32 @@ def flagship(images: ray.data.Dataset, level: int = DEFAULT_LEVEL) -> ray.data.D
     return cell_rollup(deduped)
 
 
+def checkpoint_join(
+    joined: ray.data.Dataset, out_dir: str, num_parts: int = 32
+) -> ray.data.Dataset:
+    """Durable restart boundary for the flagship: write the narrow
+    join output as `num_parts` image_id-hash partitions with manifest
+    records (atomic rename + lineage, state/manifest.py), then read
+    it back as the input of the shuffle stages. On resume, partitions
+    already in the manifest are filtered out at the first map stage,
+    so their decode/join work is never repaid."""
+    from ..stages.grouped import hash_columns
+    from ..state.manifest import read_partitioned, write_partitioned
+
+    def key_fn(t: pa.Table) -> np.ndarray:
+        return (hash_columns(t, ["image_id"]) % np.uint64(num_parts)).astype(np.int64)
+
+    write_partitioned(joined, out_dir, key_fn, num_parts=num_parts)
+    return read_partitioned(out_dir)
+
+
 def flagship_full(
     images: ray.data.Dataset,
     level: int = DEFAULT_LEVEL,
     decode_concurrency: int | tuple | None = None,
     decode_batch_size: int = 1024,
+    checkpoint_dir: str | None = None,
+    checkpoint_parts: int = 32,
 ) -> ray.data.Dataset:
     """The end-to-end metric pipeline (BASELINE.md headline):
     decode + verify (phash recompute, the per-row input_hint
@@ -195,7 +216,16 @@ def flagship_full(
     The decode fn is STATELESS so Ray fuses it into the read task —
     pixel bytes never cross the object store; only the narrow
     (image_id, phash) projection flows on. Pass decode_concurrency to
-    run it as an actor pool instead (model-style decoders)."""
+    run it as an actor pool instead (model-style decoders).
+
+    With `checkpoint_dir` the join output is checkpointed through the
+    resumable manifest store (state/manifest): hash-partitioned by
+    image_id into `checkpoint_parts` atomic parquet partitions, each
+    with a lineage record; a rerun over the same dir skips completed
+    partitions BEFORE recomputing them (manifest anti-join) and only
+    the decode+join of missing partitions is repaid. At design scale
+    this is the restart boundary between the embarrassingly-parallel
+    front half and the shuffle back half."""
     from ..stages.imaging import DecodeStage, decode_features_batch
 
     if decode_concurrency is None:
@@ -214,9 +244,12 @@ def flagship_full(
     # checkpoint the NARROW join output before the shuffle stages: the
     # streaming executor schedules an AllToAll chained directly after
     # the heavy fused decode-map very poorly (measured 6x slowdown at
-    # 8 cpus: 97 s lazy vs 16 s checkpointed); at design scale this
-    # boundary is the per-partition parquet checkpoint, here the
-    # object store holds it (~40 B/row)
-    joined = joined.materialize()
+    # 8 cpus: 97 s lazy vs 16 s checkpointed); the checkpoint is the
+    # durable per-partition parquet manifest when a dir is given
+    # (resumable), else the object store holds it (~40 B/row)
+    if checkpoint_dir is not None:
+        joined = checkpoint_join(joined, checkpoint_dir, num_parts=checkpoint_parts)
+    else:
+        joined = joined.materialize()
     deduped = dedup_by_phash(joined)
     return cell_rollup(deduped)

@@ -34,17 +34,22 @@ def pairwise_diff_stats(
     (i, j, sum, count, mean) for every raster pair i < j with valid
     overlap, diff = raster_i - raster_j (compute_stats :40-96)."""
 
-    def per_tile(df: pd.DataFrame) -> pd.DataFrame:
+    from .raster import group_slices, list_col_views
+
+    def per_tile(t: pa.Table) -> pd.DataFrame:
+        views = list_col_views(t["data"])
+        trs = t["trow"].to_numpy(zero_copy_only=False)
+        tcs = t["tcol"].to_numpy(zero_copy_only=False)
+        rids_all = t["rid"].to_numpy(zero_copy_only=False)
+        hs = t["h"].to_numpy(zero_copy_only=False)
+        ws = t["w"].to_numpy(zero_copy_only=False)
+        order, slices = group_slices(trs, tcs)
         out = {"i": [], "j": [], "psum": [], "pcnt": []}
-        for (_, _), g in df.groupby(["trow", "tcol"], sort=False):
-            rids = g["rid"].to_numpy()
-            order = np.argsort(rids)
-            g = g.iloc[order]
-            rids = rids[order]
-            grids = [
-                np.asarray(r["data"], dtype=np.float64).reshape(int(r["h"]), int(r["w"]))
-                for _, r in g.iterrows()
-            ]
+        for s, e in slices:
+            g = order[s:e]
+            g = g[np.argsort(rids_all[g], kind="stable")]
+            rids = rids_all[g]
+            grids = [views[i].reshape(int(hs[i]), int(ws[i])) for i in g]
             for a in range(len(rids)):
                 for b in range(a + 1, len(rids)):
                     ok = (grids[a] != NODATA) & (grids[b] != NODATA)
@@ -58,7 +63,8 @@ def pairwise_diff_stats(
         return pd.DataFrame(out)
 
     partials = grouped_map(
-        tagged_tiles, ["trow", "tcol"], per_tile, num_parts=num_parts
+        tagged_tiles, ["trow", "tcol"], per_tile, num_parts=num_parts,
+        batch_format="pyarrow",
     ).to_pandas()
     if not len(partials):
         return pd.DataFrame(columns=["i", "j", "sum", "count", "mean"])

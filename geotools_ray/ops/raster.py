@@ -49,29 +49,110 @@ def list_col_views(col) -> list[np.ndarray]:
     return [flat[offs[i] : offs[i + 1]] for i in range(len(col))]
 
 
+def list_col_of(arrays: list[np.ndarray]) -> pa.ListArray:
+    """list<float64> column from flat numpy buffers — the WRITE-side
+    counterpart of list_col_views: one concatenate + zero-copy offsets,
+    never a python-float boxing pass (`.ravel().tolist()` on a
+    1024-px reference tile boxes a million floats per tile per hop)."""
+    lens = np.fromiter((a.size for a in arrays), dtype=np.int64, count=len(arrays))
+    if lens.sum() >= 2**31:  # int32 list offsets; size num_parts down instead
+        raise ValueError("tile batch exceeds 2^31 values; increase num_parts")
+    offs = np.zeros(len(arrays) + 1, dtype=np.int32)
+    np.cumsum(lens, out=offs[1:])
+    vals = (
+        np.ascontiguousarray(np.concatenate([a.ravel() for a in arrays]))
+        if arrays else np.array([], dtype=np.float64)
+    )
+    return pa.ListArray.from_arrays(
+        pa.array(offs, pa.int32()), pa.array(vals.astype(np.float64), pa.float64())
+    )
+
+
+def group_slices(*keys: np.ndarray):
+    """Stable group boundaries over parallel key arrays. Returns
+    (order, [(s, e), ...]): one lexsort, then each (s, e) slice of
+    `order` indexes one group's rows in the original table — the
+    vectorized replacement for df.groupby(...) + iterrows in tile
+    assembly."""
+    order = np.lexsort(tuple(reversed(keys)))
+    n = len(order)
+    if n == 0:
+        return order, []
+    ks = [k[order] for k in keys]
+    brk = np.zeros(n, dtype=bool)
+    for k in ks:
+        brk[1:] |= k[1:] != k[:-1]
+    starts = np.concatenate([[0], np.nonzero(brk)[0]])
+    ends = np.concatenate([starts[1:], [n]])
+    return order, list(zip(starts.tolist(), ends.tolist()))
+
+
+def iter_padded_tiles(t: pa.Table, tile: int, halo: int, H: int, W: int, nodata: float):
+    """Assemble each (trow, tcol) group of halo pieces into a padded
+    tile array — zero-copy reads via list_col_views, one lexsort.
+    Yields (tr, tc, gr0, gc0, h, w, padded)."""
+    views = list_col_views(t["data"])
+    trs = t["trow"].to_numpy(zero_copy_only=False)
+    tcs = t["tcol"].to_numpy(zero_copy_only=False)
+    ys = t["y"].to_numpy(zero_copy_only=False)
+    xs = t["x"].to_numpy(zero_copy_only=False)
+    phs = t["ph"].to_numpy(zero_copy_only=False)
+    pws = t["pw"].to_numpy(zero_copy_only=False)
+    order, slices = group_slices(trs, tcs)
+    for s, e in slices:
+        g = order[s:e]
+        tr = int(trs[g[0]])
+        tc = int(tcs[g[0]])
+        gr0, gc0 = tr * tile, tc * tile
+        h = min(tile, H - gr0)
+        w = min(tile, W - gc0)
+        padded = np.full((h + 2 * halo, w + 2 * halo), nodata, dtype=np.float64)
+        for i in g:
+            y, x, ph, pw = int(ys[i]), int(xs[i]), int(phs[i]), int(pws[i])
+            padded[y : y + ph, x : x + pw] = views[i].reshape(ph, pw)
+        yield tr, tc, gr0, gc0, h, w, padded
+
+
 # ---------------------------------------------------------------------------
 # tile <-> grid helpers (driver-side, used by tests and export edges)
 
 def grid_to_tiles(grid: np.ndarray, tile: int) -> pa.Table:
     H, W = grid.shape
-    rows = []
+    trs, tcs, hs, ws, arrays = [], [], [], [], []
     for tr in range(0, H, tile):
         for tc in range(0, W, tile):
             sub = grid[tr : tr + tile, tc : tc + tile]
-            rows.append(
-                {
-                    "trow": tr // tile,
-                    "tcol": tc // tile,
-                    "h": sub.shape[0],
-                    "w": sub.shape[1],
-                    "data": sub.ravel().tolist(),
-                }
-            )
-    return pa.Table.from_pylist(rows)
+            trs.append(tr // tile)
+            tcs.append(tc // tile)
+            hs.append(sub.shape[0])
+            ws.append(sub.shape[1])
+            arrays.append(np.ascontiguousarray(sub, dtype=np.float64))
+    return pa.table(
+        {
+            "trow": np.array(trs, dtype=np.int64),
+            "tcol": np.array(tcs, dtype=np.int64),
+            "h": np.array(hs, dtype=np.int64),
+            "w": np.array(ws, dtype=np.int64),
+            "data": list_col_of(arrays),
+        }
+    )
 
 
-def tiles_to_grid(df: pd.DataFrame, H: int, W: int, tile: int, nodata: float = NODATA) -> np.ndarray:
+def tiles_to_grid(df, H: int, W: int, tile: int, nodata: float = NODATA) -> np.ndarray:
+    """Dense grid from tile rows; accepts a pa.Table (zero-copy views)
+    or a pandas frame (object-list cells, test/export edges only)."""
     out = np.full((H, W), nodata, dtype=np.float64)
+    if isinstance(df, pa.Table):
+        views = list_col_views(df["data"])
+        trs = df["trow"].to_numpy(zero_copy_only=False)
+        tcs = df["tcol"].to_numpy(zero_copy_only=False)
+        hs = df["h"].to_numpy(zero_copy_only=False)
+        ws = df["w"].to_numpy(zero_copy_only=False)
+        for i in range(len(df)):
+            h, w = int(hs[i]), int(ws[i])
+            r0, c0 = int(trs[i]) * tile, int(tcs[i]) * tile
+            out[r0 : r0 + h, c0 : c0 + w] = views[i].reshape(h, w)
+        return out
     for _, r in df.iterrows():
         tr, tc = int(r["trow"]), int(r["tcol"])
         h, w = int(r["h"]), int(r["w"])
@@ -151,36 +232,28 @@ def tile_map_with_halo(
         return pa.table(
             {k: pa.array([o[k] for o in out])
              for k in ("trow", "tcol", "y", "x", "ph", "pw")}
-            | {"data": pa.array([o["data"] for o in out], pa.list_(pa.float64()))}
+            | {"data": list_col_of([o["data"] for o in out])}
         )
 
     pieces = tiles.map_batches(emit_pieces, batch_format="pyarrow")
 
-    def assemble(df: pd.DataFrame) -> pd.DataFrame:
-        rows = []
-        for (tr, tc), g in df.groupby(["trow", "tcol"], sort=False):
-            gr0, gc0 = int(tr) * tile, int(tc) * tile
-            h = min(tile, H - gr0)
-            w = min(tile, W - gc0)
-            padded = np.full((h + 2 * halo, w + 2 * halo), nodata, dtype=np.float64)
-            for _, p in g.iterrows():
-                y, x, ph, pw = int(p["y"]), int(p["x"]), int(p["ph"]), int(p["pw"])
-                padded[y : y + ph, x : x + pw] = np.asarray(
-                    p["data"], dtype=np.float64
-                ).reshape(ph, pw)
-            interior = fn(padded, halo, gr0, gc0)
-            rows.append(
-                {
-                    "trow": int(tr),
-                    "tcol": int(tc),
-                    "h": h,
-                    "w": w,
-                    "data": np.ascontiguousarray(interior).ravel().tolist(),
-                }
-            )
-        return pd.DataFrame(rows)
+    def assemble(t: pa.Table) -> pa.Table:
+        out_tr, out_tc, out_h, out_w, arrays = [], [], [], [], []
+        for tr, tc, gr0, gc0, h, w, padded in iter_padded_tiles(t, tile, halo, H, W, nodata):
+            out_tr.append(tr); out_tc.append(tc); out_h.append(h); out_w.append(w)
+            arrays.append(fn(padded, halo, gr0, gc0))
+        return pa.table(
+            {
+                "trow": np.array(out_tr, dtype=np.int64),
+                "tcol": np.array(out_tc, dtype=np.int64),
+                "h": np.array(out_h, dtype=np.int64),
+                "w": np.array(out_w, dtype=np.int64),
+                "data": list_col_of(arrays),
+            }
+        )
 
-    return grouped_map(pieces, ["trow", "tcol"], assemble, num_parts=num_parts)
+    return grouped_map(pieces, ["trow", "tcol"], assemble, num_parts=num_parts,
+                       batch_format="pyarrow")
 
 
 # ---------------------------------------------------------------------------
@@ -231,16 +304,9 @@ def local_maxima_tiles(tiles, window, min_height, H, W, tile, nodata=NODATA, **k
     half = window // 2
     halo = window
 
-    def assemble_tops(df: pd.DataFrame) -> pd.DataFrame:
+    def assemble_tops(t: pa.Table) -> pd.DataFrame:
         rows = []
-        for (tr, tc), g in df.groupby(["trow", "tcol"], sort=False):
-            gr0, gc0 = int(tr) * tile, int(tc) * tile
-            h = min(tile, H - gr0)
-            w = min(tile, W - gc0)
-            padded = np.full((h + 2 * halo, w + 2 * halo), nodata, dtype=np.float64)
-            for _, p in g.iterrows():
-                y, x, ph, pw = int(p["y"]), int(p["x"]), int(p["ph"]), int(p["pw"])
-                padded[y : y + ph, x : x + pw] = np.asarray(p["data"], dtype=np.float64).reshape(ph, pw)
+        for tr, tc, gr0, gc0, h, w, padded in iter_padded_tiles(t, tile, halo, H, W, nodata):
             tops = KR.local_maxima(padded, window, min_height, nodata)
             for c, r, z in tops:
                 gr, gc = gr0 + (r - halo), gc0 + (c - halo)
@@ -261,17 +327,10 @@ def local_maxima_tiles(tiles, window, min_height, H, W, tile, nodata=NODATA, **k
 # O5 minima seeds
 
 def minima_tiles(tiles, H, W, tile, nodata=NODATA, **kw):
-    def assemble(df: pd.DataFrame) -> pd.DataFrame:
+    def assemble(t: pa.Table) -> pd.DataFrame:
         halo = 1
         rows = []
-        for (tr, tc), g in df.groupby(["trow", "tcol"], sort=False):
-            gr0, gc0 = int(tr) * tile, int(tc) * tile
-            h = min(tile, H - gr0)
-            w = min(tile, W - gc0)
-            padded = np.full((h + 2, w + 2), nodata, dtype=np.float64)
-            for _, p in g.iterrows():
-                y, x, ph, pw = int(p["y"]), int(p["x"]), int(p["ph"]), int(p["pw"])
-                padded[y : y + ph, x : x + pw] = np.asarray(p["data"], dtype=np.float64).reshape(ph, pw)
+        for tr, tc, gr0, gc0, h, w, padded in iter_padded_tiles(t, tile, 1, H, W, nodata):
             for c, r, z in KR.find_minima(padded, nodata):
                 rr, cc = r - halo, c - halo
                 if 0 <= rr < h and 0 <= cc < w:
@@ -325,11 +384,11 @@ def _pieces_grouped(tiles, halo, H, W, tile, nodata, assemble, **kw):
         return pa.table(
             {k: pa.array([o[k] for o in out])
              for k in ("trow", "tcol", "y", "x", "ph", "pw")}
-            | {"data": pa.array([o["data"] for o in out], pa.list_(pa.float64()))}
+            | {"data": list_col_of([o["data"] for o in out])}
         )
 
     pieces = tiles.map_batches(emit, batch_format="pyarrow")
-    return grouped_map(pieces, ["trow", "tcol"], assemble, **kw)
+    return grouped_map(pieces, ["trow", "tcol"], assemble, batch_format="pyarrow", **kw)
 
 
 # ---------------------------------------------------------------------------
@@ -406,23 +465,35 @@ def mosaic_tiles(base_tiles, overlay_tiles, distance, resolution, H, W, tile,
              "x": pa.array([o["x"] for o in out]),
              "ph": pa.array([o["ph"] for o in out]),
              "pw": pa.array([o["pw"] for o in out]),
-             "data": pa.array([o["data"] for o in out], pa.list_(pa.float64()))}
+             "data": list_col_of([o["data"] for o in out])}
         )
 
     pieces = both.map_batches(emit, batch_format="pyarrow")
 
-    def assemble(df: pd.DataFrame) -> pd.DataFrame:
-        rows = []
-        for (tr, tc), g in df.groupby(["trow", "tcol"], sort=False):
-            gr0, gc0 = int(tr) * tile, int(tc) * tile
+    def assemble(t: pa.Table) -> pa.Table:
+        views = list_col_views(t["data"])
+        trs = t["trow"].to_numpy(zero_copy_only=False)
+        tcs = t["tcol"].to_numpy(zero_copy_only=False)
+        ys = t["y"].to_numpy(zero_copy_only=False)
+        xs = t["x"].to_numpy(zero_copy_only=False)
+        phs = t["ph"].to_numpy(zero_copy_only=False)
+        pws = t["pw"].to_numpy(zero_copy_only=False)
+        is_over = np.array([s == "over" for s in t["side"].to_pylist()])
+        order, slices = group_slices(trs, tcs)
+        out_tr, out_tc, out_h, out_w, arrays = [], [], [], [], []
+        for s, e in slices:
+            g = order[s:e]
+            tr = int(trs[g[0]])
+            tc = int(tcs[g[0]])
+            gr0, gc0 = tr * tile, tc * tile
             h = min(tile, H - gr0)
             w = min(tile, W - gc0)
             over = np.full((h + 2 * halo, w + 2 * halo), nodata, dtype=np.float64)
             base = np.full((h, w), nodata, dtype=np.float64)
-            for _, p in g.iterrows():
-                y, x, ph, pw = int(p["y"]), int(p["x"]), int(p["ph"]), int(p["pw"])
-                arr = np.asarray(p["data"], dtype=np.float64).reshape(ph, pw)
-                if p["side"] == "over":
+            for i in g:
+                y, x, ph, pw = int(ys[i]), int(xs[i]), int(phs[i]), int(pws[i])
+                arr = views[i].reshape(ph, pw)
+                if is_over[i]:
                     over[y : y + ph, x : x + pw] = arr
                 else:
                     base[y : y + ph, x : x + pw] = arr
@@ -432,11 +503,19 @@ def mosaic_tiles(base_tiles, overlay_tiles, distance, resolution, H, W, tile,
                 blended = KR.blend(over, np.pad(base, halo, constant_values=nodata),
                                    alpha, nodata, nodata, buffer=0)
                 merged = blended[halo : halo + h, halo : halo + w]
-            rows.append({"trow": int(tr), "tcol": int(tc), "h": h, "w": w,
-                         "data": np.ascontiguousarray(merged).ravel().tolist()})
-        return pd.DataFrame(rows)
+            out_tr.append(tr); out_tc.append(tc); out_h.append(h); out_w.append(w)
+            arrays.append(merged)
+        return pa.table(
+            {
+                "trow": np.array(out_tr, dtype=np.int64),
+                "tcol": np.array(out_tc, dtype=np.int64),
+                "h": np.array(out_h, dtype=np.int64),
+                "w": np.array(out_w, dtype=np.int64),
+                "data": list_col_of(arrays),
+            }
+        )
 
-    return grouped_map(pieces, ["trow", "tcol"], assemble, **kw)
+    return grouped_map(pieces, ["trow", "tcol"], assemble, batch_format="pyarrow", **kw)
 
 
 # ---------------------------------------------------------------------------
@@ -507,19 +586,37 @@ def tiles_from_cellstats(stats, value_col, cols, rows, tile, nodata=NODATA,
         )
         keyed = keyed.union(skeleton)
 
-    def fill(df: pd.DataFrame) -> pd.DataFrame:
-        out = []
-        for (tr, tc), g in df.groupby(["trow", "tcol"], sort=False):
-            h = min(tile, rows - int(tr) * tile)
-            w = min(tile, cols - int(tc) * tile)
+    def fill(t: pa.Table) -> pa.Table:
+        trs = t["trow"].to_numpy(zero_copy_only=False)
+        tcs = t["tcol"].to_numpy(zero_copy_only=False)
+        irs = t["ir"].to_numpy(zero_copy_only=False)
+        ics = t["ic"].to_numpy(zero_copy_only=False)
+        vs = t["v"].to_numpy(zero_copy_only=False)
+        order, slices = group_slices(trs, tcs)
+        out_tr, out_tc, out_h, out_w, arrays = [], [], [], [], []
+        for s, e in slices:
+            g = order[s:e]
+            tr = int(trs[g[0]])
+            tc = int(tcs[g[0]])
+            h = min(tile, rows - tr * tile)
+            w = min(tile, cols - tc * tile)
             arr = np.full((h, w), nodata)
-            g = g[g["ir"] >= 0]
-            arr[g["ir"].to_numpy(), g["ic"].to_numpy()] = g["v"].to_numpy()
-            out.append({"trow": int(tr), "tcol": int(tc), "h": h, "w": w,
-                        "data": arr.ravel().tolist()})
-        return pd.DataFrame(out)
+            keep = g[irs[g] >= 0]
+            arr[irs[keep], ics[keep]] = vs[keep]
+            out_tr.append(tr); out_tc.append(tc); out_h.append(h); out_w.append(w)
+            arrays.append(arr)
+        return pa.table(
+            {
+                "trow": np.array(out_tr, dtype=np.int64),
+                "tcol": np.array(out_tc, dtype=np.int64),
+                "h": np.array(out_h, dtype=np.int64),
+                "w": np.array(out_w, dtype=np.int64),
+                "data": list_col_of(arrays),
+            }
+        )
 
-    return grouped_map(keyed, ["trow", "tcol"], fill, num_parts=num_parts)
+    return grouped_map(keyed, ["trow", "tcol"], fill, num_parts=num_parts,
+                       batch_format="pyarrow")
 
 
 def tiles_multi_from_cellstats(stats, value_cols, cols, rows, tile, nodata=NODATA,
@@ -561,23 +658,41 @@ def tiles_multi_from_cellstats(stats, value_cols, cols, rows, tile, nodata=NODAT
             d["v_" + vc] = np.full(ntr * ntc, nodata)
         keyed = keyed.union(ray.data.from_arrow(pa.table(d)))
 
-    def fill(df: pd.DataFrame) -> pd.DataFrame:
-        out = []
-        for (tr, tc), g in df.groupby(["trow", "tcol"], sort=False):
-            h = min(tile, rows - int(tr) * tile)
-            w = min(tile, cols - int(tc) * tile)
-            g = g[g["ir"] >= 0]
-            ir = g["ir"].to_numpy()
-            ic = g["ic"].to_numpy()
-            row = {"trow": int(tr), "tcol": int(tc), "h": h, "w": w}
+    def fill(t: pa.Table) -> pa.Table:
+        trs = t["trow"].to_numpy(zero_copy_only=False)
+        tcs = t["tcol"].to_numpy(zero_copy_only=False)
+        irs = t["ir"].to_numpy(zero_copy_only=False)
+        ics = t["ic"].to_numpy(zero_copy_only=False)
+        vals = {vc: t["v_" + vc].to_numpy(zero_copy_only=False) for vc in value_cols}
+        order, slices = group_slices(trs, tcs)
+        out_tr, out_tc, out_h, out_w = [], [], [], []
+        arrays = {vc: [] for vc in value_cols}
+        for s, e in slices:
+            g = order[s:e]
+            tr = int(trs[g[0]])
+            tc = int(tcs[g[0]])
+            h = min(tile, rows - tr * tile)
+            w = min(tile, cols - tc * tile)
+            keep = g[irs[g] >= 0]
+            ir = irs[keep]
+            ic = ics[keep]
+            out_tr.append(tr); out_tc.append(tc); out_h.append(h); out_w.append(w)
             for vc in value_cols:
                 arr = np.full((h, w), nodata)
-                arr[ir, ic] = g["v_" + vc].to_numpy()
-                row["data_" + vc] = arr.ravel().tolist()
-            out.append(row)
-        return pd.DataFrame(out)
+                arr[ir, ic] = vals[vc][keep]
+                arrays[vc].append(arr)
+        cols_out = {
+            "trow": np.array(out_tr, dtype=np.int64),
+            "tcol": np.array(out_tc, dtype=np.int64),
+            "h": np.array(out_h, dtype=np.int64),
+            "w": np.array(out_w, dtype=np.int64),
+        }
+        for vc in value_cols:
+            cols_out["data_" + vc] = list_col_of(arrays[vc])
+        return pa.table(cols_out)
 
-    return grouped_map(keyed, ["trow", "tcol"], fill, num_parts=num_parts)
+    return grouped_map(keyed, ["trow", "tcol"], fill, num_parts=num_parts,
+                       batch_format="pyarrow")
 
 
 # ---------------------------------------------------------------------------
@@ -779,7 +894,7 @@ def flood_label_tiles(
                 "tcol": np.array(out["tcol"], dtype=np.int64),
                 "h": np.array(out["h"], dtype=np.int64),
                 "w": np.array(out["w"], dtype=np.int64),
-                "data": pa.array(out["data"], pa.list_(pa.float64())),
+                "data": list_col_of(out["data"]),
             }
         )
 
@@ -899,7 +1014,7 @@ def flood_label_tiles(
                 "tcol": t["tcol"],
                 "h": t["h"],
                 "w": t["w"],
-                "data": pa.array(out, pa.list_(pa.float64())),
+                "data": list_col_of(out),
             }
         )
 
@@ -925,18 +1040,9 @@ def spill_points_tiles(
     in the basin count. Emits (id1, c1, r1, id2, c2, r2, dist) with
     id1 < id2 like the kernel."""
 
-    def assemble_edges(df: pd.DataFrame) -> pd.DataFrame:
+    def assemble_edges(t: pa.Table) -> pd.DataFrame:
         bids, cols_, rows_ = [], [], []
-        for (tr, tc), gg in df.groupby(["trow", "tcol"], sort=False):
-            gr0, gc0 = int(tr) * tile, int(tc) * tile
-            h = min(tile, H - gr0)
-            w = min(tile, W - gc0)
-            padded = np.zeros((h + 2, w + 2), dtype=np.float64)
-            for _, p in gg.iterrows():
-                y, x, ph, pw = int(p["y"]), int(p["x"]), int(p["ph"]), int(p["pw"])
-                padded[y : y + ph, x : x + pw] = np.asarray(
-                    p["data"], dtype=np.float64
-                ).reshape(ph, pw)
+        for tr, tc, gr0, gc0, h, w, padded in iter_padded_tiles(t, tile, 1, H, W, 0.0):
             center = padded[1:-1, 1:-1]
             rr = gr0 + np.arange(h)
             cc = gc0 + np.arange(w)

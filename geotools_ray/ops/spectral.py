@@ -16,6 +16,7 @@ import ray.data
 
 from ..kernels import stats as K
 from ..stages.grouped import grouped_map
+from .raster import group_slices, list_col_views
 
 NODATA = -9999.0
 
@@ -33,15 +34,23 @@ def zip_tiles(a: ray.data.Dataset, b: ray.data.Dataset, fn, num_parts=None) -> r
         b.map_batches(tag("b"), batch_format="pyarrow")
     )
 
-    def per_tile(df: pd.DataFrame) -> pd.DataFrame:
+    def per_tile(t: pa.Table) -> pd.DataFrame:
+        views = list_col_views(t["data"])
+        trs = t["trow"].to_numpy(zero_copy_only=False)
+        tcs = t["tcol"].to_numpy(zero_copy_only=False)
+        hs = t["h"].to_numpy(zero_copy_only=False)
+        ws = t["w"].to_numpy(zero_copy_only=False)
+        sides = np.asarray(t["side"].to_pylist())
+        order, slices = group_slices(trs, tcs)
         out = []
-        for (tr, tc), g in df.groupby(["trow", "tcol"], sort=False):
+        for s, e in slices:
+            g = order[s:e]
             ga = gb = None
             h = w = None
-            for _, r in g.iterrows():
-                arr = np.asarray(r["data"], dtype=np.float64).reshape(int(r["h"]), int(r["w"]))
-                h, w = arr.shape
-                if r["side"] == "a":
+            for i in g:
+                h, w = int(hs[i]), int(ws[i])
+                arr = views[i].reshape(h, w)
+                if sides[i] == "a":
                     ga = arr
                 else:
                     gb = arr
@@ -49,12 +58,13 @@ def zip_tiles(a: ray.data.Dataset, b: ray.data.Dataset, fn, num_parts=None) -> r
                 ga = np.full((h, w), NODATA)
             if gb is None:
                 gb = np.full((h, w), NODATA)
-            res = fn(int(tr), int(tc), ga, gb)
+            res = fn(int(trs[g[0]]), int(tcs[g[0]]), ga, gb)
             if res is not None and len(res):
                 out.append(res)
         return pd.concat(out) if out else pd.DataFrame()
 
-    return grouped_map(both, ["trow", "tcol"], per_tile, num_parts=num_parts)
+    return grouped_map(both, ["trow", "tcol"], per_tile, num_parts=num_parts,
+                       batch_format="pyarrow")
 
 
 def spectral_extract(
@@ -101,17 +111,23 @@ def spectral_extract_cotiled(
     same row via tiles_multi_from_cellstats) — a narrow map, no zip
     shuffle."""
 
-    def fn(df: pd.DataFrame) -> pd.DataFrame:
+    def fn(t: pa.Table) -> pd.DataFrame:
+        idx_views = list_col_views(t["data_" + idx_col])
+        band_views = list_col_views(t["data_" + band_col])
+        trs = t["trow"].to_numpy(zero_copy_only=False)
+        tcs = t["tcol"].to_numpy(zero_copy_only=False)
+        hs = t["h"].to_numpy(zero_copy_only=False)
+        ws = t["w"].to_numpy(zero_copy_only=False)
         out = []
-        for _, r in df.iterrows():
-            h, w = int(r["h"]), int(r["w"])
-            idx = np.asarray(r["data_" + idx_col], dtype=np.float64).reshape(h, w)
-            band = np.asarray(r["data_" + band_col], dtype=np.float64).reshape(h, w)
+        for i in range(len(t)):
+            h, w = int(hs[i]), int(ws[i])
+            idx = idx_views[i].reshape(h, w)
+            band = band_views[i].reshape(h, w)
             rs, cs = np.nonzero(idx != NODATA)
             if not len(rs):
                 continue
-            gr = int(r["trow"]) * tile + rs
-            gc = int(r["tcol"]) * tile + cs
+            gr = int(trs[i]) * tile + rs
+            gc = int(tcs[i]) * tile + cs
             out.append(
                 pd.DataFrame(
                     {
@@ -131,7 +147,7 @@ def spectral_extract_cotiled(
                                "dn": pd.Series(dtype=np.float64)})
         )
 
-    return tiles.map_batches(fn, batch_format="pandas")
+    return tiles.map_batches(fn, batch_format="pyarrow")
 
 
 def zip3_tiles(a, b, c, fn, num_parts=None) -> ray.data.Dataset:
@@ -149,24 +165,32 @@ def zip3_tiles(a, b, c, fn, num_parts=None) -> ray.data.Dataset:
         .union(c.map_batches(tag("c"), batch_format="pyarrow"))
     )
 
-    def per_tile(df: pd.DataFrame) -> pd.DataFrame:
+    def per_tile(t: pa.Table) -> pd.DataFrame:
+        views = list_col_views(t["data"])
+        trs = t["trow"].to_numpy(zero_copy_only=False)
+        tcs = t["tcol"].to_numpy(zero_copy_only=False)
+        hs = t["h"].to_numpy(zero_copy_only=False)
+        ws = t["w"].to_numpy(zero_copy_only=False)
+        sides = np.asarray(t["side"].to_pylist())
+        order, slices = group_slices(trs, tcs)
         out = []
-        for (tr, tc), g in df.groupby(["trow", "tcol"], sort=False):
+        for s, e in slices:
+            g = order[s:e]
             grids = {}
             h = w = None
-            for _, r in g.iterrows():
-                arr = np.asarray(r["data"], dtype=np.float64).reshape(int(r["h"]), int(r["w"]))
-                h, w = arr.shape
-                grids[r["side"]] = arr
+            for i in g:
+                h, w = int(hs[i]), int(ws[i])
+                grids[sides[i]] = views[i].reshape(h, w)
             ga = grids.get("a", np.full((h, w), NODATA))
             gb = grids.get("b", np.full((h, w), NODATA))
             gc = grids.get("c", np.full((h, w), NODATA))
-            res = fn(int(tr), int(tc), ga, gb, gc)
+            res = fn(int(trs[g[0]]), int(tcs[g[0]]), ga, gb, gc)
             if res is not None and len(res):
                 out.append(res)
         return pd.concat(out) if out else pd.DataFrame()
 
-    return grouped_map(allt, ["trow", "tcol"], per_tile, num_parts=num_parts)
+    return grouped_map(allt, ["trow", "tcol"], per_tile, num_parts=num_parts,
+                       batch_format="pyarrow")
 
 
 def raster_pair_diff_stats(
@@ -195,13 +219,18 @@ def raster_diff_stats_cotiled(
     dataset from tiles_multi_from_cellstats (data_<col> columns are
     already co-located — zero extra shuffles before the tiny final)."""
 
-    def partial(df: pd.DataFrame) -> pd.DataFrame:
+    def partial(t: pa.Table) -> pd.DataFrame:
+        a_views = list_col_views(t["data_" + a_col])
+        b_views = list_col_views(t["data_" + b_col])
+        c_views = list_col_views(t["data_" + cls_col])
+        hs = t["h"].to_numpy(zero_copy_only=False)
+        ws = t["w"].to_numpy(zero_copy_only=False)
         frames = []
-        for _, r in df.iterrows():
-            h, w = int(r["h"]), int(r["w"])
-            ga = np.asarray(r["data_" + a_col], dtype=np.float64).reshape(h, w)
-            gb = np.asarray(r["data_" + b_col], dtype=np.float64).reshape(h, w)
-            cls = np.asarray(r["data_" + cls_col], dtype=np.float64).reshape(h, w)
+        for i in range(len(t)):
+            h, w = int(hs[i]), int(ws[i])
+            ga = a_views[i].reshape(h, w)
+            gb = b_views[i].reshape(h, w)
+            cls = c_views[i].reshape(h, w)
             res = _diff_stats_partial(ga, gb, cls)
             if res is not None:
                 frames.append(res)
@@ -216,7 +245,7 @@ def raster_diff_stats_cotiled(
                                "pmx": pd.Series(dtype=np.float64)})
         )
 
-    partials = tiles.map_batches(partial, batch_format="pandas")
+    partials = tiles.map_batches(partial, batch_format="pyarrow")
     return grouped_map(partials, ["cls"], _diff_stats_final, num_parts=8)
 
 

@@ -247,22 +247,26 @@ def _mean_tiles(sf_dir: str, res: float = 2.0, tile: int = 16):
 
 
 def _tile_checksums(out, H, W, tile):
-    def fin(df: pd.DataFrame) -> pd.DataFrame:
-        rows = []
-        for _, r in df.iterrows():
-            d = np.asarray(r["data"], dtype=np.float64)
-            valid = d != -9999.0
-            rows.append(
-                {
-                    "trow": int(r["trow"]),
-                    "tcol": int(r["tcol"]),
-                    "n_valid": int(valid.sum()),
-                    "checksum": float(_round_away(d[valid].sum(), 4)) if valid.any() else 0.0,
-                }
-            )
-        return pd.DataFrame(rows, columns=["trow", "tcol", "n_valid", "checksum"])
+    from .ops.raster import list_col_views
 
-    return out.map_batches(fin, batch_format="pandas")
+    def fin(t: pa.Table) -> pd.DataFrame:
+        views = list_col_views(t["data"])
+        nv = np.zeros(len(views), dtype=np.int64)
+        cks = np.zeros(len(views), dtype=np.float64)
+        for i, v in enumerate(views):
+            valid = v != -9999.0
+            nv[i] = valid.sum()
+            cks[i] = float(_round_away(v[valid].sum(), 4)) if nv[i] else 0.0
+        return pd.DataFrame(
+            {
+                "trow": t["trow"].to_numpy(zero_copy_only=False).astype(np.int64),
+                "tcol": t["tcol"].to_numpy(zero_copy_only=False).astype(np.int64),
+                "n_valid": nv,
+                "checksum": cks,
+            }
+        )
+
+    return out.map_batches(fin, batch_format="pyarrow")
 
 
 def q_raster_smooth(sf_dir: str):
@@ -517,16 +521,22 @@ def q_crowns(sf_dir: str):
     out = crown_growth_tiles(sm, tops, min_height=5.0, height_fraction=0.5,
                              radius=4.0, H=H, W=W, tile=16, num_parts=8)
 
-    def fin(df: pd.DataFrame) -> pd.DataFrame:
-        rows = []
-        for _, r in df.iterrows():
-            d = np.asarray(r["data"])
-            rows.append({"trow": int(r["trow"]), "tcol": int(r["tcol"]),
-                         "n_claimed": int((d > 0).sum()),
-                         "id_sum": int(d.sum())})
-        return pd.DataFrame(rows, columns=["trow", "tcol", "n_claimed", "id_sum"])
+    def fin(t: pa.Table) -> pd.DataFrame:
+        from .ops.raster import list_col_views
 
-    return out.map_batches(fin, batch_format="pandas")
+        views = list_col_views(t["data"])
+        ncl = np.array([int((v > 0).sum()) for v in views], dtype=np.int64)
+        ids = np.array([int(v.sum()) for v in views], dtype=np.int64)
+        return pd.DataFrame(
+            {
+                "trow": t["trow"].to_numpy(zero_copy_only=False).astype(np.int64),
+                "tcol": t["tcol"].to_numpy(zero_copy_only=False).astype(np.int64),
+                "n_claimed": ncl,
+                "id_sum": ids,
+            }
+        )
+
+    return out.map_batches(fin, batch_format="pyarrow")
 
 
 def q_boundary(sf_dir: str):
@@ -812,8 +822,8 @@ def q_srtm_lakes(sf_dir: str):
         batch_format="pyarrow",
     )
 
-    def per_scene(df: pd.DataFrame) -> pd.DataFrame:
-        grid = tiles_to_grid(df, H, W, 16)
+    def per_scene(t: pa.Table) -> pd.DataFrame:
+        grid = tiles_to_grid(t, H, W, 16)
         quant = np.where(grid == -9999.0, -9999.0, np.floor(grid / 5.0) * 5.0)
         water = srtm_lakes(quant, minsize=10)
         els, counts = np.unique(water[water > 0], return_counts=True)
@@ -821,7 +831,8 @@ def q_srtm_lakes(sf_dir: str):
             {"elevation": els.astype(np.float64), "n_cells": counts.astype(np.int64)}
         )
 
-    return grouped_map(scene, ["scene"], per_scene, num_parts=4)
+    return grouped_map(scene, ["scene"], per_scene, num_parts=4,
+                       batch_format="pyarrow")
 
 
 def q_zonal_wkb(sf_dir: str):
@@ -911,18 +922,23 @@ def q_raster_correction(sf_dir: str):
     # graph expects — 4 shuffles + union collapse into 1 shuffle
     mt = tiles_multi_from_cellstats(stats, ["m0", "m1", "m2", "m3"], cols, rows, 16, dense=True)
 
-    def explode(df: pd.DataFrame) -> pd.DataFrame:
-        out = []
-        for _, r in df.iterrows():
-            for rid in (0, 1, 2, 3):
-                out.append(
-                    {"trow": int(r["trow"]), "tcol": int(r["tcol"]),
-                     "h": int(r["h"]), "w": int(r["w"]),
-                     "data": r[f"data_m{rid}"], "rid": rid}
+    def explode(t: pa.Table) -> pa.Table:
+        # zero-copy: one slice of column references per raster id
+        parts = []
+        for rid in (0, 1, 2, 3):
+            parts.append(
+                pa.table(
+                    {
+                        "trow": t["trow"], "tcol": t["tcol"],
+                        "h": t["h"], "w": t["w"],
+                        "data": t[f"data_m{rid}"],
+                        "rid": pa.array(np.full(len(t), rid, dtype=np.int64)),
+                    }
                 )
-        return pd.DataFrame(out)
+            )
+        return pa.concat_tables(parts)
 
-    tagged = mt.map_batches(explode, batch_format="pandas")
+    tagged = mt.map_batches(explode, batch_format="pyarrow")
 
     out = raster_diff_correction(tagged, root=0)
     out = out.copy()

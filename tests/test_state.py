@@ -55,6 +55,50 @@ def test_write_resume_and_lineage(ray_session, tmp_path):
     assert len(back2) == 1000
 
 
+def test_flagship_checkpoint_kill_and_resume(ray_session, tmp_path):
+    """flagship_full(checkpoint_dir=...) — identical output to the
+    in-memory path, and a crashed partition's loss is repaid alone:
+    surviving partitions are skipped (files untouched) on the rerun."""
+    import ray.data
+
+    from geotools_ray.ops import imagepipeline as IP
+    from geotools_ray.sources import images as I
+    from geotools_ray.state.manifest import load_manifest
+
+    t = I.generate_image_table(600, seed=7)
+
+    def run(**kw):
+        out = IP.flagship_full(ray.data.from_arrow(t), **kw).to_pandas()
+        return out.sort_values(["polygon_id", "parent_cell"]).reset_index(drop=True)
+
+    ref = run()
+    assert len(ref) > 0
+
+    ck = str(tmp_path / "ck")
+    out1 = run(checkpoint_dir=ck, checkpoint_parts=8)
+    assert out1.equals(ref)
+    done = load_manifest(ck)
+    assert len(done) >= 2  # need survivors + a victim
+
+    # crash simulation: one partition's data + manifest record lost
+    victim = sorted(done)[0]
+    survivors = [k for k in done if k != victim]
+    shutil.rmtree(os.path.join(ck, f"part={victim}"))
+    os.remove(os.path.join(ck, "_manifest", f"{victim}.json"))
+    mtimes = {
+        k: os.path.getmtime(os.path.join(ck, f"part={k}", "data.parquet"))
+        for k in survivors
+    }
+
+    out2 = run(checkpoint_dir=ck, checkpoint_parts=8)
+    assert out2.equals(ref)
+    man2 = load_manifest(ck)
+    assert set(man2) == set(done)  # victim rewritten...
+    assert man2[victim]["checksum"] == done[victim]["checksum"]
+    for k in survivors:  # ...survivors never rewritten (manifest anti-join)
+        assert os.path.getmtime(os.path.join(ck, f"part={k}", "data.parquet")) == mtimes[k]
+
+
 def test_metrics_counters(ray_session):
     import ray.data
 
