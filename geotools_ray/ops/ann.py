@@ -25,6 +25,8 @@ import pyarrow as pa
 import ray
 import ray.data
 
+from .dedup import _popcount64
+
 
 def _norm_rows(m: np.ndarray) -> np.ndarray:
     return m / np.linalg.norm(m, axis=1, keepdims=True)
@@ -75,6 +77,7 @@ def brute_force_topk(
     k: int = 10,
     id_col: str = "vec_id",
     emb_col: str = "embedding",
+    num_parts: int | None = None,
 ) -> ray.data.Dataset:
     """Exact cosine top-k per query; rank ties break on vec_id."""
     qn = _norm_rows(np.asarray(queries, dtype=np.float64))
@@ -248,6 +251,7 @@ def ivf_topk_index(
     nprobe: int = 4,
     id_col: str = "vec_id",
     emb_col: str = "embedding",
+    num_parts: int | None = None,
 ) -> ray.data.Dataset:
     """Probe a bucket-partitioned index: only the union of the
     queries' nprobe buckets is READ (partition pruning at the
@@ -311,6 +315,7 @@ def embedding_near_dup_pairs(
     seed: int = 5,
     id_col: str = "vec_id",
     emb_col: str = "embedding",
+    num_parts: int | None = None,
 ) -> ray.data.Dataset:
     """All (id_a < id_b) pairs with cosine >= threshold, found via
     random-hyperplane signatures (sign bits of E @ R), banded LSH
@@ -318,11 +323,26 @@ def embedding_near_dup_pairs(
     matrix). Recall at cos=0.9 with 16x4-bit bands is ~0.996 per pair
     (1 - (1 - p^4)^16, p = 1 - theta/pi); meant for HIGH thresholds —
     low-threshold similarity mining should use the exact blocked
-    matmul (queries_text.q_embed_pairs)."""
+    matmul (queries_text.q_embed_pairs).
+
+    In-bucket candidates are prefiltered by signature Hamming distance
+    before any pair row is emitted: a true cos>=threshold pair differs
+    on ~num_bits*acos(t)/pi sign bits (binomial), so pairs beyond
+    +4 sd are dropped (P(reject true pair) ~ 3e-5, folded into the
+    stated LSH recall) while random same-bucket pairs (expected
+    num_bits/2 differing bits) are pruned by ~300x — without this the
+    4-bit buckets make the candidate set ~n^2/2^width and the verify
+    join ships it all."""
     from ..stages.grouped import grouped_map
     import pandas as pd
 
     assert num_bits <= 64 and num_bits % bands == 0
+    # Hamming prefilter cutoff: mean + 4 sd of the true-pair bit-flip
+    # binomial at the threshold angle (see docstring)
+    p_flip = float(np.arccos(min(max(threshold, -1.0), 1.0)) / np.pi)
+    ham_max = int(
+        np.ceil(num_bits * p_flip + 4.0 * np.sqrt(num_bits * p_flip * (1.0 - p_flip)))
+    )
     # dim probe from the first row's embedding
     first = vectors.limit(1).to_pandas()
     dim = len(np.asarray(first[emb_col].iloc[0]))
@@ -393,7 +413,7 @@ def embedding_near_dup_pairs(
             sg = sig_c[s:e]
             ii, jj = np.triu_indices(e - s, k=1)
             x = sg[ii] ^ sg[jj]
-            keep = np.ones(len(x), dtype=bool)
+            keep = _popcount64(x) <= ham_max  # signature prefilter
             for j in range(band):
                 keep &= (x & band_masks[j]) != 0
             if keep.any():
@@ -404,7 +424,8 @@ def embedding_near_dup_pairs(
                              "id_b": pa.array([], pa.int64())})
         return pa.table({"id_a": np.concatenate(out_a), "id_b": np.concatenate(out_b)})
 
-    cand = grouped_map(exploded, ["band", "bval"], pairs, batch_format="pyarrow")
+    cand = grouped_map(exploded, ["band", "bval"], pairs, batch_format="pyarrow",
+                       num_parts=num_parts)
 
     # ---- exact-cosine verify as an id-keyed shuffle join (the
     # verify_jaccard pattern): candidates pull their two normalized
@@ -458,7 +479,7 @@ def embedding_near_dup_pairs(
         m = prows.merge(srows, on="key", how="inner")
         return m[["id_a", "id_b", "side", "en"]]
 
-    halves = grouped_map(u, ["key"], attach)
+    halves = grouped_map(u, ["key"], attach, num_parts=num_parts)
 
     def cosine(df: pd.DataFrame) -> pd.DataFrame:
         ga = df[df["side"] == 0][["id_a", "id_b", "en"]].drop_duplicates(["id_a", "id_b"])
@@ -476,4 +497,4 @@ def embedding_near_dup_pairs(
             {"id_a": m["id_a"].to_numpy()[keep], "id_b": m["id_b"].to_numpy()[keep]}
         )
 
-    return grouped_map(halves, ["id_a", "id_b"], cosine)
+    return grouped_map(halves, ["id_a", "id_b"], cosine, num_parts=num_parts)

@@ -966,6 +966,11 @@ def flood_label_tiles(
         num_parts=num_parts,
     ).to_pandas()
     stats_df = g.map_batches(keep(0), batch_format="pyarrow").to_pandas()
+    if "gid" not in stats_df.columns:  # zero labels anywhere (all cells above elev)
+        stats_df = pd.DataFrame(
+            {"gid": np.array([], dtype=np.int64),
+             "minidx": np.array([], dtype=np.int64)}
+        )
 
     parent = {int(gid): int(gid) for gid in stats_df["gid"]}
 
@@ -988,6 +993,9 @@ def flood_label_tiles(
             root_min[r] = mi
     ordered = sorted(root_min, key=lambda r: root_min[r])
     bid_of_root = {r: i + 1 for i, r in enumerate(ordered)}
+    if not bid_of_root:  # no basin anywhere: local tiles are already all-zero
+        local_tiles._gt_n_basins = 0  # driver-known count (free: stats_df is here)
+        return local_tiles
     gids_sorted = np.sort(stats_df["gid"].to_numpy())
     order = np.argsort(stats_df["gid"].to_numpy())
     bids_sorted = np.array(
@@ -1018,7 +1026,9 @@ def flood_label_tiles(
             }
         )
 
-    return local_tiles.map_batches(relabel, batch_format="pyarrow")
+    out = local_tiles.map_batches(relabel, batch_format="pyarrow")
+    out._gt_n_basins = len(bid_of_root)  # driver-known basin count
+    return out
 
 
 def spill_points_tiles(

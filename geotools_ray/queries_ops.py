@@ -980,6 +980,12 @@ def q_spill_points(sf_dir: str):
 
     tiles, b, H, W = _mean_tiles(sf_dir)
     labels = flood_label_tiles(tiles, 20.0, H, W, 16)
+    empty = pa.table(
+        {c: pa.array([], pa.int64()) for c in ("id1", "c1", "r1", "id2", "c2", "r2")}
+    ).append_column("dist", pa.array([], pa.float64()))
+    if getattr(labels, "_gt_n_basins", None) == 0:
+        # no basins at this elevation/sf: skip the edge/pair shuffles
+        return ray.data.from_arrow(empty)
     sp = spill_points_tiles(labels, 4.0, H, W, 16)
 
     def fin(t: pa.Table) -> pa.Table:
@@ -988,7 +994,9 @@ def q_spill_points(sf_dir: str):
             pa.array(_round_away(t["dist"].to_numpy(zero_copy_only=False), 6)),
         )
 
-    return sp.map_batches(fin, batch_format="pyarrow")
+    # pin the schema even when zero pairs survive (a fully empty
+    # grouped_map yields zero blocks -> schema-less dataset)
+    return sp.map_batches(fin, batch_format="pyarrow").union(ray.data.from_arrow(empty))
 
 
 def q_tin_interp(sf_dir: str):

@@ -297,7 +297,13 @@ def q_embed_lsh(sf_dir: str, threshold: float = 0.9):
     table is ~0.60, far under the 0.9 threshold)."""
     from .ops.ann import embedding_near_dup_pairs
 
-    base = ray.data.read_parquet(f"{sf_dir}/embeddings.parquet", columns=["vec_id", "embedding"])
+    # block count sized to the DATA (2k vectors): the default split
+    # (2x cpus = 64 blocks of ~16 rows) makes every downstream stage
+    # pay 100+ task launches per barrier
+    base = ray.data.read_parquet(
+        f"{sf_dir}/embeddings.parquet", columns=["vec_id", "embedding"],
+        override_num_blocks=8,
+    )
 
     def planted(t: pa.Table) -> pa.Table:
         keep = pc.less(t["vec_id"], 50)
@@ -306,7 +312,10 @@ def q_embed_lsh(sf_dir: str, threshold: float = 0.9):
         return pa.table({"vec_id": vid, "embedding": d["embedding"]})
 
     allv = base.union(base.map_batches(planted, batch_format="pyarrow"))
-    out = embedding_near_dup_pairs(allv, threshold=threshold)
+    # shuffle width sized to the corpus (~2k vectors at sf0.1): wide
+    # parts just multiply barrier tasks; at real scale leave the
+    # default (2x cpus) or size to rows/part-byte budget
+    out = embedding_near_dup_pairs(allv, threshold=threshold, num_parts=8)
 
     def fin(df: pd.DataFrame) -> pd.DataFrame:
         return pd.DataFrame(

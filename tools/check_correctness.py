@@ -23,7 +23,16 @@ def to_pandas(res):
         import ray.data
 
         if isinstance(res, ray.data.Dataset):
-            return res.to_pandas()
+            df = res.to_pandas()
+            if df.shape[1] == 0:
+                # ray's to_pandas drops the schema when every block is
+                # empty — rebuild the typed empty frame from ds.schema()
+                sch = res.schema()
+                if sch is not None:
+                    df = pa.schema(
+                        list(zip(sch.names, sch.types))
+                    ).empty_table().to_pandas()
+            return df
     except ImportError:
         pass
     if isinstance(res, pa.Table):
