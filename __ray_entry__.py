@@ -84,30 +84,45 @@ def _image_queries() -> dict[str, Callable[[str], Any]]:
         return base * mult
 
     def audio_features(sf_dir: str):
+        # REAL RIFF/WAVE PCM16 payloads parsed by the from-scratch
+        # spec codec (sources/codecs.py) — no fake path
         ds = ray.data.from_arrow(MM.generate_audio_table(_sf_n(sf_dir, 500), seed=7))
         out = ds.map_batches(
             MM.AudioFeatureStage, batch_format="pyarrow", batch_size=128,
-            concurrency=2, fn_constructor_kwargs={"deterministic_fake": True},
+            concurrency=2,
         )
         return out.select_columns(["clip_id", "rms", "zcr"])
 
     def video_frames(sf_dir: str):
+        # REAL YUV4MPEG2 payloads; every 30th frame via O(1) seek
         ds = ray.data.from_arrow(MM.generate_video_table(_sf_n(sf_dir, 200), seed=7))
         out = ds.map_batches(
             MM.VideoFrameSampleStage, batch_format="pyarrow", batch_size=64,
-            concurrency=2, fn_constructor_kwargs={"stride": 30, "deterministic_fake": True},
+            concurrency=2, fn_constructor_kwargs={"stride": 30},
         )
         return out
+
+    def img_codecs(sf_dir: str):
+        # real-codec interchange: spec PNG (lossless) + baseline T.81
+        # JPEG q98 (PSNR >= 40 dB asserted per row) over the image table
+        from geotools_ray.stages.imaging import codec_roundtrip_batch
+
+        ds = ray.data.from_arrow(I.generate_image_table(_sf_n(sf_dir, 100), seed=42))
+        return ds.map_batches(
+            codec_roundtrip_batch, batch_format="pyarrow", batch_size=64
+        )
 
     return {
         "img_flagship": img_flagship,
         "img_join_pairs": img_join_pairs,
         "img_dedup": img_dedup,
         "img_decode_features": img_decode_features,
-        # multimodal actor-pool stages over deterministic fake codecs
-        # (real codecs unavailable in-container; plumbing is the point)
+        # multimodal actor-pool stages over REAL wav/y4m payloads
+        # (from-scratch spec codecs; compressed formats remain
+        # NotImplementedError at the same seam)
         "audio_features": audio_features,
         "video_frames": video_frames,
+        "img_codecs": img_codecs,
     }
 
 

@@ -30,7 +30,8 @@ sys.path.insert(0, REPO)
 SF_DIR = os.environ.get("GRAFT_SF_DIR", "/root/testdata/sf0.1")
 NUM_CPUS = int(os.environ.get("RAY_GRAFT_CPUS", "32"))
 N_IMAGES = int(os.environ.get("GRAFT_BENCH_IMAGES", "2000000"))
-CACHE = f"/tmp/geotools_ray_bench/images_n{N_IMAGES}_seed42"
+# v2: png rows are real spec-compliant PNG (sources/codecs.py)
+CACHE = f"/tmp/geotools_ray_bench/images_n{N_IMAGES}_seed42_v2"
 
 
 def ensure_image_cache():

@@ -1,0 +1,711 @@
+"""Real, spec-compliant media codecs in pure numpy + stdlib.
+
+The container has no PIL/libjpeg/libsndfile/ffmpeg, so these are
+from-scratch implementations of PUBLIC interchange formats — files
+they emit are readable by any standard tool (feh/libpng, djpeg,
+aplay/soxi, ffmpeg/mpv) and vice versa for the subsets documented
+per-codec. They replace the deterministic "fake" codecs as the real
+end of the codec seam (`sources/images.py` decode dispatch,
+`stages/multimodal.py` audio/video decode).
+
+Formats:
+  PNG   — RFC 2083 / ISO 15948. 8-bit RGB (color type 2) and
+          grayscale (0); encoder emits filter 0 rows (fast batched
+          decode), decoder reconstructs all five filter types and
+          verifies chunk CRCs.
+  JPEG  — ITU-T T.81 baseline sequential DCT, JFIF container,
+          4:4:4 (no subsampling), standard Annex K quantization +
+          Huffman tables, libjpeg-compatible quality scaling.
+          Encoder + decoder; round-trip PSNR >= 40 dB at q >= 90
+          (the input_hint's lossy-format invariant) is asserted in
+          tests against THIS real DCT codec, not a stand-in.
+  WAV   — RIFF/WAVE PCM (16-bit LE, any channel count). Bit-exact.
+  Y4M   — YUV4MPEG2 (Cmono / C444 planar), the uncompressed video
+          interchange format ffmpeg/mpv read natively. Fixed frame
+          size makes frame sampling an O(1) seek, which is exactly
+          what the VideoFrameSampleStage needs: sampling every 30th
+          frame reads 1/30th of the payload bytes.
+
+All functions are deterministic; nothing here touches Ray — these are
+the per-record kernels actor-pool map_batches stages call.
+"""
+
+from __future__ import annotations
+
+import struct
+import zlib
+
+import numpy as np
+
+# ---------------------------------------------------------------------------
+# PNG (RFC 2083): 8-bit RGB / gray, no interlace
+
+_PNG_SIG = b"\x89PNG\r\n\x1a\n"
+
+
+def _png_chunk(typ: bytes, data: bytes) -> bytes:
+    return (
+        struct.pack(">I", len(data))
+        + typ
+        + data
+        + struct.pack(">I", zlib.crc32(typ + data) & 0xFFFFFFFF)
+    )
+
+
+def encode_png(pixels: np.ndarray, level: int = 1) -> bytes:
+    """(h, w, 3) or (h, w) uint8 -> spec-compliant PNG bytes.
+
+    Rows use filter type 0 (None): decode of our own files is one
+    zlib.decompress + a filter-byte strip, which keeps the flagship's
+    batched decode kernel vectorized.
+    """
+    if pixels.ndim == 2:
+        color_type, nch = 0, 1
+        pixels = pixels[:, :, None]
+    elif pixels.ndim == 3 and pixels.shape[2] == 3:
+        color_type, nch = 2, 3
+    else:
+        raise ValueError(f"unsupported pixel shape {pixels.shape}")
+    h, w, _ = pixels.shape
+    ihdr = struct.pack(">IIBBBBB", w, h, 8, color_type, 0, 0, 0)
+    # prepend the per-row filter byte (0) without a python row loop
+    rows = np.empty((h, 1 + w * nch), dtype=np.uint8)
+    rows[:, 0] = 0
+    rows[:, 1:] = np.ascontiguousarray(pixels).reshape(h, w * nch)
+    idat = zlib.compress(rows.tobytes(), level)
+    return (
+        _PNG_SIG
+        + _png_chunk(b"IHDR", ihdr)
+        + _png_chunk(b"IDAT", idat)
+        + _png_chunk(b"IEND", b"")
+    )
+
+
+def _paeth(a: int, b: int, c: int) -> int:
+    p = a + b - c
+    pa, pb, pc = abs(p - a), abs(p - b), abs(p - c)
+    if pa <= pb and pa <= pc:
+        return a
+    return b if pb <= pc else c
+
+
+def _png_unfilter(raw: np.ndarray, h: int, stride: int, bpp: int) -> np.ndarray:
+    """raw: (h, 1+stride) filter-byte-prefixed rows -> (h, stride) recon."""
+    out = np.zeros((h, stride), dtype=np.uint8)
+    prior = np.zeros(stride, dtype=np.uint8)
+    for y in range(h):
+        ft = int(raw[y, 0])
+        row = raw[y, 1:].copy()
+        if ft == 0:
+            pass
+        elif ft == 1:  # Sub: per-channel cumulative sum mod 256
+            for c in range(bpp):
+                row[c::bpp] = np.cumsum(row[c::bpp], dtype=np.uint64).astype(np.uint8)
+        elif ft == 2:  # Up
+            row += prior
+        elif ft == 3:  # Average (sequential in x)
+            for i in range(stride):
+                left = int(row[i - bpp]) if i >= bpp else 0
+                row[i] = (int(row[i]) + (left + int(prior[i])) // 2) & 0xFF
+        elif ft == 4:  # Paeth (sequential in x)
+            for i in range(stride):
+                left = int(row[i - bpp]) if i >= bpp else 0
+                ul = int(prior[i - bpp]) if i >= bpp else 0
+                row[i] = (int(row[i]) + _paeth(left, int(prior[i]), ul)) & 0xFF
+        else:
+            raise ValueError(f"bad PNG filter type {ft}")
+        out[y] = row
+        prior = out[y]
+    return out
+
+
+def png_info(data: bytes) -> tuple[int, int, int]:
+    """-> (w, h, nch) from the IHDR without decoding pixel data."""
+    if data[:8] != _PNG_SIG:
+        raise ValueError("not a PNG")
+    w, h, depth, ctype = struct.unpack(">IIBB", data[16:26])
+    if depth != 8 or ctype not in (0, 2):
+        raise NotImplementedError(f"PNG depth={depth} color_type={ctype}")
+    return w, h, 3 if ctype == 2 else 1
+
+
+def png_idat(data) -> bytes:
+    """Concatenated IDAT payload (no CRC check) — the fast batched
+    decode path for our own filter-0 files; accepts bytes or
+    memoryview (zero-copy slices from an Arrow binary column)."""
+    pos, idat = 8, []
+    while pos + 8 <= len(data):
+        (length,) = struct.unpack(">I", data[pos : pos + 4])
+        typ = bytes(data[pos + 4 : pos + 8])
+        if typ == b"IDAT":
+            idat.append(data[pos + 8 : pos + 8 + length])
+        elif typ == b"IEND":
+            break
+        pos += 12 + length
+    return b"".join(bytes(x) for x in idat)
+
+
+def decode_png(data: bytes, check_crc: bool = True) -> np.ndarray:
+    """PNG bytes -> (h, w, 3) or (h, w) uint8. Verifies chunk CRCs."""
+    if data[:8] != _PNG_SIG:
+        raise ValueError("not a PNG")
+    pos, idat, meta = 8, [], None
+    while pos < len(data):
+        (length,) = struct.unpack(">I", data[pos : pos + 4])
+        typ = data[pos + 4 : pos + 8]
+        body = data[pos + 8 : pos + 8 + length]
+        if check_crc:
+            (crc,) = struct.unpack(">I", data[pos + 8 + length : pos + 12 + length])
+            if crc != (zlib.crc32(typ + body) & 0xFFFFFFFF):
+                raise ValueError(f"PNG chunk {typ!r} CRC mismatch")
+        if typ == b"IHDR":
+            w, h, depth, ctype, comp, filt, ilace = struct.unpack(">IIBBBBB", body)
+            if depth != 8 or ctype not in (0, 2) or comp or filt or ilace:
+                raise NotImplementedError(
+                    f"PNG depth={depth} color_type={ctype} interlace={ilace}"
+                )
+            meta = (w, h, 3 if ctype == 2 else 1)
+        elif typ == b"IDAT":
+            idat.append(body)
+        elif typ == b"IEND":
+            break
+        pos += 12 + length
+    if meta is None:
+        raise ValueError("PNG missing IHDR")
+    w, h, nch = meta
+    raw = np.frombuffer(zlib.decompress(b"".join(idat)), dtype=np.uint8)
+    stride = w * nch
+    raw = raw.reshape(h, 1 + stride)
+    if np.any(raw[:, 0]):
+        px = _png_unfilter(raw, h, stride, nch)
+    else:  # all filter-0 rows (our encoder): pure slice
+        px = raw[:, 1:]
+    return px.reshape(h, w, nch) if nch == 3 else px.reshape(h, w)
+
+
+# ---------------------------------------------------------------------------
+# JPEG (ITU-T T.81 baseline, JFIF, 4:4:4)
+
+# Annex K.1/K.2 base quantization tables (public spec constants)
+_QT_LUM = np.array(
+    [16, 11, 10, 16, 24, 40, 51, 61, 12, 12, 14, 19, 26, 58, 60, 55,
+     14, 13, 16, 24, 40, 57, 69, 56, 14, 17, 22, 29, 51, 87, 80, 62,
+     18, 22, 37, 56, 68, 109, 103, 77, 24, 35, 55, 64, 81, 104, 113, 92,
+     49, 64, 78, 87, 103, 121, 120, 101, 72, 92, 95, 98, 112, 100, 103, 99],
+    dtype=np.int32).reshape(8, 8)
+_QT_CHR = np.array(
+    [17, 18, 24, 47, 99, 99, 99, 99, 18, 21, 26, 66, 99, 99, 99, 99,
+     24, 26, 56, 99, 99, 99, 99, 99, 47, 66, 99, 99, 99, 99, 99, 99,
+     99, 99, 99, 99, 99, 99, 99, 99, 99, 99, 99, 99, 99, 99, 99, 99,
+     99, 99, 99, 99, 99, 99, 99, 99, 99, 99, 99, 99, 99, 99, 99, 99],
+    dtype=np.int32).reshape(8, 8)
+
+# zigzag order (T.81 Figure A.6)
+_ZZ = np.array(
+    [0, 1, 8, 16, 9, 2, 3, 10, 17, 24, 32, 25, 18, 11, 4, 5,
+     12, 19, 26, 33, 40, 48, 41, 34, 27, 20, 13, 6, 7, 14, 21, 28,
+     35, 42, 49, 56, 57, 50, 43, 36, 29, 22, 15, 23, 30, 37, 44, 51,
+     58, 59, 52, 45, 38, 31, 39, 46, 53, 60, 61, 54, 47, 55, 62, 63])
+
+# Annex K.3 standard Huffman tables: (bits[1..16], huffval)
+_HT_DC_LUM = ([0, 1, 5, 1, 1, 1, 1, 1, 1, 0, 0, 0, 0, 0, 0, 0], list(range(12)))
+_HT_DC_CHR = ([0, 3, 1, 1, 1, 1, 1, 1, 1, 1, 1, 0, 0, 0, 0, 0], list(range(12)))
+_HT_AC_LUM = (
+    [0, 2, 1, 3, 3, 2, 4, 3, 5, 5, 4, 4, 0, 0, 1, 0x7D],
+    [0x01, 0x02, 0x03, 0x00, 0x04, 0x11, 0x05, 0x12, 0x21, 0x31, 0x41, 0x06,
+     0x13, 0x51, 0x61, 0x07, 0x22, 0x71, 0x14, 0x32, 0x81, 0x91, 0xA1, 0x08,
+     0x23, 0x42, 0xB1, 0xC1, 0x15, 0x52, 0xD1, 0xF0, 0x24, 0x33, 0x62, 0x72,
+     0x82, 0x09, 0x0A, 0x16, 0x17, 0x18, 0x19, 0x1A, 0x25, 0x26, 0x27, 0x28,
+     0x29, 0x2A, 0x34, 0x35, 0x36, 0x37, 0x38, 0x39, 0x3A, 0x43, 0x44, 0x45,
+     0x46, 0x47, 0x48, 0x49, 0x4A, 0x53, 0x54, 0x55, 0x56, 0x57, 0x58, 0x59,
+     0x5A, 0x63, 0x64, 0x65, 0x66, 0x67, 0x68, 0x69, 0x6A, 0x73, 0x74, 0x75,
+     0x76, 0x77, 0x78, 0x79, 0x7A, 0x83, 0x84, 0x85, 0x86, 0x87, 0x88, 0x89,
+     0x8A, 0x92, 0x93, 0x94, 0x95, 0x96, 0x97, 0x98, 0x99, 0x9A, 0xA2, 0xA3,
+     0xA4, 0xA5, 0xA6, 0xA7, 0xA8, 0xA9, 0xAA, 0xB2, 0xB3, 0xB4, 0xB5, 0xB6,
+     0xB7, 0xB8, 0xB9, 0xBA, 0xC2, 0xC3, 0xC4, 0xC5, 0xC6, 0xC7, 0xC8, 0xC9,
+     0xCA, 0xD2, 0xD3, 0xD4, 0xD5, 0xD6, 0xD7, 0xD8, 0xD9, 0xDA, 0xE1, 0xE2,
+     0xE3, 0xE4, 0xE5, 0xE6, 0xE7, 0xE8, 0xE9, 0xEA, 0xF1, 0xF2, 0xF3, 0xF4,
+     0xF5, 0xF6, 0xF7, 0xF8, 0xF9, 0xFA])
+_HT_AC_CHR = (
+    [0, 2, 1, 2, 4, 4, 3, 4, 7, 5, 4, 4, 0, 1, 2, 0x77],
+    [0x00, 0x01, 0x02, 0x03, 0x11, 0x04, 0x05, 0x21, 0x31, 0x06, 0x12, 0x41,
+     0x51, 0x07, 0x61, 0x71, 0x13, 0x22, 0x32, 0x81, 0x08, 0x14, 0x42, 0x91,
+     0xA1, 0xB1, 0xC1, 0x09, 0x23, 0x33, 0x52, 0xF0, 0x15, 0x62, 0x72, 0xD1,
+     0x0A, 0x16, 0x24, 0x34, 0xE1, 0x25, 0xF1, 0x17, 0x18, 0x19, 0x1A, 0x26,
+     0x27, 0x28, 0x29, 0x2A, 0x35, 0x36, 0x37, 0x38, 0x39, 0x3A, 0x43, 0x44,
+     0x45, 0x46, 0x47, 0x48, 0x49, 0x4A, 0x53, 0x54, 0x55, 0x56, 0x57, 0x58,
+     0x59, 0x5A, 0x63, 0x64, 0x65, 0x66, 0x67, 0x68, 0x69, 0x6A, 0x73, 0x74,
+     0x75, 0x76, 0x77, 0x78, 0x79, 0x7A, 0x82, 0x83, 0x84, 0x85, 0x86, 0x87,
+     0x88, 0x89, 0x8A, 0x92, 0x93, 0x94, 0x95, 0x96, 0x97, 0x98, 0x99, 0x9A,
+     0xA2, 0xA3, 0xA4, 0xA5, 0xA6, 0xA7, 0xA8, 0xA9, 0xAA, 0xB2, 0xB3, 0xB4,
+     0xB5, 0xB6, 0xB7, 0xB8, 0xB9, 0xBA, 0xC2, 0xC3, 0xC4, 0xC5, 0xC6, 0xC7,
+     0xC8, 0xC9, 0xCA, 0xD2, 0xD3, 0xD4, 0xD5, 0xD6, 0xD7, 0xD8, 0xD9, 0xDA,
+     0xE2, 0xE3, 0xE4, 0xE5, 0xE6, 0xE7, 0xE8, 0xE9, 0xEA, 0xF2, 0xF3, 0xF4,
+     0xF5, 0xF6, 0xF7, 0xF8, 0xF9, 0xFA])
+
+
+def _huff_encode_table(bits, vals) -> dict[int, tuple[int, int]]:
+    """canonical codes (T.81 Annex C) -> {symbol: (code, length)}."""
+    out, code, k = {}, 0, 0
+    for length in range(1, 17):
+        for _ in range(bits[length - 1]):
+            out[vals[k]] = (code, length)
+            code += 1
+            k += 1
+        code <<= 1
+    return out
+
+
+def _huff_decode_table(bits, vals) -> dict[tuple[int, int], int]:
+    """{(length, code): symbol} for the bit-at-a-time decoder."""
+    out, code, k = {}, 0, 0
+    for length in range(1, 17):
+        for _ in range(bits[length - 1]):
+            out[(length, code)] = vals[k]
+            code += 1
+            k += 1
+        code <<= 1
+    return out
+
+
+def _dct_matrix() -> np.ndarray:
+    n = np.arange(8)
+    T = np.cos((2 * n[None, :] + 1) * n[:, None] * np.pi / 16) / 2.0
+    T[0] /= np.sqrt(2)
+    return T
+
+
+_T = _dct_matrix()
+
+
+def _quality_tables(quality: int) -> tuple[np.ndarray, np.ndarray]:
+    """libjpeg-compatible quality scaling of the Annex K tables."""
+    quality = max(1, min(100, quality))
+    scale = 5000 // quality if quality < 50 else 200 - 2 * quality
+    ql = np.clip((_QT_LUM * scale + 50) // 100, 1, 255)
+    qc = np.clip((_QT_CHR * scale + 50) // 100, 1, 255)
+    return ql.astype(np.int32), qc.astype(np.int32)
+
+
+def _rgb_to_ycbcr(px: np.ndarray) -> np.ndarray:
+    r, g, b = px[..., 0].astype(np.float64), px[..., 1].astype(np.float64), px[..., 2].astype(np.float64)
+    y = 0.299 * r + 0.587 * g + 0.114 * b
+    cb = -0.168736 * r - 0.331264 * g + 0.5 * b + 128.0
+    cr = 0.5 * r - 0.418688 * g - 0.081312 * b + 128.0
+    return np.stack([y, cb, cr], axis=-1)
+
+
+def _ycbcr_to_rgb(ycc: np.ndarray) -> np.ndarray:
+    y, cb, cr = ycc[..., 0], ycc[..., 1] - 128.0, ycc[..., 2] - 128.0
+    r = y + 1.402 * cr
+    g = y - 0.344136 * cb - 0.714136 * cr
+    b = y + 1.772 * cb
+    return np.clip(np.stack([r, g, b], axis=-1).round(), 0, 255).astype(np.uint8)
+
+
+def _blocks(channel: np.ndarray) -> tuple[np.ndarray, int, int]:
+    """(h, w) float -> (nby*nbx, 8, 8) edge-replicated 8x8 blocks."""
+    h, w = channel.shape
+    H, W = (h + 7) & ~7, (w + 7) & ~7
+    pad = np.pad(channel, ((0, H - h), (0, W - w)), mode="edge")
+    nby, nbx = H // 8, W // 8
+    return (
+        pad.reshape(nby, 8, nbx, 8).transpose(0, 2, 1, 3).reshape(-1, 8, 8),
+        nby,
+        nbx,
+    )
+
+
+class _BitWriter:
+    def __init__(self):
+        self.buf = bytearray()
+        self.acc = 0
+        self.nbits = 0
+
+    def write(self, code: int, length: int):
+        self.acc = (self.acc << length) | (code & ((1 << length) - 1))
+        self.nbits += length
+        while self.nbits >= 8:
+            byte = (self.acc >> (self.nbits - 8)) & 0xFF
+            self.buf.append(byte)
+            if byte == 0xFF:  # byte stuffing (T.81 F.1.2.3)
+                self.buf.append(0x00)
+            self.nbits -= 8
+        self.acc &= (1 << self.nbits) - 1
+
+    def flush(self):
+        if self.nbits:
+            pad = 8 - self.nbits
+            self.write((1 << pad) - 1, pad)  # pad with 1-bits
+
+
+def _category(v: int) -> int:
+    return int(v).bit_length() if v > 0 else int(-v).bit_length() if v < 0 else 0
+
+
+def _encode_coeff_bits(v: int, size: int) -> int:
+    # one's-complement style magnitude coding (T.81 F.1.2.1)
+    return v if v >= 0 else v + (1 << size) - 1
+
+
+def encode_jpeg(pixels: np.ndarray, quality: int = 90) -> bytes:
+    """(h, w, 3) or (h, w) uint8 -> baseline JFIF JPEG bytes (4:4:4)."""
+    gray = pixels.ndim == 2
+    h, w = pixels.shape[:2]
+    ql, qc = _quality_tables(quality)
+    if gray:
+        comps = [(pixels.astype(np.float64), ql)]
+    else:
+        ycc = _rgb_to_ycbcr(pixels)
+        comps = [(ycc[..., 0], ql), (ycc[..., 1], qc), (ycc[..., 2], qc)]
+
+    # forward DCT + quantization per component, batched over blocks
+    quantized = []
+    for chan, qt in comps:
+        blk, _, _ = _blocks(chan - 128.0)
+        coef = np.einsum("ij,njk,lk->nil", _T, blk, _T)
+        quantized.append(np.round(coef / qt).astype(np.int32).reshape(-1, 64)[:, _ZZ])
+
+    enc_dc = [_huff_encode_table(*_HT_DC_LUM), _huff_encode_table(*_HT_DC_CHR)]
+    enc_ac = [_huff_encode_table(*_HT_AC_LUM), _huff_encode_table(*_HT_AC_CHR)]
+    bw = _BitWriter()
+    prev_dc = [0] * len(comps)
+    nblocks = quantized[0].shape[0]
+    for b in range(nblocks):  # interleaved MCU order == block order at 1x1
+        for ci in range(len(comps)):
+            zz = quantized[ci][b]
+            tdc, tac = enc_dc[min(ci, 1)], enc_ac[min(ci, 1)]
+            diff = int(zz[0]) - prev_dc[ci]
+            prev_dc[ci] = int(zz[0])
+            size = _category(diff)
+            code, ln = tdc[size]
+            bw.write(code, ln)
+            if size:
+                bw.write(_encode_coeff_bits(diff, size), size)
+            run = 0
+            nz = np.nonzero(zz[1:])[0]
+            last = nz[-1] + 1 if len(nz) else 0
+            for k in range(1, last + 1):
+                v = int(zz[k])
+                if v == 0:
+                    run += 1
+                    continue
+                while run > 15:
+                    code, ln = tac[0xF0]  # ZRL
+                    bw.write(code, ln)
+                    run -= 16
+                size = _category(v)
+                code, ln = tac[(run << 4) | size]
+                bw.write(code, ln)
+                bw.write(_encode_coeff_bits(v, size), size)
+                run = 0
+            if last < 63:
+                code, ln = tac[0x00]  # EOB
+                bw.write(code, ln)
+    bw.flush()
+
+    def seg(marker: int, body: bytes) -> bytes:
+        return struct.pack(">HH", marker, len(body) + 2) + body
+
+    out = bytearray(b"\xff\xd8")  # SOI
+    out += seg(0xFFE0, b"JFIF\x00\x01\x01\x00\x00\x01\x00\x01\x00\x00")  # APP0
+    out += seg(0xFFDB, b"\x00" + bytes(ql.reshape(64)[_ZZ].astype(np.uint8)))
+    if not gray:
+        out += seg(0xFFDB, b"\x01" + bytes(qc.reshape(64)[_ZZ].astype(np.uint8)))
+    ncomp = 1 if gray else 3
+    sof = struct.pack(">BHHB", 8, h, w, ncomp)
+    for ci in range(ncomp):
+        sof += bytes([ci + 1, 0x11, 0 if ci == 0 else 1])  # 1x1 sampling
+    out += seg(0xFFC0, sof)  # SOF0 baseline
+    for cls, tid, (bits, vals) in (
+        (0, 0, _HT_DC_LUM), (1, 0, _HT_AC_LUM), (0, 1, _HT_DC_CHR), (1, 1, _HT_AC_CHR),
+    ):
+        if gray and tid == 1:
+            continue
+        out += seg(0xFFC4, bytes([(cls << 4) | tid]) + bytes(bits) + bytes(vals))
+    sos = bytes([ncomp])
+    for ci in range(ncomp):
+        t = 0 if ci == 0 else 1
+        sos += bytes([ci + 1, (t << 4) | t])
+    sos += b"\x00\x3f\x00"
+    out += seg(0xFFDA, sos)
+    out += bw.buf
+    out += b"\xff\xd9"  # EOI
+    return bytes(out)
+
+
+class _BitReader:
+    """Entropy-segment bit reader with 0xFF00 unstuffing, backed by a
+    pre-unstuffed numpy bit array (vectorized unpack, python reads)."""
+
+    def __init__(self, data: bytes):
+        arr = np.frombuffer(data, dtype=np.uint8)
+        # drop the 0x00 after each 0xFF (stuffing); RST markers are not
+        # emitted by this encoder and unsupported here
+        keep = np.ones(len(arr), dtype=bool)
+        ff = np.nonzero(arr[:-1] == 0xFF)[0]
+        keep[ff[arr[ff + 1] == 0x00] + 1] = False
+        self.bits = np.unpackbits(arr[keep])
+        self.pos = 0
+
+    def read(self, n: int) -> int:
+        v = 0
+        b, p = self.bits, self.pos
+        for _ in range(n):
+            v = (v << 1) | int(b[p])
+            p += 1
+        self.pos = p
+        return v
+
+    def huff(self, table: dict[tuple[int, int], int]) -> int:
+        code, b, p = 0, self.bits, self.pos
+        for length in range(1, 17):
+            code = (code << 1) | int(b[p])
+            p += 1
+            sym = table.get((length, code))
+            if sym is not None:
+                self.pos = p
+                return sym
+        raise ValueError("invalid Huffman code")
+
+
+def _extend(v: int, size: int) -> int:
+    return v if v >= (1 << (size - 1)) else v - (1 << size) + 1
+
+
+def decode_jpeg(data: bytes) -> np.ndarray:
+    """Baseline JFIF JPEG -> (h, w, 3) or (h, w) uint8.
+
+    Supports the subset this encoder emits plus any baseline file with
+    8-bit samples, 1x1 sampling (4:4:4), no restart markers, no
+    progressive scans.
+    """
+    if data[:2] != b"\xff\xd8":
+        raise ValueError("not a JPEG")
+    pos = 2
+    qtabs: dict[int, np.ndarray] = {}
+    htabs: dict[tuple[int, int], dict] = {}
+    comps: list[tuple[int, int, int]] = []  # (comp_id, qtab_id)
+    h = w = 0
+    scan = None
+    while pos < len(data):
+        if data[pos] != 0xFF:
+            raise ValueError(f"marker expected at {pos}")
+        marker = data[pos + 1]
+        pos += 2
+        if marker == 0xD9:  # EOI
+            break
+        (ln,) = struct.unpack(">H", data[pos : pos + 2])
+        body = data[pos + 2 : pos + ln]
+        if marker == 0xDB:  # DQT (possibly several tables per segment)
+            bpos = 0
+            while bpos < len(body):
+                pq, tq = body[bpos] >> 4, body[bpos] & 15
+                if pq != 0:
+                    raise NotImplementedError("16-bit quant tables")
+                zz = np.frombuffer(body[bpos + 1 : bpos + 65], dtype=np.uint8)
+                qt = np.zeros(64, dtype=np.int32)
+                qt[_ZZ] = zz
+                qtabs[tq] = qt.reshape(8, 8)
+                bpos += 65
+        elif marker == 0xC0:  # SOF0 baseline
+            prec, h, w, nc = struct.unpack(">BHHB", body[:6])
+            if prec != 8:
+                raise NotImplementedError("non-8-bit JPEG")
+            for ci in range(nc):
+                cid, samp, tq = body[6 + 3 * ci : 9 + 3 * ci]
+                if samp != 0x11:
+                    raise NotImplementedError("subsampled JPEG (not 4:4:4)")
+                comps.append((cid, tq))
+        elif marker in (0xC1, 0xC2, 0xC3):
+            raise NotImplementedError("non-baseline JPEG (SOF%d)" % (marker - 0xC0))
+        elif marker == 0xC4:  # DHT
+            bpos = 0
+            while bpos < len(body):
+                tc, th = body[bpos] >> 4, body[bpos] & 15
+                bits = list(body[bpos + 1 : bpos + 17])
+                nv = sum(bits)
+                vals = list(body[bpos + 17 : bpos + 17 + nv])
+                htabs[(tc, th)] = _huff_decode_table(bits, vals)
+                bpos += 17 + nv
+        elif marker == 0xDD:
+            raise NotImplementedError("restart markers")
+        elif marker == 0xDA:  # SOS
+            ns = body[0]
+            scan = []
+            for si in range(ns):
+                cid, tt = body[1 + 2 * si : 3 + 2 * si]
+                scan.append((cid, tt >> 4, tt & 15))
+            pos += ln
+            break
+        pos += ln
+    if scan is None or not comps:
+        raise ValueError("JPEG missing SOS/SOF")
+    # entropy-coded segment runs to EOI
+    end = data.rfind(b"\xff\xd9")
+    br = _BitReader(data[pos : end if end > pos else len(data)])
+
+    H, W = (h + 7) & ~7, (w + 7) & ~7
+    nby, nbx = H // 8, W // 8
+    nblocks = nby * nbx
+    ncomp = len(comps)
+    coefs = [np.zeros((nblocks, 64), dtype=np.int32) for _ in range(ncomp)]
+    dc_t = [htabs[(0, next(t for c, t, _ in scan if c == cid))] for cid, _ in comps]
+    ac_t = [htabs[(1, next(a for c, _, a in scan if c == cid))] for cid, _ in comps]
+    prev_dc = [0] * ncomp
+    for b in range(nblocks):
+        for ci in range(ncomp):
+            zz = coefs[ci][b]
+            size = br.huff(dc_t[ci])
+            diff = _extend(br.read(size), size) if size else 0
+            prev_dc[ci] += diff
+            zz[0] = prev_dc[ci]
+            k = 1
+            while k < 64:
+                rs = br.huff(ac_t[ci])
+                r, s = rs >> 4, rs & 15
+                if s == 0:
+                    if r == 15:
+                        k += 16
+                        continue
+                    break  # EOB
+                k += r
+                zz[k] = _extend(br.read(s), s)
+                k += 1
+    out = np.empty((h, w, ncomp), dtype=np.float64)
+    for ci, (cid, tq) in enumerate(comps):
+        dz = np.zeros((nblocks, 64), dtype=np.float64)
+        dz[:, _ZZ] = coefs[ci] * qtabs[tq].reshape(64)[_ZZ]
+        blk = dz.reshape(nblocks, 8, 8)
+        spat = np.einsum("ji,njk,kl->nil", _T, blk, _T) + 128.0
+        chan = spat.reshape(nby, nbx, 8, 8).transpose(0, 2, 1, 3).reshape(H, W)
+        out[..., ci] = chan[:h, :w]
+    if ncomp == 1:
+        return np.clip(out[..., 0].round(), 0, 255).astype(np.uint8)
+    return _ycbcr_to_rgb(out)
+
+
+# ---------------------------------------------------------------------------
+# WAV (RIFF/WAVE PCM 16-bit)
+
+
+def encode_wav(samples: np.ndarray, sample_rate: int) -> bytes:
+    """int16 (n,) or (n, ch) -> RIFF/WAVE PCM bytes (bit-exact)."""
+    s = np.asarray(samples, dtype="<i2")
+    nch = 1 if s.ndim == 1 else s.shape[1]
+    raw = s.tobytes()
+    fmt = struct.pack(
+        "<HHIIHH", 1, nch, sample_rate, sample_rate * nch * 2, nch * 2, 16
+    )
+    body = b"WAVE" + b"fmt " + struct.pack("<I", len(fmt)) + fmt
+    body += b"data" + struct.pack("<I", len(raw)) + raw
+    return b"RIFF" + struct.pack("<I", len(body)) + body
+
+
+def decode_wav(data: bytes) -> tuple[np.ndarray, int]:
+    """RIFF/WAVE PCM -> (float32 (n,) or (n, ch) in [-1, 1], rate).
+
+    Walks chunks properly (skips LIST/fact/etc., honors word padding).
+    """
+    if data[:4] != b"RIFF" or data[8:12] != b"WAVE":
+        raise ValueError("not a RIFF/WAVE file")
+    pos, rate, nch, bps, raw = 12, None, None, None, None
+    while pos + 8 <= len(data):
+        cid = data[pos : pos + 4]
+        (ln,) = struct.unpack("<I", data[pos + 4 : pos + 8])
+        body = data[pos + 8 : pos + 8 + ln]
+        if cid == b"fmt ":
+            tag, nch, rate, _, _, bps = struct.unpack("<HHIIHH", body[:16])
+            if tag != 1 or bps != 16:
+                raise NotImplementedError(f"WAV fmt tag={tag} bits={bps}")
+        elif cid == b"data":
+            raw = body
+        pos += 8 + ln + (ln & 1)  # chunks are word-aligned
+    if rate is None or raw is None:
+        raise ValueError("WAV missing fmt/data chunk")
+    s = np.frombuffer(raw, dtype="<i2").astype(np.float32) / 32768.0
+    if nch > 1:
+        s = s.reshape(-1, nch)
+    return s, int(rate)
+
+
+# ---------------------------------------------------------------------------
+# Y4M (YUV4MPEG2, Cmono / C444)
+
+
+def encode_y4m(frames: np.ndarray, fps: float = 30.0) -> bytes:
+    """uint8 (n, h, w) mono or (n, 3, h, w) planar 444 -> YUV4MPEG2."""
+    if frames.ndim == 3:
+        n, h, w = frames.shape
+        cs = "mono"
+    elif frames.ndim == 4 and frames.shape[1] == 3:
+        n, _, h, w = frames.shape
+        cs = "444"
+    else:
+        raise ValueError(f"unsupported frame shape {frames.shape}")
+    num = int(round(fps * 1000))
+    hdr = f"YUV4MPEG2 W{w} H{h} F{num}:1000 Ip A1:1 C{cs}\n".encode()
+    payload = np.ascontiguousarray(frames, dtype=np.uint8)
+    out = bytearray(hdr)
+    fsz = payload[0].nbytes
+    flat = payload.reshape(n, fsz)
+    for i in range(n):
+        out += b"FRAME\n"
+        out += flat[i].tobytes()
+    return bytes(out)
+
+
+def y4m_info(data: bytes) -> dict:
+    """Parse the stream header -> {w, h, fps, n_frames, frame_size,
+    data_offset, planes}. O(1): frame count derives from fixed size."""
+    nl = data.index(b"\n")
+    toks = data[:nl].decode().split()
+    if toks[0] != "YUV4MPEG2":
+        raise ValueError("not a YUV4MPEG2 stream")
+    w = h = None
+    fps = 30.0
+    cs = "420"  # y4m default colourspace
+    for t in toks[1:]:
+        if t[0] == "W":
+            w = int(t[1:])
+        elif t[0] == "H":
+            h = int(t[1:])
+        elif t[0] == "F":
+            num, den = t[1:].split(":")
+            fps = int(num) / int(den)
+        elif t[0] == "C":
+            cs = t[1:]
+    if cs == "mono":
+        planes, fsz = 1, w * h
+    elif cs == "444":
+        planes, fsz = 3, 3 * w * h
+    else:
+        raise NotImplementedError(f"y4m colourspace C{cs}")
+    stride = 6 + fsz  # b"FRAME\n" + payload (no frame params emitted)
+    n = (len(data) - (nl + 1)) // stride
+    return {
+        "w": w, "h": h, "fps": fps, "n_frames": n, "frame_size": fsz,
+        "data_offset": nl + 1, "stride": stride, "planes": planes,
+    }
+
+
+def decode_y4m_frame(data: bytes, idx: int, info: dict | None = None) -> np.ndarray:
+    """O(1) seek to frame idx -> (h, w) mono or (3, h, w) planar 444."""
+    if info is None:
+        info = y4m_info(data)
+    if not 0 <= idx < info["n_frames"]:
+        raise IndexError(f"frame {idx} of {info['n_frames']}")
+    off = info["data_offset"] + idx * info["stride"]
+    if data[off : off + 6] != b"FRAME\n":
+        raise ValueError(f"bad FRAME header at {off}")
+    px = np.frombuffer(data, dtype=np.uint8, count=info["frame_size"], offset=off + 6)
+    if info["planes"] == 1:
+        return px.reshape(info["h"], info["w"])
+    return px.reshape(3, info["h"], info["w"])
+
+
+def psnr(a: np.ndarray, b: np.ndarray) -> float:
+    mse = np.mean((a.astype(np.float64) - b.astype(np.float64)) ** 2)
+    if mse == 0:
+        return float("inf")
+    return float(10.0 * np.log10(255.0**2 / mse))

@@ -1,20 +1,31 @@
-"""Deterministic image+caption table generator (FIXTURES.md F1) and the
-fake codecs used in this container (no PIL/libjpeg available).
+"""Deterministic image+caption table generator (FIXTURES.md F1) and
+the image codec seam.
 
 Schema (BASELINE.json input_hint, exact):
   (image_id:string, bytes:binary, w:int32, h:int32, fmt:string,
    caption:string, phash:int64)
 
-Codecs:
-  - "png":  zlib(raw RGB) — LOSSLESS, exact pixel round-trip.
-  - "jpeg": 4-bit-per-channel quantization + zlib — LOSSY but
-    deterministic; decoded pixels differ from the source by < 16/255
-    per channel, i.e. PSNR >= 40 dB holds by construction and is
-    asserted in tests (the input_hint's per-row invariant).
+Codecs (see sources/codecs.py for the real implementations):
+  - "png":  REAL spec-compliant PNG (RFC 2083, 8-bit RGB, filter-0
+            rows, CRC'd chunks) — LOSSLESS, readable by any PNG tool.
+            This is what the 2M-row flagship table stores for its png
+            rows; decode stays batched (zlib + filter-byte strip).
+  - "jpeg": the table stores the GJPG deterministic stand-in (uniform
+            step-5 quantization + zlib, PSNR ~45 dB). A REAL baseline
+            JPEG codec (ITU-T T.81, JFIF, 4:4:4, standard Annex K
+            tables) exists in codecs.py and is what decode_image
+            dispatches to for genuine \\xff\\xd8 payloads — but its
+            pure-Python entropy loop runs ~35 ms/image, which at the
+            headline's 2M rows would swamp the pipeline, so the bulk
+            synthetic table keeps the vectorizable stand-in. The real
+            JPEG path is exercised by the img_codecs driver query and
+            tests/test_codecs.py, including the input_hint's
+            PSNR >= 40 dB invariant (held at quality>=98 even on the
+            generator's worst-case uniform-noise pixels).
 
-The codec interface (encode_image / decode_image) is the single seam
-where a real PIL/libjpeg implementation would plug in; everything
-Ray-side (schema, batch sizing, actor signatures, PSNR gate) is real.
+decode_image dispatches on magic bytes: real PNG, real JPEG, GPNG
+(legacy fake png), GJPG. Everything Ray-side (schema, batch sizing,
+actor signatures, PSNR gate) is format-agnostic.
 
 Geometry is DERIVED, not stored (SURVEY.md §7.2): a seeded RNG keyed
 by image_id yields the footprint centroid (lon, lat); extent comes
@@ -31,6 +42,7 @@ import numpy as np
 import pyarrow as pa
 
 from ..kernels.text import stable_hash64
+from . import codecs
 
 SIZES = (16, 32, 64)
 FMTS = ("png", "jpeg")
@@ -44,23 +56,30 @@ _PLACES = ["oslo", "quito", "lagos", "perth", "lima", "kyoto", "reno", "turin"]
 # fake codecs
 
 def encode_image(pixels: np.ndarray, fmt: str) -> bytes:
-    """pixels: (h, w, 3) uint8 -> bytes. Header carries shape."""
+    """pixels: (h, w, 3) uint8 -> bytes (see module docstring for the
+    per-format story)."""
     h, w, _ = pixels.shape
     if fmt == "png":
-        payload = zlib.compress(pixels.tobytes(), 1)
-        tag = b"GPNG"
-    elif fmt == "jpeg":
-        # lossy: uniform quantization with step 5 (max error 2.5/255
-        # per channel -> PSNR ~45 dB, above the 40 dB gate but lossy)
+        return codecs.encode_png(pixels)
+    if fmt == "jpeg":
+        # lossy stand-in: uniform quantization with step 5 (max error
+        # 2.5/255 per channel -> PSNR ~45 dB, above the 40 dB gate but
+        # lossy). Real T.81 JPEG: codecs.encode_jpeg (too slow in pure
+        # python for the 2M-row bulk table).
         q = (pixels.astype(np.uint16) + 2) // 5
         payload = zlib.compress(q.astype(np.uint8).tobytes(), 1)
-        tag = b"GJPG"
-    else:
-        raise NotImplementedError(f"codec {fmt!r} not available in this container")
-    return tag + w.to_bytes(4, "little") + h.to_bytes(4, "little") + payload
+        return b"GJPG" + w.to_bytes(4, "little") + h.to_bytes(4, "little") + payload
+    if fmt == "jpeg_real":
+        return codecs.encode_jpeg(pixels, quality=98)
+    raise NotImplementedError(f"codec {fmt!r} not available in this container")
 
 
 def decode_image(data: bytes) -> np.ndarray:
+    """Magic-byte dispatch: real PNG / real JPEG / GPNG / GJPG."""
+    if data[:8] == codecs._PNG_SIG:
+        return codecs.decode_png(data)
+    if data[:2] == b"\xff\xd8":
+        return codecs.decode_jpeg(data)
     tag = data[:4]
     w = int.from_bytes(data[4:8], "little")
     h = int.from_bytes(data[8:12], "little")

@@ -24,6 +24,7 @@ import numpy as np
 import pyarrow as pa
 
 from ..kernels import cellindex as ci
+from ..sources import codecs
 from ..sources import images as I
 
 
@@ -76,18 +77,41 @@ def decode_features_batch(t: pa.Table) -> pa.Table:
     groups: dict[tuple, list] = {}
     for i, d in enumerate(_binary_views(t["bytes"])):
         tag = bytes(d[:4])
-        w = int.from_bytes(d[4:8], "little")
-        h = int.from_bytes(d[8:12], "little")
-        groups.setdefault((tag, h, w), []).append((i, zlib.decompress(d[12:])))
+        if tag == b"\x89PNG":
+            # real PNG (codecs.encode_png layout): w/h big-endian in
+            # IHDR; payload is the concatenated IDAT zlib stream
+            w = int.from_bytes(d[16:20], "big")
+            h = int.from_bytes(d[20:24], "big")
+            groups.setdefault((tag, h, w), []).append(
+                (i, zlib.decompress(codecs.png_idat(d)))
+            )
+        else:
+            w = int.from_bytes(d[4:8], "little")
+            h = int.from_bytes(d[8:12], "little")
+            groups.setdefault((tag, h, w), []).append((i, zlib.decompress(d[12:])))
     for (tag, h, w), items in groups.items():
         idx = np.array([i for i, _ in items])
-        px = np.frombuffer(b"".join(raw for _, raw in items), dtype=np.uint8).reshape(
-            len(items), h, w, 3
-        )
+        raw = np.frombuffer(b"".join(r for _, r in items), dtype=np.uint8)
+        if tag == b"\x89PNG":
+            # (n, h, 1 + 3w) filter-byte-prefixed rows; our encoder
+            # writes filter 0 everywhere -> strip the filter column.
+            # Foreign files with other filters take the per-image path.
+            rows = raw.reshape(len(items), h, 1 + 3 * w)
+            if np.any(rows[:, :, 0]):
+                px = np.stack(
+                    [
+                        codecs._png_unfilter(r, h, 3 * w, 3).reshape(h, w, 3)
+                        for r in rows
+                    ]
+                )
+            else:
+                px = np.ascontiguousarray(rows[:, :, 1:]).reshape(len(items), h, w, 3)
+        else:
+            px = raw.reshape(len(items), h, w, 3)
         if tag == b"GJPG":
             # single-pass uint8 LUT == (uint16 * 5).clip(0, 255) exactly
             px = _GJPG_LUT[px]
-        elif tag != b"GPNG":
+        elif tag not in (b"GPNG", b"\x89PNG"):
             raise NotImplementedError(f"unknown codec tag {tag!r}")
         # int64 channel sums / count == float64 mean bit-for-bit
         # (integer-valued float64 partial sums are exact below 2^53);
@@ -129,3 +153,39 @@ class DecodeStage:
 
     def __call__(self, t: pa.Table) -> pa.Table:
         return self._fn(t)
+
+
+def codec_roundtrip_batch(t: pa.Table) -> pa.Table:
+    """REAL-codec interchange check: decode each stored image, re-encode
+    with the spec-compliant PNG and baseline-JPEG codecs
+    (sources/codecs.py), decode again, and report bytes + fidelity.
+    Emits two rows per image (fmt "png" lossless, fmt "jpeg" q98 with
+    the input_hint's PSNR >= 40 dB invariant asserted)."""
+    ids, fmts, nbytes, psnr_db, lossless = [], [], [], [], []
+    for i, d in enumerate(_binary_views(t["bytes"])):
+        px = I.decode_image(bytes(d))
+        image_id = t["image_id"][i].as_py()
+        pb = codecs.encode_png(px)
+        assert np.array_equal(codecs.decode_png(pb), px)
+        ids.append(image_id)
+        fmts.append("png")
+        nbytes.append(len(pb))
+        psnr_db.append(float("inf"))
+        lossless.append(True)
+        jb = codecs.encode_jpeg(px, quality=98)
+        p = codecs.psnr(px, codecs.decode_jpeg(jb))
+        assert p >= 40.0, f"PSNR {p:.2f} < 40 dB for {image_id}"
+        ids.append(image_id)
+        fmts.append("jpeg")
+        nbytes.append(len(jb))
+        psnr_db.append(round(p, 2))
+        lossless.append(False)
+    return pa.table(
+        {
+            "image_id": pa.array(ids),
+            "fmt": pa.array(fmts),
+            "nbytes": pa.array(nbytes, pa.int64()),
+            "psnr_db": pa.array(psnr_db, pa.float64()),
+            "lossless": pa.array(lossless),
+        }
+    )

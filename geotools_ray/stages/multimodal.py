@@ -1,23 +1,34 @@
 """Multimodal columns (audio / video) — opaque binary payloads with
 typed metadata, processed by actor-pool map_batches stages.
 
-The decode libraries (ffmpeg/librosa-style codecs) are NOT in this
-container, so the codec call is STUBBED behind NotImplementedError
-with a deterministic-fake fallback — but the Ray-side plumbing
-(schemas, batch sizing, actor signature, output layout) is real and
-tested, mirroring the image DecodeStage.
+Round 3: the payloads are REAL interchange formats now —
+RIFF/WAVE PCM16 audio and YUV4MPEG2 (Cmono) video, parsed by the
+from-scratch spec codecs in sources/codecs.py (no
+libsndfile/ffmpeg in this container, but the bytes these tables carry
+are files any standard tool reads). Compressed codecs (mp3/h264/...)
+remain NotImplementedError at the same seam; the deterministic-fake
+fallback is kept for plumbing tests only.
 
 Schemas:
   audio: (clip_id:string, bytes:binary, sample_rate:int32,
           n_samples:int64, fmt:string)
   video: (video_id:string, bytes:binary, w:int32, h:int32, fps:float,
           n_frames:int32, fmt:string)
+
+Scale notes (100-TB lens): the video stage samples every `stride`-th
+frame via the y4m fixed-frame-size O(1) seek — reading 1/stride of
+each payload's bytes, not decoding the whole clip; batch sizes stay
+small because a decoded clip is the large object, and the flat-map
+output layout (one row per sampled frame) lets frame rows shuffle
+independently of the source blob.
 """
 
 from __future__ import annotations
 
 import numpy as np
 import pyarrow as pa
+
+from ..sources import codecs
 
 AUDIO_SCHEMA = pa.schema(
     [
@@ -43,14 +54,11 @@ VIDEO_SCHEMA = pa.schema(
 
 
 def _decode_audio_real(data: bytes, fmt: str) -> np.ndarray:
+    if fmt == "wav":
+        samples, _ = codecs.decode_wav(data)
+        return samples if samples.ndim == 1 else samples.mean(axis=1)
     raise NotImplementedError(
         f"audio codec {fmt!r} unavailable in this container (no libsndfile/ffmpeg)"
-    )
-
-
-def _decode_video_frame_real(data: bytes, fmt: str, frame: int) -> np.ndarray:
-    raise NotImplementedError(
-        f"video codec {fmt!r} unavailable in this container (no ffmpeg)"
     )
 
 
@@ -59,8 +67,8 @@ class AudioFeatureStage:
 
     Keep batch_size small: a 10 s 16 kHz mono clip decodes to 640 KB
     float32 — 256 rows x concurrency already holds ~160 MB decoded.
-    With deterministic_fake=True (tests/bench), a seeded waveform
-    stands in for the decoder; the feature math and plumbing are real.
+    fmt="wav" rows run the real RIFF/PCM parser; deterministic_fake
+    (plumbing tests only) seeds a waveform from the payload bytes.
     """
 
     def __init__(self, deterministic_fake: bool = False):
@@ -94,17 +102,20 @@ class AudioFeatureStage:
 class VideoFrameSampleStage:
     """Actor pool: sample every `stride`-th frame, extract per-frame
     mean luma; emits one row per (video, sampled frame) — flat-map
-    layout so frame rows shuffle independently of the video blob."""
+    layout so frame rows shuffle independently of the video blob.
+
+    fmt="y4m" rows use the real YUV4MPEG2 parser: the stream header is
+    parsed once per video and each sampled frame is an O(1) seek into
+    the fixed-size frame array — bytes for skipped frames are never
+    touched."""
 
     def __init__(self, stride: int = 30, deterministic_fake: bool = False):
         self.stride = stride
         self.fake = deterministic_fake
 
-    def _frame(self, data: bytes, fmt: str, w: int, h: int, idx: int) -> np.ndarray:
-        if self.fake:
-            seed = (int.from_bytes(data[:8].ljust(8, b"\0"), "little") + idx) % (2**31)
-            return np.random.RandomState(seed).randint(0, 256, (min(h, 32), min(w, 32)))
-        return _decode_video_frame_real(data, fmt, idx)
+    def _fake_frame(self, data: bytes, w: int, h: int, idx: int) -> np.ndarray:
+        seed = (int.from_bytes(data[:8].ljust(8, b"\0"), "little") + idx) % (2**31)
+        return np.random.RandomState(seed).randint(0, 256, (min(h, 32), min(w, 32)))
 
     def __call__(self, t: pa.Table) -> pa.Table:
         out_id, out_frame, out_luma = [], [], []
@@ -115,11 +126,25 @@ class VideoFrameSampleStage:
         hs = t["h"].to_numpy(zero_copy_only=False)
         nf = t["n_frames"].to_numpy(zero_copy_only=False)
         for i in range(len(t)):
-            for f in range(0, int(nf[i]), self.stride):
-                fr = self._frame(data[i], fmts[i], int(ws[i]), int(hs[i]), f)
+            if self.fake:
+                for f in range(0, int(nf[i]), self.stride):
+                    fr = self._fake_frame(data[i], int(ws[i]), int(hs[i]), f)
+                    out_id.append(ids[i])
+                    out_frame.append(f)
+                    out_luma.append(float(fr.mean()))
+                continue
+            if fmts[i] != "y4m":
+                raise NotImplementedError(
+                    f"video codec {fmts[i]!r} unavailable in this container (no ffmpeg)"
+                )
+            info = codecs.y4m_info(data[i])
+            for f in range(0, info["n_frames"], self.stride):
+                fr = codecs.decode_y4m_frame(data[i], f, info)
                 out_id.append(ids[i])
                 out_frame.append(f)
-                out_luma.append(float(fr.mean()))
+                # luma plane mean for mono/444 alike (plane 0 is Y)
+                out_luma.append(float(fr.reshape(info["planes"], -1)[0].mean())
+                                if info["planes"] > 1 else float(fr.mean()))
         return pa.table(
             {
                 "video_id": pa.array(out_id),
@@ -129,29 +154,69 @@ class VideoFrameSampleStage:
         )
 
 
+def _audio_waveform(i: int, n: int, sr: int) -> np.ndarray:
+    """Deterministic per-clip waveform: two seeded sines + noise."""
+    rng = np.random.RandomState(100_000 + i)
+    t = np.arange(n) / sr
+    f1, f2 = rng.uniform(80, 2000, 2)
+    w = (
+        0.5 * np.sin(2 * np.pi * f1 * t)
+        + 0.25 * np.sin(2 * np.pi * f2 * t)
+        + 0.05 * rng.standard_normal(n)
+    )
+    return np.clip(w * 20000, -32768, 32767).astype(np.int16)
+
+
 def generate_audio_table(n: int, seed: int = 0) -> pa.Table:
-    """Deterministic synthetic audio rows (payload bytes seed the fake
-    decoder) — the driver-query input analog of generate_image_table."""
+    """Deterministic synthetic audio rows — REAL RIFF/WAVE PCM16
+    payloads (decodable by any wav reader), the driver-query input
+    analog of generate_image_table."""
     rng = np.random.RandomState(seed)
+    sr = 16000
+    lens = rng.randint(8000, 64000, n).astype(np.int64)
     rows = {
         "clip_id": [f"clip{i:06d}" for i in range(n)],
-        "bytes": [rng.bytes(64) for _ in range(n)],
-        "sample_rate": pa.array(np.full(n, 16000, dtype=np.int32)),
-        "n_samples": pa.array(rng.randint(8000, 64000, n).astype(np.int64)),
+        "bytes": [encode_clip(i, int(lens[i]), sr) for i in range(n)],
+        "sample_rate": pa.array(np.full(n, sr, dtype=np.int32)),
+        "n_samples": pa.array(lens),
         "fmt": ["wav"] * n,
     }
     return pa.Table.from_pydict(rows, schema=AUDIO_SCHEMA)
 
 
+def encode_clip(i: int, n: int, sr: int) -> bytes:
+    return codecs.encode_wav(_audio_waveform(i, n, sr), sr)
+
+
+def _video_frames(i: int, n_frames: int, h: int, w: int) -> np.ndarray:
+    """Deterministic mono frames: a moving gradient + seeded noise."""
+    rng = np.random.RandomState(200_000 + i)
+    base = rng.randint(0, 64)
+    x = np.arange(w)[None, :]
+    y = np.arange(h)[:, None]
+    out = np.empty((n_frames, h, w), dtype=np.uint8)
+    for f in range(n_frames):
+        out[f] = ((base + x * 2 + y * 3 + f * 5) % 256).astype(np.uint8)
+    noise = rng.randint(0, 16, (n_frames, h, w), dtype=np.uint8)
+    return out + noise  # uint8 wraparound is fine (deterministic)
+
+
 def generate_video_table(n: int, seed: int = 0) -> pa.Table:
+    """Deterministic synthetic video rows — REAL YUV4MPEG2 (Cmono)
+    payloads with O(1)-seekable fixed-size frames."""
     rng = np.random.RandomState(seed)
+    w, h, fps = 64, 48, 30.0
+    nfr = rng.randint(24, 96, n).astype(np.int32)
     rows = {
         "video_id": [f"v{i:06d}" for i in range(n)],
-        "bytes": [rng.bytes(32) for _ in range(n)],
-        "w": pa.array(np.full(n, 64, dtype=np.int32)),
-        "h": pa.array(np.full(n, 48, dtype=np.int32)),
-        "fps": pa.array(np.full(n, 30.0)),
-        "n_frames": pa.array(rng.randint(30, 240, n).astype(np.int32)),
-        "fmt": ["h264"] * n,
+        "bytes": [
+            codecs.encode_y4m(_video_frames(i, int(nfr[i]), h, w), fps)
+            for i in range(n)
+        ],
+        "w": pa.array(np.full(n, w, dtype=np.int32)),
+        "h": pa.array(np.full(n, h, dtype=np.int32)),
+        "fps": pa.array(np.full(n, fps)),
+        "n_frames": pa.array(nfr),
+        "fmt": ["y4m"] * n,
     }
     return pa.Table.from_pydict(rows, schema=VIDEO_SCHEMA)

@@ -101,7 +101,7 @@ def test_audio_real_codec_raises():
             "bytes": [b"xx"],
             "sample_rate": pa.array([16000], pa.int32()),
             "n_samples": pa.array([100], pa.int64()),
-            "fmt": ["wav"],
+            "fmt": ["mp3"],
         }
     )
     with pytest.raises(NotImplementedError):
