@@ -309,3 +309,32 @@ def test_sibson_degenerate_cocircular():
     want = a * tx + b * ty + c
     span = sz.max() - sz.min()
     assert np.all(np.abs(out - want) <= 0.15 * span)
+
+
+def test_sibson_degenerate_anisotropic():
+    """Second degenerate case from the round-2 advice: extreme
+    anisotropy (sites on a near-collinear band stretched 1000:1 in x)
+    where a Voronoi cell can be bounded by a site beyond the 63
+    nearest-by-euclidean. The pruned actor must stay a convex
+    combination and reproduce a linear-in-x field closely (the y
+    extent is negligible, so Sibson ~ 1-D linear interpolation)."""
+    import pyarrow as pa
+
+    from geotools_ray.ops.interp import _SibsonActor, _broadcast_samples
+
+    rng = np.random.RandomState(5)
+    n = 200
+    sx = np.sort(rng.uniform(0.0, 1000.0, n))
+    sy = rng.uniform(0.0, 1.0, n)  # 1000:1 anisotropy
+    a, c = 0.05, 3.0
+    sz = a * sx + c
+    smp = pa.table({"sx": sx, "sy": sy, "sz": sz})
+    actor = _SibsonActor(_broadcast_samples(smp))
+    tx = rng.uniform(100.0, 900.0, 25)
+    ty = rng.uniform(0.2, 0.8, 25)
+    out = actor(pa.table({"cx": tx, "cy": ty}))["nn_z"].to_numpy()
+    assert np.all(out >= sz.min() - 1e-9) and np.all(out <= sz.max() + 1e-9)
+    want = a * tx + c
+    span = sz.max() - sz.min()
+    # interpolation along the band tracks the field within 2% of span
+    assert np.all(np.abs(out - want) <= 0.02 * span)
