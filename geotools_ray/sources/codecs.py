@@ -256,16 +256,26 @@ def _huff_encode_table(bits, vals) -> dict[int, tuple[int, int]]:
     return out
 
 
-def _huff_decode_table(bits, vals) -> dict[tuple[int, int], int]:
-    """{(length, code): symbol} for the bit-at-a-time decoder."""
-    out, code, k = {}, 0, 0
+def _huff_decode_table(bits, vals) -> tuple[np.ndarray, np.ndarray]:
+    """16-bit-peek LUT (libjpeg-style): for every 16-bit window whose
+    prefix is a valid code, lut_sym holds the symbol and lut_len the
+    code length — one table lookup per symbol instead of a
+    bit-at-a-time walk. lut_len == 0 marks an invalid prefix."""
+    lut_sym = np.zeros(1 << 16, dtype=np.int16)
+    lut_len = np.zeros(1 << 16, dtype=np.uint8)
+    code, k = 0, 0
     for length in range(1, 17):
         for _ in range(bits[length - 1]):
-            out[(length, code)] = vals[k]
+            lo = code << (16 - length)
+            hi = lo + (1 << (16 - length))
+            lut_sym[lo:hi] = vals[k]
+            lut_len[lo:hi] = length
             code += 1
             k += 1
         code <<= 1
-    return out
+    # python lists: scalar indexing is ~7x faster than numpy scalars
+    # in the per-symbol loop
+    return lut_sym.tolist(), lut_len.tolist()
 
 
 def _dct_matrix() -> np.ndarray:
@@ -316,38 +326,6 @@ def _blocks(channel: np.ndarray) -> tuple[np.ndarray, int, int]:
     )
 
 
-class _BitWriter:
-    def __init__(self):
-        self.buf = bytearray()
-        self.acc = 0
-        self.nbits = 0
-
-    def write(self, code: int, length: int):
-        self.acc = (self.acc << length) | (code & ((1 << length) - 1))
-        self.nbits += length
-        while self.nbits >= 8:
-            byte = (self.acc >> (self.nbits - 8)) & 0xFF
-            self.buf.append(byte)
-            if byte == 0xFF:  # byte stuffing (T.81 F.1.2.3)
-                self.buf.append(0x00)
-            self.nbits -= 8
-        self.acc &= (1 << self.nbits) - 1
-
-    def flush(self):
-        if self.nbits:
-            pad = 8 - self.nbits
-            self.write((1 << pad) - 1, pad)  # pad with 1-bits
-
-
-def _category(v: int) -> int:
-    return int(v).bit_length() if v > 0 else int(-v).bit_length() if v < 0 else 0
-
-
-def _encode_coeff_bits(v: int, size: int) -> int:
-    # one's-complement style magnitude coding (T.81 F.1.2.1)
-    return v if v >= 0 else v + (1 << size) - 1
-
-
 def encode_jpeg(pixels: np.ndarray, quality: int = 90) -> bytes:
     """(h, w, 3) or (h, w) uint8 -> baseline JFIF JPEG bytes (4:4:4)."""
     gray = pixels.ndim == 2
@@ -368,41 +346,71 @@ def encode_jpeg(pixels: np.ndarray, quality: int = 90) -> bytes:
 
     enc_dc = [_huff_encode_table(*_HT_DC_LUM), _huff_encode_table(*_HT_DC_CHR)]
     enc_ac = [_huff_encode_table(*_HT_AC_LUM), _huff_encode_table(*_HT_AC_CHR)]
-    bw = _BitWriter()
     prev_dc = [0] * len(comps)
     nblocks = quantized[0].shape[0]
+    # hot entropy loop with an inlined bit accumulator (locals, not a
+    # _BitWriter method call per symbol) and list-form blocks; bytes
+    # drain in one pass at the end with vectorized 0xFF stuffing
+    q_lists = [q.tolist() for q in quantized]
+    acc = 0
+    nbits = 0
+    buf = bytearray()
     for b in range(nblocks):  # interleaved MCU order == block order at 1x1
         for ci in range(len(comps)):
-            zz = quantized[ci][b]
+            zz = q_lists[ci][b]
             tdc, tac = enc_dc[min(ci, 1)], enc_ac[min(ci, 1)]
-            diff = int(zz[0]) - prev_dc[ci]
-            prev_dc[ci] = int(zz[0])
-            size = _category(diff)
+            dc = zz[0]
+            diff = dc - prev_dc[ci]
+            prev_dc[ci] = dc
+            size = diff.bit_length() if diff > 0 else (-diff).bit_length()
             code, ln = tdc[size]
-            bw.write(code, ln)
+            acc = (acc << ln) | code
+            nbits += ln
             if size:
-                bw.write(_encode_coeff_bits(diff, size), size)
+                v = diff if diff >= 0 else diff + (1 << size) - 1
+                acc = (acc << size) | v
+                nbits += size
             run = 0
-            nz = np.nonzero(zz[1:])[0]
-            last = nz[-1] + 1 if len(nz) else 0
+            last = 63
+            while last > 0 and zz[last] == 0:
+                last -= 1
             for k in range(1, last + 1):
-                v = int(zz[k])
+                v = zz[k]
                 if v == 0:
                     run += 1
                     continue
                 while run > 15:
                     code, ln = tac[0xF0]  # ZRL
-                    bw.write(code, ln)
+                    acc = (acc << ln) | code
+                    nbits += ln
                     run -= 16
-                size = _category(v)
+                size = v.bit_length() if v > 0 else (-v).bit_length()
                 code, ln = tac[(run << 4) | size]
-                bw.write(code, ln)
-                bw.write(_encode_coeff_bits(v, size), size)
+                acc = (acc << ln) | code
+                nbits += ln
+                v = v if v >= 0 else v + (1 << size) - 1
+                acc = (acc << size) | v
+                nbits += size
                 run = 0
             if last < 63:
                 code, ln = tac[0x00]  # EOB
-                bw.write(code, ln)
-    bw.flush()
+                acc = (acc << ln) | code
+                nbits += ln
+            if nbits >= 512:  # drain the python-int accumulator
+                keep = nbits & 7
+                buf += (acc >> keep).to_bytes((nbits - keep) // 8, "big")
+                acc &= (1 << keep) - 1
+                nbits = keep
+    pad = (8 - (nbits & 7)) & 7  # pad final byte with 1-bits
+    acc = (acc << pad) | ((1 << pad) - 1)
+    nbits += pad
+    if nbits:
+        buf += acc.to_bytes(nbits // 8, "big")
+    # byte stuffing (T.81 F.1.2.3): 0xFF -> 0xFF 0x00, vectorized
+    arr = np.frombuffer(bytes(buf), dtype=np.uint8)
+    ff = np.nonzero(arr == 0xFF)[0]
+    if len(ff):
+        buf = bytearray(np.insert(arr, ff + 1, 0).tobytes())
 
     def seg(marker: int, body: bytes) -> bytes:
         return struct.pack(">HH", marker, len(body) + 2) + body
@@ -429,14 +437,15 @@ def encode_jpeg(pixels: np.ndarray, quality: int = 90) -> bytes:
         sos += bytes([ci + 1, (t << 4) | t])
     sos += b"\x00\x3f\x00"
     out += seg(0xFFDA, sos)
-    out += bw.buf
+    out += buf
     out += b"\xff\xd9"  # EOI
     return bytes(out)
 
 
 class _BitReader:
-    """Entropy-segment bit reader with 0xFF00 unstuffing, backed by a
-    pre-unstuffed numpy bit array (vectorized unpack, python reads)."""
+    """Entropy-segment bit reader with 0xFF00 unstuffing: a python-int
+    accumulator refilled bytewise, so a Huffman symbol is ONE 16-bit
+    peek + LUT hit and a coefficient receive is one shift-mask."""
 
     def __init__(self, data: bytes):
         arr = np.frombuffer(data, dtype=np.uint8)
@@ -445,28 +454,40 @@ class _BitReader:
         keep = np.ones(len(arr), dtype=bool)
         ff = np.nonzero(arr[:-1] == 0xFF)[0]
         keep[ff[arr[ff + 1] == 0x00] + 1] = False
-        self.bits = np.unpackbits(arr[keep])
-        self.pos = 0
+        self.data = arr[keep].tobytes()
+        self.n = len(self.data)
+        self.bytepos = 0
+        self.acc = 0  # python int holding `nacc` valid low bits
+        self.nacc = 0
+
+    def _fill(self):
+        d, p, n = self.data, self.bytepos, self.n
+        acc, nacc = self.acc, self.nacc
+        while nacc <= 24:
+            # past the end, pad with 1-bits (the spec's pad value)
+            acc = (acc << 8) | (d[p] if p < n else 0xFF)
+            p += 1
+            nacc += 8
+        self.acc, self.nacc, self.bytepos = acc, nacc, p
 
     def read(self, n: int) -> int:
-        v = 0
-        b, p = self.bits, self.pos
-        for _ in range(n):
-            v = (v << 1) | int(b[p])
-            p += 1
-        self.pos = p
+        if self.nacc < n:
+            self._fill()
+        self.nacc -= n
+        v = (self.acc >> self.nacc) & ((1 << n) - 1)
+        self.acc &= (1 << self.nacc) - 1
         return v
 
-    def huff(self, table: dict[tuple[int, int], int]) -> int:
-        code, b, p = 0, self.bits, self.pos
-        for length in range(1, 17):
-            code = (code << 1) | int(b[p])
-            p += 1
-            sym = table.get((length, code))
-            if sym is not None:
-                self.pos = p
-                return sym
-        raise ValueError("invalid Huffman code")
+    def huff(self, table: tuple[list, list]) -> int:
+        if self.nacc < 16:
+            self._fill()
+        window = (self.acc >> (self.nacc - 16)) & 0xFFFF
+        ln = table[1][window]
+        if ln == 0:
+            raise ValueError("invalid Huffman code")
+        self.nacc -= ln
+        self.acc &= (1 << self.nacc) - 1
+        return table[0][window]
 
 
 def _extend(v: int, size: int) -> int:
@@ -553,25 +574,75 @@ def decode_jpeg(data: bytes) -> np.ndarray:
     dc_t = [htabs[(0, next(t for c, t, _ in scan if c == cid))] for cid, _ in comps]
     ac_t = [htabs[(1, next(a for c, _, a in scan if c == cid))] for cid, _ in comps]
     prev_dc = [0] * ncomp
+    # hot entropy loop: the bit-reader state lives in locals and the
+    # coefficient blocks are plain python lists — both ~2x over
+    # method-call + numpy-scalar-store variants (profiled)
+    coefs_l = [c.tolist() for c in coefs]
+    data_e, nd = br.data, br.n
+    acc, nacc, bp = 0, 0, 0
     for b in range(nblocks):
         for ci in range(ncomp):
-            zz = coefs[ci][b]
-            size = br.huff(dc_t[ci])
-            diff = _extend(br.read(size), size) if size else 0
-            prev_dc[ci] += diff
+            zz = coefs_l[ci][b]
+            dsym, dlen = dc_t[ci]
+            asym, alen = ac_t[ci]
+            # DC
+            if nacc < 16:
+                while nacc <= 24:
+                    acc = (acc << 8) | (data_e[bp] if bp < nd else 0xFF)
+                    bp += 1
+                    nacc += 8
+            window = (acc >> (nacc - 16)) & 0xFFFF
+            ln = dlen[window]
+            if ln == 0:
+                raise ValueError("invalid Huffman code")
+            nacc -= ln
+            acc &= (1 << nacc) - 1
+            size = dsym[window]
+            if size:
+                if nacc < size:
+                    while nacc <= 24:
+                        acc = (acc << 8) | (data_e[bp] if bp < nd else 0xFF)
+                        bp += 1
+                        nacc += 8
+                nacc -= size
+                v = (acc >> nacc) & ((1 << size) - 1)
+                acc &= (1 << nacc) - 1
+                diff = v if v >= (1 << (size - 1)) else v - (1 << size) + 1
+                prev_dc[ci] += diff
             zz[0] = prev_dc[ci]
+            # AC
             k = 1
             while k < 64:
-                rs = br.huff(ac_t[ci])
-                r, s = rs >> 4, rs & 15
+                if nacc < 16:
+                    while nacc <= 24:
+                        acc = (acc << 8) | (data_e[bp] if bp < nd else 0xFF)
+                        bp += 1
+                        nacc += 8
+                window = (acc >> (nacc - 16)) & 0xFFFF
+                ln = alen[window]
+                if ln == 0:
+                    raise ValueError("invalid Huffman code")
+                nacc -= ln
+                acc &= (1 << nacc) - 1
+                rs = asym[window]
+                s = rs & 15
                 if s == 0:
-                    if r == 15:
+                    if rs == 0xF0:
                         k += 16
                         continue
                     break  # EOB
-                k += r
-                zz[k] = _extend(br.read(s), s)
+                k += rs >> 4
+                if nacc < s:
+                    while nacc <= 24:
+                        acc = (acc << 8) | (data_e[bp] if bp < nd else 0xFF)
+                        bp += 1
+                        nacc += 8
+                nacc -= s
+                v = (acc >> nacc) & ((1 << s) - 1)
+                acc &= (1 << nacc) - 1
+                zz[k] = v if v >= (1 << (s - 1)) else v - (1 << s) + 1
                 k += 1
+    coefs = [np.array(c, dtype=np.int32) for c in coefs_l]
     out = np.empty((h, w, ncomp), dtype=np.float64)
     for ci, (cid, tq) in enumerate(comps):
         dz = np.zeros((nblocks, 64), dtype=np.float64)
