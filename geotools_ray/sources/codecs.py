@@ -256,7 +256,7 @@ def _huff_encode_table(bits, vals) -> dict[int, tuple[int, int]]:
     return out
 
 
-def _huff_decode_table(bits, vals) -> tuple[np.ndarray, np.ndarray]:
+def _huff_decode_table(bits, vals) -> tuple[list, list]:
     """16-bit-peek LUT (libjpeg-style): for every 16-bit window whose
     prefix is a valid code, lut_sym holds the symbol and lut_len the
     code length — one table lookup per symbol instead of a
@@ -443,9 +443,9 @@ def encode_jpeg(pixels: np.ndarray, quality: int = 90) -> bytes:
 
 
 class _BitReader:
-    """Entropy-segment bit reader with 0xFF00 unstuffing: a python-int
-    accumulator refilled bytewise, so a Huffman symbol is ONE 16-bit
-    peek + LUT hit and a coefficient receive is one shift-mask."""
+    """Entropy-segment byte holder with 0xFF00 unstuffing; the scan
+    loop in decode_jpeg reads self.data with inlined local-state bit
+    accumulators (profiled ~2x over per-symbol method calls)."""
 
     def __init__(self, data: bytes):
         arr = np.frombuffer(data, dtype=np.uint8)
@@ -456,42 +456,6 @@ class _BitReader:
         keep[ff[arr[ff + 1] == 0x00] + 1] = False
         self.data = arr[keep].tobytes()
         self.n = len(self.data)
-        self.bytepos = 0
-        self.acc = 0  # python int holding `nacc` valid low bits
-        self.nacc = 0
-
-    def _fill(self):
-        d, p, n = self.data, self.bytepos, self.n
-        acc, nacc = self.acc, self.nacc
-        while nacc <= 24:
-            # past the end, pad with 1-bits (the spec's pad value)
-            acc = (acc << 8) | (d[p] if p < n else 0xFF)
-            p += 1
-            nacc += 8
-        self.acc, self.nacc, self.bytepos = acc, nacc, p
-
-    def read(self, n: int) -> int:
-        if self.nacc < n:
-            self._fill()
-        self.nacc -= n
-        v = (self.acc >> self.nacc) & ((1 << n) - 1)
-        self.acc &= (1 << self.nacc) - 1
-        return v
-
-    def huff(self, table: tuple[list, list]) -> int:
-        if self.nacc < 16:
-            self._fill()
-        window = (self.acc >> (self.nacc - 16)) & 0xFFFF
-        ln = table[1][window]
-        if ln == 0:
-            raise ValueError("invalid Huffman code")
-        self.nacc -= ln
-        self.acc &= (1 << self.nacc) - 1
-        return table[0][window]
-
-
-def _extend(v: int, size: int) -> int:
-    return v if v >= (1 << (size - 1)) else v - (1 << size) + 1
 
 
 def decode_jpeg(data: bytes) -> np.ndarray:
@@ -505,7 +469,7 @@ def decode_jpeg(data: bytes) -> np.ndarray:
         raise ValueError("not a JPEG")
     pos = 2
     qtabs: dict[int, np.ndarray] = {}
-    htabs: dict[tuple[int, int], dict] = {}
+    htabs: dict[tuple[int, int], tuple[list, list]] = {}
     comps: list[tuple[int, int, int]] = []  # (comp_id, qtab_id)
     h = w = 0
     scan = None
@@ -570,14 +534,13 @@ def decode_jpeg(data: bytes) -> np.ndarray:
     nby, nbx = H // 8, W // 8
     nblocks = nby * nbx
     ncomp = len(comps)
-    coefs = [np.zeros((nblocks, 64), dtype=np.int32) for _ in range(ncomp)]
     dc_t = [htabs[(0, next(t for c, t, _ in scan if c == cid))] for cid, _ in comps]
     ac_t = [htabs[(1, next(a for c, _, a in scan if c == cid))] for cid, _ in comps]
     prev_dc = [0] * ncomp
     # hot entropy loop: the bit-reader state lives in locals and the
     # coefficient blocks are plain python lists — both ~2x over
     # method-call + numpy-scalar-store variants (profiled)
-    coefs_l = [c.tolist() for c in coefs]
+    coefs_l = [[[0] * 64 for _ in range(nblocks)] for _ in range(ncomp)]
     data_e, nd = br.data, br.n
     acc, nacc, bp = 0, 0, 0
     for b in range(nblocks):
@@ -642,6 +605,13 @@ def decode_jpeg(data: bytes) -> np.ndarray:
                 acc &= (1 << nacc) - 1
                 zz[k] = v if v >= (1 << (s - 1)) else v - (1 << s) + 1
                 k += 1
+    # truncation guard: refills past the real data fabricate 0xFF pad
+    # bytes (legal only for the final byte's 1-bit padding). Consumed
+    # bits = 8*bp - nacc; anything beyond the real stream means the
+    # entropy segment ran dry mid-decode — raise instead of returning
+    # plausible-looking garbage pixels.
+    if 8 * bp - nacc > 8 * nd:
+        raise ValueError("truncated JPEG entropy segment")
     coefs = [np.array(c, dtype=np.int32) for c in coefs_l]
     out = np.empty((h, w, ncomp), dtype=np.float64)
     for ci, (cid, tq) in enumerate(comps):

@@ -285,3 +285,14 @@ def test_codec_roundtrip_batch_gate():
     df = out.to_pandas()
     assert df[df.fmt == "png"].lossless.all()
     assert (df[df.fmt == "jpeg"].psnr_db >= 40.0).all()
+
+
+def test_jpeg_truncated_stream_raises():
+    """A truncated entropy segment must raise, not return plausible
+    garbage pixels (the decoder pads refills with 0xFF past the real
+    data; the consumed-bits guard catches streams that run dry)."""
+    px = _noise((32, 32, 3), 23)
+    b = C.encode_jpeg(px, quality=95)
+    for cut in (len(b) // 2, len(b) - 30):
+        with pytest.raises(ValueError):
+            C.decode_jpeg(b[:cut])
