@@ -298,7 +298,13 @@ def main():
 
         ray.shutdown()
         return
+    # epoch context bracketing the sweep: this box's DRAM-bandwidth
+    # share swings ~2-4x on minute scales (BASELINE.md §7-§8); probes
+    # before/after let any reader normalize the numbers
+    probe_pre = run_compute_probe()
+    cpu_probe = run_cpu_probe()
     queries = run_queries()
+    probe_post = run_compute_probe()
     import ray
 
     ray.shutdown()
@@ -311,6 +317,9 @@ def main():
                 "images_per_sec": round(headline["images_per_sec"], 1),
                 "images": headline["images"],
                 "queries": queries,
+                "probe_pre_sec": round(probe_pre["sec"], 2),
+                "probe_post_sec": round(probe_post["sec"], 2),
+                "cpu_probe_sec": round(cpu_probe["sec"], 2),
                 "sf": SF_DIR,
                 "num_cpus": NUM_CPUS,
             }
