@@ -296,3 +296,80 @@ def test_jpeg_truncated_stream_raises():
     for cut in (len(b) // 2, len(b) - 30):
         with pytest.raises(ValueError):
             C.decode_jpeg(b[:cut])
+
+
+# ---------------------------------------------------------------------------
+# property tests (bounded-example hypothesis sweeps)
+
+try:
+    from hypothesis import given, settings
+    from hypothesis import strategies as st
+
+    _HAVE_HYP = True
+except ImportError:  # pragma: no cover
+    _HAVE_HYP = False
+
+if _HAVE_HYP:
+
+    @settings(max_examples=25, deadline=None)
+    @given(
+        h=st.integers(1, 40),
+        w=st.integers(1, 40),
+        gray=st.booleans(),
+        seed=st.integers(0, 2**16),
+    )
+    def test_prop_png_roundtrip_lossless(h, w, gray, seed):
+        shape = (h, w) if gray else (h, w, 3)
+        px = _noise(shape, seed)
+        assert np.array_equal(C.decode_png(C.encode_png(px)), px)
+
+    @settings(max_examples=15, deadline=None)
+    @given(
+        h=st.integers(1, 32),
+        w=st.integers(1, 32),
+        q=st.integers(88, 100),
+        seed=st.integers(0, 2**16),
+    )
+    def test_prop_jpeg_shape_and_psnr(h, w, q, seed):
+        """Any size (incl. non-multiple-of-8 and 1-px edges) round-trips
+        with the right shape. PSNR >= 35 dB at q >= 88 on noise holds
+        for images of at least one full 8x8 block — sub-block images
+        are dominated by pad-replication + chroma quantization (real
+        libjpeg behaves the same); the 40 dB input_hint gate is
+        asserted separately at q98 on the generator's sizes."""
+        px = _noise((h, w, 3), seed)
+        dec = C.decode_jpeg(C.encode_jpeg(px, quality=q))
+        assert dec.shape == px.shape
+        if h >= 8 and w >= 8:
+            assert C.psnr(px, dec) >= 35.0
+
+    @settings(max_examples=20, deadline=None)
+    @given(
+        n=st.integers(1, 5000),
+        ch=st.integers(1, 2),
+        sr=st.sampled_from([8000, 16000, 44100]),
+        seed=st.integers(0, 2**16),
+    )
+    def test_prop_wav_bit_exact(n, ch, sr, seed):
+        rng = np.random.RandomState(seed)
+        shape = (n,) if ch == 1 else (n, ch)
+        s = rng.randint(-32768, 32768, shape).astype(np.int16)
+        dec, got_sr = C.decode_wav(C.encode_wav(s, sr))
+        assert got_sr == sr
+        assert np.array_equal((dec * 32768.0).astype(np.int16), s)
+
+    @settings(max_examples=15, deadline=None)
+    @given(
+        n=st.integers(1, 12),
+        h=st.integers(1, 24),
+        w=st.integers(1, 24),
+        idx_frac=st.floats(0.0, 0.999),
+        seed=st.integers(0, 2**16),
+    )
+    def test_prop_y4m_any_frame_exact(n, h, w, idx_frac, seed):
+        fr = _noise((n, h, w), seed)
+        data = C.encode_y4m(fr)
+        info = C.y4m_info(data)
+        assert info["n_frames"] == n
+        idx = int(idx_frac * n)
+        assert np.array_equal(C.decode_y4m_frame(data, idx, info), fr[idx])
