@@ -94,12 +94,14 @@ def run_headline() -> dict:
     # dir per run so nothing is resumed; the kill-and-resume path is
     # pytest-proven (tests/test_state.py)
     ck = tempfile.mkdtemp(prefix="graft_flagship_ck_")
-    t0 = time.time()
-    images = ray.data.read_parquet(CACHE, override_num_blocks=nb)
-    out = IP.flagship_full(images, checkpoint_dir=ck)  # fused stateless decode
-    n_out = out.count()  # consumes the stream
-    dt = time.time() - t0
-    shutil.rmtree(ck, ignore_errors=True)
+    try:
+        t0 = time.time()
+        images = ray.data.read_parquet(CACHE, override_num_blocks=nb)
+        out = IP.flagship_full(images, checkpoint_dir=ck)  # fused stateless decode
+        n_out = out.count()  # consumes the stream
+        dt = time.time() - t0
+    finally:
+        shutil.rmtree(ck, ignore_errors=True)
 
     # join-only secondary metric: pixels pruned at the read
     t1 = time.time()

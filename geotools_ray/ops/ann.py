@@ -77,7 +77,6 @@ def brute_force_topk(
     k: int = 10,
     id_col: str = "vec_id",
     emb_col: str = "embedding",
-    num_parts: int | None = None,
 ) -> ray.data.Dataset:
     """Exact cosine top-k per query; rank ties break on vec_id."""
     qn = _norm_rows(np.asarray(queries, dtype=np.float64))
@@ -251,7 +250,6 @@ def ivf_topk_index(
     nprobe: int = 4,
     id_col: str = "vec_id",
     emb_col: str = "embedding",
-    num_parts: int | None = None,
 ) -> ray.data.Dataset:
     """Probe a bucket-partitioned index: only the union of the
     queries' nprobe buckets is READ (partition pruning at the
@@ -405,20 +403,33 @@ def embedding_near_dup_pairs(
         starts = np.concatenate([[0], cut])
         ends = np.concatenate([cut, [len(band_c)]])
         out_a, out_b = [], []
+        TILE = 2048  # bounds per-task memory at TILE^2 x 8 B (~33 MB)
         for s, e in zip(starts, ends):
             if e - s < 2:
                 continue
             band = int(band_c[s])
             ids = ids_c[s:e]
             sg = sig_c[s:e]
-            ii, jj = np.triu_indices(e - s, k=1)
-            x = sg[ii] ^ sg[jj]
-            keep = _popcount64(x) <= ham_max  # signature prefilter
-            for j in range(band):
-                keep &= (x & band_masks[j]) != 0
-            if keep.any():
-                out_a.append(ids[ii[keep]])
-                out_b.append(ids[jj[keep]])
+            m = e - s
+            # tiled upper-triangle enumeration: within-bucket work is
+            # inherent to the banding parameters (no pigeonhole to
+            # sub-split on without losing candidates), but tiling keeps
+            # the xor/popcount intermediates bounded instead of
+            # materializing O(m^2) index arrays on a hot bucket
+            for i0 in range(0, m, TILE):
+                i1 = min(i0 + TILE, m)
+                for j0 in range(i0, m, TILE):
+                    j1 = min(j0 + TILE, m)
+                    x = sg[i0:i1, None] ^ sg[None, j0:j1]
+                    keep = _popcount64(x.ravel()).reshape(x.shape) <= ham_max
+                    for j in range(band):  # exactly-once emission
+                        keep &= (x & band_masks[j]) != 0
+                    if j0 == i0:  # diagonal tile: strict upper triangle
+                        keep &= np.arange(j0, j1)[None, :] > np.arange(i0, i1)[:, None]
+                    if keep.any():
+                        ii, jj = np.nonzero(keep)
+                        out_a.append(ids[ii + i0])
+                        out_b.append(ids[jj + j0])
         if not out_a:
             return pa.table({"id_a": pa.array([], pa.int64()),
                              "id_b": pa.array([], pa.int64())})
@@ -433,14 +444,17 @@ def embedding_near_dup_pairs(
     def normed(t: pa.Table) -> pa.Table:
         En = _norm_rows(_stack(t[emb_col]))
         ids = t[id_col].to_numpy(zero_copy_only=False).astype(np.int64)
+        offs = np.arange(0, (len(ids) + 1) * dim, dim, dtype=np.int32)
         return pa.table(
             {
                 "key": ids,
                 "id_a": np.full(len(ids), -1, dtype=np.int64),
                 "id_b": np.full(len(ids), -1, dtype=np.int64),
                 "side": np.full(len(ids), -1, dtype=np.int64),
-                "en": pa.FixedSizeListArray.from_arrays(
-                    pa.array(En.ravel(), pa.float64()), dim
+                # variable-length list so the candidate side of the
+                # union can carry EMPTY lists (no dim-wide padding)
+                "en": pa.ListArray.from_arrays(
+                    pa.array(offs), pa.array(En.ravel(), pa.float64())
                 ),
             }
         )
@@ -449,7 +463,6 @@ def embedding_near_dup_pairs(
         a = t["id_a"].to_numpy(zero_copy_only=False)
         b = t["id_b"].to_numpy(zero_copy_only=False)
         n = len(a)
-        zeros = np.zeros(n * dim * 2, dtype=np.float64)
         return pa.table(
             {
                 "key": np.concatenate([a, b]),
@@ -458,8 +471,12 @@ def embedding_near_dup_pairs(
                 "side": np.concatenate(
                     [np.zeros(n, dtype=np.int64), np.ones(n, dtype=np.int64)]
                 ),
-                "en": pa.FixedSizeListArray.from_arrays(
-                    pa.array(zeros, pa.float64()), dim
+                # candidate rows ship ZERO embedding payload: empty
+                # variable-length lists (~4 B/row of offsets), not a
+                # dim-wide dense vector of padding
+                "en": pa.ListArray.from_arrays(
+                    pa.array(np.zeros(2 * n + 1, dtype=np.int32)),
+                    pa.array([], pa.float64()),
                 ),
             }
         )

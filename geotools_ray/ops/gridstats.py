@@ -225,7 +225,9 @@ def grid_stats(points: ray.data.Dataset, cfg: GridConfig) -> ray.data.Dataset:
         return pd.DataFrame(
             {
                 "cell_id": [cid for (cid, _s), _ in groups],
-                "vals": [np.sort(g["v"].to_numpy(dtype=np.float64)) for _, g in groups],
+                # no per-chunk sort: merge() re-sorts the full
+                # concatenation anyway, so phase-1 ordering is wasted
+                "vals": [g["v"].to_numpy(dtype=np.float64) for _, g in groups],
             }
         )
 

@@ -221,12 +221,31 @@ def flagship_full(
     With `checkpoint_dir` the join output is checkpointed through the
     resumable manifest store (state/manifest): hash-partitioned by
     image_id into `checkpoint_parts` atomic parquet partitions, each
-    with a lineage record; a rerun over the same dir skips completed
-    partitions BEFORE recomputing them (manifest anti-join) and only
-    the decode+join of missing partitions is repaid. At design scale
-    this is the restart boundary between the embarrassingly-parallel
-    front half and the shuffle back half."""
+    with a lineage record. On rerun, the completed-partition anti-join
+    runs on the RAW input table (partition key = hash(image_id), known
+    before any compute), so the decode+join of completed partitions is
+    genuinely never repaid — a downstream filter could not skip the
+    upstream fused decode. read_partitioned then returns old + new
+    partitions together. At design scale this is the restart boundary
+    between the embarrassingly-parallel front half and the shuffle
+    back half."""
+    from ..stages.grouped import hash_columns
     from ..stages.imaging import DecodeStage, decode_features_batch
+    from ..state.manifest import load_manifest
+
+    if checkpoint_dir is not None:
+        done = load_manifest(checkpoint_dir)
+        if done:
+            done_ref = ray.put(np.array(sorted(int(k) for k in done), dtype=np.int64))
+
+            def prefilter(t: pa.Table) -> pa.Table:
+                part = (
+                    hash_columns(t, ["image_id"]) % np.uint64(checkpoint_parts)
+                ).astype(np.int64)
+                mask = ~np.isin(part, ray.get(done_ref))
+                return t.filter(pa.array(mask))
+
+            images = images.map_batches(prefilter, batch_format="pyarrow")
 
     if decode_concurrency is None:
         decoded = images.map_batches(

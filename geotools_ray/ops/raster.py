@@ -1095,12 +1095,13 @@ def spill_points_tiles(
         col = t["col"].to_numpy(zero_copy_only=False)
         row = t["row"].to_numpy(zero_copy_only=False)
         home = (row // B) * nbx + (col // B)
+        nby = (H + B - 1) // B
         outs = {"bk": [], "home": [], "bid": [], "col": [], "row": []}
         for dr in (-1, 0, 1):
             for dc in (-1, 0, 1):
                 by = row // B + dr
                 bx = col // B + dc
-                m = (by >= 0) & (bx >= 0) & (bx < nbx)
+                m = (by >= 0) & (by < nby) & (bx >= 0) & (bx < nbx)
                 outs["bk"].append((by * nbx + bx)[m])
                 outs["home"].append(home[m])
                 outs["bid"].append(bid[m])

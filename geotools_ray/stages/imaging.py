@@ -79,33 +79,41 @@ def decode_features_batch(t: pa.Table) -> pa.Table:
         tag = bytes(d[:4])
         if tag == b"\x89PNG":
             # real PNG (codecs.encode_png layout): w/h big-endian in
-            # IHDR; payload is the concatenated IDAT zlib stream
+            # IHDR; payload is the concatenated IDAT zlib stream.
+            # color type (IHDR byte 9) keys the group so gray (0) and
+            # RGB (2) batches reshape with the right channel count.
             w = int.from_bytes(d[16:20], "big")
             h = int.from_bytes(d[20:24], "big")
-            groups.setdefault((tag, h, w), []).append(
+            ctype = d[25]
+            groups.setdefault((tag, h, w, ctype), []).append(
                 (i, zlib.decompress(codecs.png_idat(d)))
             )
         else:
             w = int.from_bytes(d[4:8], "little")
             h = int.from_bytes(d[8:12], "little")
-            groups.setdefault((tag, h, w), []).append((i, zlib.decompress(d[12:])))
-    for (tag, h, w), items in groups.items():
+            groups.setdefault((tag, h, w, 2), []).append((i, zlib.decompress(d[12:])))
+    for (tag, h, w, ctype), items in groups.items():
         idx = np.array([i for i, _ in items])
         raw = np.frombuffer(b"".join(r for _, r in items), dtype=np.uint8)
         if tag == b"\x89PNG":
-            # (n, h, 1 + 3w) filter-byte-prefixed rows; our encoder
+            nch = 3 if ctype == 2 else 1
+            # (n, h, 1 + nch*w) filter-byte-prefixed rows; our encoder
             # writes filter 0 everywhere -> strip the filter column.
             # Foreign files with other filters take the per-image path.
-            rows = raw.reshape(len(items), h, 1 + 3 * w)
+            rows = raw.reshape(len(items), h, 1 + nch * w)
             if np.any(rows[:, :, 0]):
                 px = np.stack(
                     [
-                        codecs._png_unfilter(r, h, 3 * w, 3).reshape(h, w, 3)
+                        codecs._png_unfilter(r, h, nch * w, nch).reshape(h, w, nch)
                         for r in rows
                     ]
                 )
             else:
-                px = np.ascontiguousarray(rows[:, :, 1:]).reshape(len(items), h, w, 3)
+                px = np.ascontiguousarray(rows[:, :, 1:]).reshape(
+                    len(items), h, w, nch
+                )
+            if nch == 1:  # grayscale: replicate to the RGB feature path
+                px = np.repeat(px, 3, axis=3)
         else:
             px = raw.reshape(len(items), h, w, 3)
         if tag == b"GJPG":

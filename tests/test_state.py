@@ -98,6 +98,26 @@ def test_flagship_checkpoint_kill_and_resume(ray_session, tmp_path):
     for k in survivors:  # ...survivors never rewritten (manifest anti-join)
         assert os.path.getmtime(os.path.join(ck, f"part={k}", "data.parquet")) == mtimes[k]
 
+    # decode/join of completed partitions is genuinely never repaid:
+    # with every partition checkpointed, rerun over POISONED payloads
+    # (any decode attempt would raise) — the manifest prefilter drops
+    # all rows before the decode stage and the output comes entirely
+    # from the checkpoint
+    poisoned = t.set_column(
+        t.schema.get_field_index("bytes"),
+        "bytes",
+        pa.array([b"junk"] * len(t), pa.binary()),
+    )
+    out3 = (
+        IP.flagship_full(
+            ray.data.from_arrow(poisoned), checkpoint_dir=ck, checkpoint_parts=8
+        )
+        .to_pandas()
+        .sort_values(["polygon_id", "parent_cell"])
+        .reset_index(drop=True)
+    )
+    assert out3.equals(ref)
+
 
 def test_metrics_counters(ray_session):
     import ray.data
