@@ -90,18 +90,36 @@ def shingle_sets(
     shingle strings (64-bit collisions are ~1e-10 at corpus scale)."""
 
     def fn(t: pa.Table) -> pa.Table:
-        ids = t[id_col].to_numpy(zero_copy_only=False)
-        sets = []
-        for s in t[text_col].to_pylist():
+        # ONE vectorized hash call over every shingle in the batch,
+        # then per-doc sorted-distinct via a single lexsort — identical
+        # to per-doc np.unique(hash(shingles)) but without 2 numpy
+        # calls per document
+        texts = t[text_col].to_pylist()
+        all_sh: list[str] = []
+        counts = np.empty(len(texts), dtype=np.int64)
+        for i, s in enumerate(texts):
             sh = T.shingles(s, shingle_k)
-            if sh:
-                hs = np.unique(T.stable_hash64_array(sorted(sh)).astype(np.int64))
-            else:
-                hs = np.empty(0, dtype=np.int64)
-            sets.append(hs)
-        return pa.table(
-            {id_col: ids, "sh": pa.array([h.tolist() for h in sets], pa.list_(pa.int64()))}
+            counts[i] = len(sh)
+            all_sh.extend(sh)
+        if all_sh:
+            hs = T.stable_hash64_array(all_sh).astype(np.int64)
+        else:
+            hs = np.empty(0, dtype=np.int64)
+        doc = np.repeat(np.arange(len(texts)), counts)
+        order = np.lexsort((hs, doc))
+        doc, hs = doc[order], hs[order]
+        if len(hs):
+            keep = np.empty(len(hs), dtype=bool)
+            keep[0] = True
+            keep[1:] = (doc[1:] != doc[:-1]) | (hs[1:] != hs[:-1])
+            doc, hs = doc[keep], hs[keep]
+        offs = np.concatenate(
+            ([0], np.cumsum(np.bincount(doc, minlength=len(texts))))
+        ).astype(np.int32)
+        arr = pa.ListArray.from_arrays(
+            pa.array(offs, pa.int32()), pa.array(hs, pa.int64())
         )
+        return pa.table({id_col: t[id_col], "sh": arr})
 
     return docs.map_batches(fn, batch_format="pyarrow")
 
@@ -122,6 +140,43 @@ def verify_jaccard(
     never lands on the driver."""
     if sets is None:
         sets = shingle_sets(docs, text_col, id_col, shingle_k)
+
+    # Broadcast semi-join prefilter: only docs that appear in a
+    # candidate pair need their shingle set shipped through the join
+    # shuffle. Near-dup candidates are normally a small fraction of the
+    # corpus, so the distinct-id vector is tiny — ray.put it once and
+    # filter `sets` in place (zero-copy plasma read per task). Gated:
+    # above the cap the id vector is no longer broadcast-sized and we
+    # fall back to the full-shuffle join, which is then no worse.
+    PREFILTER_MAX_PAIRS = 4_000_000
+    pairs = pairs.materialize()
+    n_pairs = pairs.count()
+    if n_pairs <= PREFILTER_MAX_PAIRS:
+        if n_pairs == 0:
+            cand_ids = np.empty(0, dtype=np.int64)
+        else:
+            idf = pairs.select_columns(["id_a", "id_b"]).to_pandas()
+            cand_ids = np.unique(
+                np.concatenate(
+                    [
+                        idf["id_a"].to_numpy().astype(np.int64),
+                        idf["id_b"].to_numpy().astype(np.int64),
+                    ]
+                )
+            )
+        ids_ref = ray.put(cand_ids)
+
+        def semi(t: pa.Table) -> pa.Table:
+            wanted = ray.get(ids_ref)
+            ids = t[id_col].to_numpy(zero_copy_only=False).astype(np.int64)
+            if len(wanted) == 0:
+                keep = np.zeros(len(t), dtype=bool)
+            else:
+                pos = np.minimum(np.searchsorted(wanted, ids), len(wanted) - 1)
+                keep = wanted[pos] == ids
+            return t.filter(pa.array(keep))
+
+        sets = sets.map_batches(semi, batch_format="pyarrow")
 
     EMPTY = np.empty(0, dtype=np.int64)
 
@@ -440,10 +495,17 @@ def minhash_signatures_from_sets(
 
 
 def lsh_candidate_pairs(
-    sigs: ray.data.Dataset, id_col: str = "doc_id", bands: int = 16
+    sigs: ray.data.Dataset,
+    id_col: str = "doc_id",
+    bands: int = 16,
+    dedup: bool = True,
 ) -> ray.data.Dataset:
     """Explode signatures into (band, band_hash) keys; docs sharing a
-    bucket become candidate pairs (deduped by a grouped shuffle)."""
+    bucket become candidate pairs. With dedup=True a second grouped
+    shuffle removes cross-band duplicates globally; pass dedup=False
+    when the consumer is duplicate-tolerant (verify_jaccard groups by
+    (id_a, id_b) and drop_duplicates each pair anyway) to save that
+    all-to-all — the within-partition dedup still runs."""
 
     def explode(t: pa.Table) -> pa.Table:
         ids = t[id_col].to_numpy(zero_copy_only=False)
@@ -480,21 +542,41 @@ def lsh_candidate_pairs(
     exploded = sigs.map_batches(explode, batch_format="pyarrow")
 
     def pairs(df: pd.DataFrame) -> pd.DataFrame:
+        # run-length bucket detection over ONE lexsort — no python loop
+        # over the (mostly singleton) buckets. ids sort innermost so
+        # each bucket's members come out already ascending.
+        b = df["band"].to_numpy()
+        h = df["bhash"].to_numpy()
+        ids = df[id_col].to_numpy()
+        if len(b) == 0:
+            return pd.DataFrame(
+                {"id_a": np.empty(0, ids.dtype), "id_b": np.empty(0, ids.dtype)}
+            )
+        order = np.lexsort((ids, h, b))
+        b, h, ids = b[order], h[order], ids[order]
+        new = np.empty(len(b), dtype=bool)
+        new[0] = True
+        new[1:] = (b[1:] != b[:-1]) | (h[1:] != h[:-1])
+        starts = np.flatnonzero(new)
+        ends = np.append(starts[1:], len(b))
+        big = np.flatnonzero(ends - starts >= 2)
         out_a, out_b = [], []
-        for _, g in df.groupby(["band", "bhash"], sort=False):
-            ids = np.sort(g["doc_id"].to_numpy())
-            if len(ids) < 2:
-                continue
-            ii, jj = np.triu_indices(len(ids), k=1)
-            out_a.append(ids[ii])
-            out_b.append(ids[jj])
+        for r in big:
+            seg = ids[starts[r] : ends[r]]
+            ii, jj = np.triu_indices(len(seg), k=1)
+            out_a.append(seg[ii])
+            out_b.append(seg[jj])
         if not out_a:
-            return pd.DataFrame({"id_a": [], "id_b": []})
+            return pd.DataFrame(
+                {"id_a": np.empty(0, ids.dtype), "id_b": np.empty(0, ids.dtype)}
+            )
         return pd.DataFrame(
             {"id_a": np.concatenate(out_a), "id_b": np.concatenate(out_b)}
         ).drop_duplicates()
 
     cand = grouped_map(exploded, ["band", "bhash"], pairs)
+    if not dedup:
+        return cand
 
     def dedup_pairs(df: pd.DataFrame) -> pd.DataFrame:
         return df.drop_duplicates(["id_a", "id_b"])
@@ -517,7 +599,10 @@ def minhash_lsh_dedup(
     # exact-Jaccard verify
     sets = shingle_sets(docs, shingle_k=shingle_k).materialize()
     sigs = minhash_signatures_from_sets(sets, num_perm=num_perm)
-    cand = lsh_candidate_pairs(sigs, bands=bands)
+    # dedup=False: verify_jaccard's (id_a, id_b) regroup already
+    # collapses cross-band duplicate candidates, so the global pair
+    # dedup shuffle is redundant here
+    cand = lsh_candidate_pairs(sigs, bands=bands, dedup=False)
     verified = verify_jaccard(cand, docs, threshold, shingle_k=shingle_k, sets=sets)
     return connected_components(verified)
 
