@@ -485,16 +485,42 @@ def embedding_near_dup_pairs(
         vectors.map_batches(normed, batch_format="pyarrow")
     )
 
-    def attach(df: pd.DataFrame) -> pd.DataFrame:
+    def attach(df: pd.DataFrame) -> pa.Table:
+        # returns ARROW with en as a real list<float64>: a pandas
+        # object column of SAME-LENGTH ndarrays (embeddings are fixed
+        # dim) would be re-encoded as Ray's fixed-shape tensor
+        # extension at the next shuffle's pandas->arrow boundary, whose
+        # reduce-side conversion back to pandas can crash on zero-copy
+        # (see ops/dedup.py verify_jaccard attach)
         srows = df[df["side"] < 0][["key", "en"]].drop_duplicates("key")
         prows = df[df["side"] >= 0].drop(columns=["en"])
         if not len(prows):
-            return pd.DataFrame(
-                {"id_a": pd.Series(dtype=np.int64), "id_b": pd.Series(dtype=np.int64),
-                 "side": pd.Series(dtype=np.int64), "en": pd.Series(dtype=object)}
+            return pa.table(
+                {"id_a": pa.array([], pa.int64()), "id_b": pa.array([], pa.int64()),
+                 "side": pa.array([], pa.int64()),
+                 "en": pa.array([], pa.list_(pa.float64()))}
             )
         m = prows.merge(srows, on="key", how="inner")
-        return m[["id_a", "id_b", "side", "en"]]
+        cells = m["en"].to_numpy()
+        lens = np.fromiter(
+            (len(v) for v in cells), dtype=np.int64, count=len(cells)
+        )
+        chunks = [np.asarray(v, dtype=np.float64) for v in cells if len(v)]
+        flat = (
+            np.concatenate(chunks) if chunks else np.empty(0, dtype=np.float64)
+        )
+        offs = np.concatenate(([0], np.cumsum(lens))).astype(np.int32)
+        en = pa.ListArray.from_arrays(
+            pa.array(offs, pa.int32()), pa.array(flat, pa.float64())
+        )
+        return pa.table(
+            {
+                "id_a": m["id_a"].to_numpy(np.int64),
+                "id_b": m["id_b"].to_numpy(np.int64),
+                "side": m["side"].to_numpy(np.int64),
+                "en": en,
+            }
+        )
 
     halves = grouped_map(u, ["key"], attach, num_parts=num_parts)
 

@@ -39,6 +39,16 @@ def _popcount64(x: np.ndarray) -> np.ndarray:
     return _POP8[x.view(np.uint8).reshape(len(x), 8)].sum(axis=1).astype(np.int64)
 
 
+def _splitmix64(x: np.ndarray, seed: int) -> np.ndarray:
+    """Vectorized splitmix64 finalizer over uint64 — used to build an
+    order-independent 128-bit set hash from sorted-distinct elements."""
+    with np.errstate(over="ignore"):
+        x = x + np.uint64(seed)
+        x = (x ^ (x >> np.uint64(30))) * np.uint64(0xBF58476D1CE4E5B9)
+        x = (x ^ (x >> np.uint64(27))) * np.uint64(0x94D049BB133111EB)
+        return x ^ (x >> np.uint64(31))
+
+
 def exact_dedup(ds: ray.data.Dataset, key_cols: list[str], order_col: str,
                 num_parts: int | None = None, salt_hot: bool = False,
                 hot_hashes=None) -> ray.data.Dataset:
@@ -149,6 +159,11 @@ def verify_jaccard(
     # above the cap the id vector is no longer broadcast-sized and we
     # fall back to the full-shuffle join, which is then no worse.
     PREFILTER_MAX_PAIRS = 4_000_000
+    # materialize is deliberate: `pairs` is consumed up to three times
+    # (count, the prefilter id pull, explode) and recomputing it means
+    # re-running the upstream LSH. Callers should hand in a DEDUPED
+    # pair set (lsh_candidate_pairs dedup=True) so what persists here
+    # is the true verify workload, not cross-band duplicates.
     pairs = pairs.materialize()
     n_pairs = pairs.count()
     if n_pairs <= PREFILTER_MAX_PAIRS:
@@ -212,20 +227,47 @@ def verify_jaccard(
         sets.map_batches(tag_sets, batch_format="pyarrow")
     )
 
-    def attach(df: pd.DataFrame) -> pd.DataFrame:
-        # vectorized join: pair rows pick up their doc's set by key
+    def attach(df: pd.DataFrame) -> pa.Table:
+        # vectorized join: pair rows pick up their doc's set by key.
+        # Returns ARROW with sh as a real list<int64> — a pandas object
+        # column of ndarrays would be re-encoded as Ray's tensor
+        # extension at the next shuffle's pandas->arrow boundary, and
+        # the FIXED-shape variant (all sets the same length, e.g. a
+        # constant-length corpus) crashes the reduce-side conversion
+        # back to pandas (zero-copy chunked to_numpy).
         srows = df[df["side"] < 0][["key", "sh"]].drop_duplicates("key")
         prows = df[df["side"] >= 0].drop(columns=["sh"])
         if not len(prows):
-            return pd.DataFrame(
-                {"id_a": pd.Series(dtype=np.int64), "id_b": pd.Series(dtype=np.int64),
-                 "side": pd.Series(dtype=np.int64), "sh": pd.Series(dtype=object)}
+            return pa.table(
+                {"id_a": pa.array([], pa.int64()), "id_b": pa.array([], pa.int64()),
+                 "side": pa.array([], pa.int64()),
+                 "sh": pa.array([], pa.list_(pa.int64()))}
             )
         m = prows.merge(srows, on="key", how="left")
-        missing = m["sh"].isna()
-        if missing.any():
-            m.loc[missing, "sh"] = pd.Series([EMPTY] * int(missing.sum()), index=m.index[missing])
-        return m[["id_a", "id_b", "side", "sh"]]
+        cells = m["sh"].to_numpy()
+        lens = np.fromiter(
+            (len(v) if isinstance(v, np.ndarray) else 0 for v in cells),
+            dtype=np.int64,
+            count=len(cells),
+        )
+        chunks = [v for v in cells if isinstance(v, np.ndarray) and len(v)]
+        flat = (
+            np.concatenate(chunks).astype(np.int64)
+            if chunks
+            else np.empty(0, dtype=np.int64)
+        )
+        offs = np.concatenate(([0], np.cumsum(lens))).astype(np.int32)
+        sh_arr = pa.ListArray.from_arrays(
+            pa.array(offs, pa.int32()), pa.array(flat, pa.int64())
+        )
+        return pa.table(
+            {
+                "id_a": m["id_a"].to_numpy(np.int64),
+                "id_b": m["id_b"].to_numpy(np.int64),
+                "side": m["side"].to_numpy(np.int64),
+                "sh": sh_arr,
+            }
+        )
 
     halves = grouped_map(u, ["key"], attach)
 
@@ -590,21 +632,167 @@ def minhash_lsh_dedup(
     shingle_k: int = 3,
     num_perm: int = 64,
     bands: int = 32,
+    collapse: bool = True,
 ) -> ray.data.Dataset:
     """-> (doc_id, cluster) for docs in near-dup clusters. bands=32 of
     2 rows: P(miss a true pair at jaccard j) = (1-j^2)^32 — 1e-4 at
     j=0.5; the exact-Jaccard verify then removes false positives, so
-    the output equals the exact-threshold clustering up to that recall."""
-    # shingle ONCE: the hash sets feed both the LSH signatures and the
-    # exact-Jaccard verify
+    the output equals the exact-threshold clustering up to that recall.
+
+    Exact-set collapse: a clone cluster of m byte-identical (or merely
+    shingle-set-identical) docs would put all m in every LSH bucket and
+    emit m(m-1)/2 candidate pairs — quadratic in the clone count, the
+    dominant real-web skew. Since identical shingle sets are Jaccard-1
+    (>= any threshold), the LSH/verify/CC machinery runs on one
+    REPRESENTATIVE per distinct set (rep = min doc_id of its group, a
+    128-bit splitmix hash keys the groups) and members re-expand with
+    the rep's cluster label afterwards. The output is identical: the
+    component's min doc id — the cluster label — equals the min over
+    its groups' reps. Docs with EMPTY shingle sets are never collapsed
+    (Jaccard 0/0 follows the verify kernel's own convention instead).
+    Above `collapse_cap` dup-group rows the driver-broadcast mapping no
+    longer fits and the un-collapsed (still correct) path runs with a
+    warning — at that dup volume run `exact_dedup` as a pre-pass."""
+    # shingle ONCE: the hash sets feed the set-collapse keys, the LSH
+    # signatures and the exact-Jaccard verify
     sets = shingle_sets(docs, shingle_k=shingle_k).materialize()
-    sigs = minhash_signatures_from_sets(sets, num_perm=num_perm)
-    # dedup=False: verify_jaccard's (id_a, id_b) regroup already
-    # collapses cross-band duplicate candidates, so the global pair
-    # dedup shuffle is redundant here
-    cand = lsh_candidate_pairs(sigs, bands=bands, dedup=False)
-    verified = verify_jaccard(cand, docs, threshold, shingle_k=shingle_k, sets=sets)
-    return connected_components(verified)
+
+    collapse_cap = 8_000_000
+
+    def shash(t: pa.Table) -> pa.Table:
+        col = t["sh"]
+        if isinstance(col, pa.ChunkedArray):
+            col = col.combine_chunks()
+        offs = col.offsets.to_numpy(zero_copy_only=False).astype(np.int64)
+        flat = col.values.to_numpy(zero_copy_only=False)[offs[0] : offs[-1]]
+        offs = offs - offs[0]
+        counts = np.diff(offs)
+        n = len(t)
+        h1 = np.zeros(n, dtype=np.uint64)
+        h2 = np.zeros(n, dtype=np.uint64)
+        nonempty = counts > 0
+        if flat.size:
+            u = flat.view(np.uint64)
+            m1 = _splitmix64(u, 0x9E3779B97F4A7C15)
+            m2 = _splitmix64(u, 0xC2B2AE3D27D4EB4F)
+            starts = offs[:-1][nonempty]
+            with np.errstate(over="ignore"):
+                for h, m, seed in ((h1, m1, 1), (h2, m2, 2)):
+                    x = np.bitwise_xor.reduceat(m, starts)
+                    s = np.add.reduceat(m, starts)
+                    h[nonempty] = _splitmix64(
+                        x ^ _splitmix64(s + counts[nonempty].astype(np.uint64), seed),
+                        seed,
+                    )
+        return pa.table(
+            {
+                "doc_id": t["doc_id"],
+                "h1": h1.view(np.int64),
+                "h2": h2.view(np.int64),
+                "nsh": counts,
+            }
+        )
+
+    def rep_fn(df: pd.DataFrame) -> pd.DataFrame:
+        df = df[df["nsh"] > 0]
+        g = df.groupby(["h1", "h2"], sort=False)["doc_id"]
+        rep = g.transform("min")
+        keep = g.transform("size") >= 2
+        return pd.DataFrame(
+            {
+                "doc_id": df.loc[keep, "doc_id"].to_numpy(np.int64),
+                "rep": rep[keep].to_numpy(np.int64),
+            }
+        )
+
+    n_dup = 0
+    if collapse:
+        mapping = grouped_map(
+            sets.map_batches(shash, batch_format="pyarrow"), ["h1", "h2"], rep_fn
+        ).materialize()
+        n_dup = mapping.count()
+
+    mdf = None
+    lsh_sets = sets
+    if 0 < n_dup <= collapse_cap:
+        mdf = mapping.to_pandas()
+        nonrep = mdf["doc_id"].to_numpy(np.int64)
+        nonrep = np.sort(nonrep[nonrep != mdf["rep"].to_numpy(np.int64)])
+        nr_ref = ray.put(nonrep)
+
+        def drop_nonrep(t: pa.Table) -> pa.Table:
+            drop = ray.get(nr_ref)
+            ids = t["doc_id"].to_numpy(zero_copy_only=False).astype(np.int64)
+            pos = np.minimum(np.searchsorted(drop, ids), len(drop) - 1)
+            return t.filter(pa.array(drop[pos] != ids))
+
+        lsh_sets = sets.map_batches(drop_nonrep, batch_format="pyarrow")
+    elif n_dup > collapse_cap:
+        import logging
+
+        logging.getLogger(__name__).warning(
+            "minhash_lsh_dedup: %d exact-dup rows exceed the %d collapse "
+            "broadcast cap; running un-collapsed (quadratic in clone-"
+            "cluster size). Pre-pass exact_dedup for corpora this "
+            "duplicate-heavy.",
+            n_dup,
+            collapse_cap,
+        )
+
+    sigs = minhash_signatures_from_sets(lsh_sets, num_perm=num_perm)
+    # dedup=True is load-bearing even after the collapse: a pair of
+    # high-jaccard reps still collides in many of the `bands` bands,
+    # and each (band, bhash) bucket hashes to a DIFFERENT grouped_map
+    # partition, so without a global dedup up to bands x duplicate pair
+    # rows reach the verify join (which explodes each row 2x and
+    # shuffles it twice more). Collapsing on the narrow 16-byte/row
+    # pair table first is the cheapest point to bound verify volume by
+    # TRUE candidates, and it makes verify's broadcast-prefilter gate
+    # count real pairs.
+    cand = lsh_candidate_pairs(sigs, bands=bands, dedup=True)
+    verified = verify_jaccard(cand, docs, threshold, shingle_k=shingle_k, sets=lsh_sets)
+    labels = connected_components(verified)
+    if mdf is None or not len(mdf):
+        return labels
+    labels = labels.materialize()
+
+    # expand: members of each dup group take their rep's cluster label;
+    # a group whose rep joined no verified pair is its own cluster
+    # (its members are mutual Jaccard-1 pairs), labeled rep = group min
+    member = mdf["doc_id"].to_numpy(np.int64)
+    rep = mdf["rep"].to_numpy(np.int64)
+    dup_reps = np.unique(rep)
+    dr_ref = ray.put(dup_reps)
+
+    def only_dup_reps(t: pa.Table) -> pa.Table:
+        keep = ray.get(dr_ref)
+        ids = t["doc_id"].to_numpy(zero_copy_only=False).astype(np.int64)
+        pos = np.minimum(np.searchsorted(keep, ids), len(keep) - 1)
+        return t.filter(pa.array(keep[pos] == ids))
+
+    rl = labels.map_batches(only_dup_reps, batch_format="pyarrow").to_pandas()
+    if len(rl):
+        lab_ids = rl["doc_id"].to_numpy(np.int64)
+        lab_cl = rl["cluster"].to_numpy(np.int64)
+    else:  # empty -> column-less frame
+        lab_ids = np.empty(0, dtype=np.int64)
+        lab_cl = np.empty(0, dtype=np.int64)
+    order = np.argsort(lab_ids)
+    lab_ids, lab_cl = lab_ids[order], lab_cl[order]
+    if len(lab_ids):
+        pos = np.minimum(np.searchsorted(lab_ids, rep), len(lab_ids) - 1)
+        has_label = lab_ids[pos] == rep
+        cluster = np.where(has_label, lab_cl[pos], rep)
+    else:
+        has_label = np.zeros(len(rep), dtype=bool)
+        cluster = rep.copy()
+    # labeled reps already have their own row in `labels`; unlabeled
+    # (standalone) groups emit every member including the rep
+    emit = ~(has_label & (member == rep))
+    extra = ray.data.from_arrow(
+        pa.table({"doc_id": member[emit], "cluster": cluster[emit]})
+    )
+    return labels.union(extra)
 
 
 # ---------------------------------------------------------------------------

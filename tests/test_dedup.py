@@ -190,3 +190,58 @@ def test_simhash_low_entropy_bucket_bounded(ray_session):
     d = _popcount64(hs[ii] ^ hs[jj])
     want = set(zip(ii[d <= 10].tolist(), jj[d <= 10].tolist()))
     assert got == want
+
+
+def test_minhash_collapse_parity_and_skew(ray_session):
+    """Exact-set collapse must be invisible in the output: a corpus
+    mixing clone groups (incl. one whose members ALSO near-dup another
+    base doc), plain near-dups, empty texts and singletons clusters
+    identically with collapse on and off — and with collapse on, a
+    500x clone group contributes candidate work linear in the clones."""
+    import ray.data
+
+    from geotools_ray.ops.dedup import minhash_lsh_dedup
+
+    rng = np.random.RandomState(3)
+    vocab = [f"w{i}" for i in range(500)]
+    rows = []
+    nid = 0
+
+    def add(text):
+        nonlocal nid
+        rows.append({"doc_id": nid, "text": text})
+        nid += 1
+
+    base = " ".join(rng.choice(vocab, 40))
+    for _ in range(30):  # singletons
+        add(" ".join(rng.choice(vocab, 40)))
+    for _ in range(500):  # big clone group (the skew case)
+        add(base)
+    near = base.split()
+    near[3] = "zzz"  # near-dup of the clone group's text
+    add(" ".join(near))
+    add("")  # empty docs: never collapsed
+    add("")
+    clone2 = " ".join(rng.choice(vocab, 40))
+    add(clone2)
+    add(clone2)  # standalone clone pair: a cluster on its own
+
+    docs = ray.data.from_items(rows).materialize()
+    a = (
+        minhash_lsh_dedup(docs, threshold=0.5, collapse=True)
+        .to_pandas()
+        .sort_values("doc_id")
+        .reset_index(drop=True)
+    )
+    b = (
+        minhash_lsh_dedup(docs, threshold=0.5, collapse=False)
+        .to_pandas()
+        .sort_values("doc_id")
+        .reset_index(drop=True)
+    )
+    pd.testing.assert_frame_equal(a, b)
+    cl = dict(zip(a["doc_id"], a["cluster"]))
+    clone_ids = list(range(30, 530))
+    assert len({cl[i] for i in clone_ids}) == 1  # clones one cluster
+    assert cl[530] == cl[30]  # near-dup joins the clone cluster
+    assert cl[533] == cl[534] == 533  # standalone pair, rep-labeled
