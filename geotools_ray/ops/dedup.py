@@ -273,27 +273,43 @@ def verify_jaccard(
 
     def jac(df: pd.DataFrame) -> pd.DataFrame:
         # vectorized regroup: merge the two halves of each pair, then
-        # one sorted-set intersection per pair (irreducibly per-pair)
+        # ALL pairs' sorted-set intersections in one lexsort — each
+        # side's set is distinct, so a (pair, value) appearing twice
+        # is exactly one intersection element
         ga = df[df["side"] == 0][["id_a", "id_b", "sh"]].drop_duplicates(["id_a", "id_b"])
         gb = df[df["side"] == 1][["id_a", "id_b", "sh"]].drop_duplicates(["id_a", "id_b"])
         m = ga.merge(gb, on=["id_a", "id_b"], suffixes=("_a", "_b"))
-        out_a, out_b, out_j = [], [], []
-        for ia, ib, sa, sb in zip(m["id_a"], m["id_b"], m["sh_a"], m["sh_b"]):
-            sa = np.asarray(sa, dtype=np.int64)
-            sb = np.asarray(sb, dtype=np.int64)
-            if len(sa) == 0 and len(sb) == 0:
-                j = 1.0
-            else:
-                inter = len(np.intersect1d(sa, sb, assume_unique=True))
-                j = inter / (len(sa) + len(sb) - inter)
-            if j >= threshold:
-                out_a.append(ia)
-                out_b.append(ib)
-                out_j.append(j)
+        if not len(m):
+            return pd.DataFrame(
+                {"id_a": pd.Series(dtype=np.int64),
+                 "id_b": pd.Series(dtype=np.int64),
+                 "jaccard": pd.Series(dtype=np.float64)}
+            )
+        ca = m["sh_a"].to_numpy()
+        cb = m["sh_b"].to_numpy()
+        na = np.fromiter((len(v) for v in ca), dtype=np.int64, count=len(ca))
+        nb = np.fromiter((len(v) for v in cb), dtype=np.int64, count=len(cb))
+        flat = [np.asarray(v, dtype=np.int64) for v in ca if len(v)]
+        flat += [np.asarray(v, dtype=np.int64) for v in cb if len(v)]
+        if flat:
+            vals = np.concatenate(flat)
+            pidx = np.concatenate(
+                [np.repeat(np.arange(len(m)), na), np.repeat(np.arange(len(m)), nb)]
+            )
+            order = np.lexsort((vals, pidx))
+            pv, vv = pidx[order], vals[order]
+            hit = (pv[1:] == pv[:-1]) & (vv[1:] == vv[:-1])
+            inter = np.bincount(pv[1:][hit], minlength=len(m))
+        else:
+            inter = np.zeros(len(m), dtype=np.int64)
+        union = na + nb - inter
+        # both-empty pairs follow the kernel's 0/0 := 1.0 convention
+        j = np.where(union == 0, 1.0, inter / np.maximum(union, 1))
+        keep = j >= threshold
         return pd.DataFrame(
-            {"id_a": np.array(out_a, dtype=np.int64),
-             "id_b": np.array(out_b, dtype=np.int64),
-             "jaccard": np.array(out_j, dtype=np.float64)}
+            {"id_a": m["id_a"].to_numpy(np.int64)[keep],
+             "id_b": m["id_b"].to_numpy(np.int64)[keep],
+             "jaccard": j[keep].astype(np.float64)}
         )
 
     return grouped_map(halves, ["id_a", "id_b"], jac)
