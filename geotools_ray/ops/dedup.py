@@ -649,6 +649,7 @@ def minhash_lsh_dedup(
     num_perm: int = 64,
     bands: int = 32,
     collapse: bool = True,
+    collapse_cap: int = 8_000_000,
 ) -> ray.data.Dataset:
     """-> (doc_id, cluster) for docs in near-dup clusters. bands=32 of
     2 rows: P(miss a true pair at jaccard j) = (1-j^2)^32 — 1e-4 at
@@ -667,15 +668,16 @@ def minhash_lsh_dedup(
     its groups' reps. Docs with EMPTY shingle sets are never collapsed
     (Jaccard 0/0 follows the verify kernel's own convention instead).
     Above `collapse_cap` dup-group rows the driver-broadcast mapping no
-    longer fits and the un-collapsed (still correct) path runs with a
-    warning — at that dup volume run `exact_dedup` as a pre-pass."""
+    longer fits; the collapse then runs FULLY DISTRIBUTED — one
+    payload shuffle groups the shingle sets by set hash (reps keep
+    their set, members emit narrow mapping rows) and the expansion is
+    a grouped join of the mapping against the cluster labels — so
+    there is no quadratic fallback at any duplicate volume."""
     # shingle ONCE: the hash sets feed the set-collapse keys, the LSH
     # signatures and the exact-Jaccard verify
     sets = shingle_sets(docs, shingle_k=shingle_k).materialize()
 
-    collapse_cap = 8_000_000
-
-    def shash(t: pa.Table) -> pa.Table:
+    def _set_hash_cols(t: pa.Table) -> tuple[np.ndarray, np.ndarray, np.ndarray]:
         col = t["sh"]
         if isinstance(col, pa.ChunkedArray):
             col = col.combine_chunks()
@@ -700,13 +702,12 @@ def minhash_lsh_dedup(
                         x ^ _splitmix64(s + counts[nonempty].astype(np.uint64), seed),
                         seed,
                     )
+        return h1.view(np.int64), h2.view(np.int64), counts
+
+    def shash(t: pa.Table) -> pa.Table:
+        h1, h2, counts = _set_hash_cols(t)
         return pa.table(
-            {
-                "doc_id": t["doc_id"],
-                "h1": h1.view(np.int64),
-                "h2": h2.view(np.int64),
-                "nsh": counts,
-            }
+            {"doc_id": t["doc_id"], "h1": h1, "h2": h2, "nsh": counts}
         )
 
     def rep_fn(df: pd.DataFrame) -> pd.DataFrame:
@@ -729,6 +730,7 @@ def minhash_lsh_dedup(
         n_dup = mapping.count()
 
     mdf = None
+    mapping_nds = None
     lsh_sets = sets
     if 0 < n_dup <= collapse_cap:
         mdf = mapping.to_pandas()
@@ -744,16 +746,79 @@ def minhash_lsh_dedup(
 
         lsh_sets = sets.map_batches(drop_nonrep, batch_format="pyarrow")
     elif n_dup > collapse_cap:
-        import logging
+        # distributed collapse: too many dup-group rows to broadcast —
+        # ONE payload shuffle co-locates identical sets by (h1, h2);
+        # each group keeps its rep's set (gsize >= 0 rows) and emits
+        # narrow (member, rep) mapping rows (gsize == -1) for groups
+        # of two or more. Linear in the corpus at any duplicate volume.
+        def shash_full(t: pa.Table) -> pa.Table:
+            h1, h2, counts = _set_hash_cols(t)
+            return pa.table(
+                {"doc_id": t["doc_id"], "sh": t["sh"], "h1": h1, "h2": h2,
+                 "nsh": counts}
+            )
 
-        logging.getLogger(__name__).warning(
-            "minhash_lsh_dedup: %d exact-dup rows exceed the %d collapse "
-            "broadcast cap; running un-collapsed (quadratic in clone-"
-            "cluster size). Pre-pass exact_dedup for corpora this "
-            "duplicate-heavy.",
-            n_dup,
-            collapse_cap,
-        )
+        def rep_rows(t: pa.Table) -> pa.Table:
+            ids = t["doc_id"].to_numpy(zero_copy_only=False).astype(np.int64)
+            h1 = t["h1"].to_numpy(zero_copy_only=False)
+            h2 = t["h2"].to_numpy(zero_copy_only=False)
+            nsh = t["nsh"].to_numpy(zero_copy_only=False)
+            n = len(ids)
+            order = np.lexsort((ids, h2, h1))
+            s1, s2, sids, snsh = h1[order], h2[order], ids[order], nsh[order]
+            new = np.empty(n, dtype=bool)
+            new[0] = True
+            new[1:] = (s1[1:] != s1[:-1]) | (s2[1:] != s2[:-1])
+            # empty sets are never collapsed: each is its own group
+            new |= snsh == 0
+            new[1:] |= snsh[:-1] == 0
+            gid = np.cumsum(new) - 1
+            starts = np.flatnonzero(new)
+            gsizes = np.diff(np.append(starts, n))
+            reps = sids[starts]  # ids sort innermost -> first == min
+            sel = t.take(pa.array(order[starts], pa.int64()))
+            out1 = pa.table(
+                {
+                    "doc_id": sel["doc_id"],
+                    "sh": sel["sh"],
+                    "rep": pa.array(reps, pa.int64()),
+                    "gsize": pa.array(gsizes.astype(np.int64)),
+                }
+            )
+            mem = gsizes[gid] >= 2
+            n_mem = int(mem.sum())
+            if not n_mem:
+                return out1
+            out2 = pa.table(
+                {
+                    "doc_id": pa.array(sids[mem], pa.int64()),
+                    "sh": pa.ListArray.from_arrays(
+                        pa.array(np.zeros(n_mem + 1, dtype=np.int32)),
+                        pa.array([], pa.int64()),
+                    ),
+                    "rep": pa.array(reps[gid][mem], pa.int64()),
+                    "gsize": pa.array(np.full(n_mem, -1, dtype=np.int64)),
+                }
+            )
+            return pa.concat_tables([out1, out2])
+
+        combined = grouped_map(
+            sets.map_batches(shash_full, batch_format="pyarrow"),
+            ["h1", "h2"],
+            rep_rows,
+            batch_format="pyarrow",
+        ).materialize()
+
+        def to_sets(t: pa.Table) -> pa.Table:
+            g = t["gsize"].to_numpy(zero_copy_only=False)
+            return t.filter(pa.array(g >= 0)).select(["doc_id", "sh"])
+
+        def to_map(t: pa.Table) -> pa.Table:
+            g = t["gsize"].to_numpy(zero_copy_only=False)
+            return t.filter(pa.array(g == -1)).select(["doc_id", "rep"])
+
+        lsh_sets = combined.map_batches(to_sets, batch_format="pyarrow")
+        mapping_nds = combined.map_batches(to_map, batch_format="pyarrow")
 
     sigs = minhash_signatures_from_sets(lsh_sets, num_perm=num_perm)
     # dedup=True is load-bearing even after the collapse: a pair of
@@ -768,6 +833,52 @@ def minhash_lsh_dedup(
     cand = lsh_candidate_pairs(sigs, bands=bands, dedup=True)
     verified = verify_jaccard(cand, docs, threshold, shingle_k=shingle_k, sets=lsh_sets)
     labels = connected_components(verified)
+    if mapping_nds is not None:
+        # distributed expansion: members join their rep's label via ONE
+        # grouped shuffle of two NARROW tables (labels + mapping);
+        # label rows pass through, members of unlabeled (standalone)
+        # groups cluster under their rep — which is the group min
+        MINUS1 = np.int64(-1)
+
+        def lab_tag(t: pa.Table) -> pa.Table:
+            return pa.table(
+                {"key": t["doc_id"],
+                 "member": np.full(len(t), MINUS1),
+                 "cluster": t["cluster"]}
+            )
+
+        def map_tag(t: pa.Table) -> pa.Table:
+            return pa.table(
+                {"key": t["rep"], "member": t["doc_id"],
+                 "cluster": np.full(len(t), MINUS1)}
+            )
+
+        u2 = labels.map_batches(lab_tag, batch_format="pyarrow").union(
+            mapping_nds.map_batches(map_tag, batch_format="pyarrow")
+        )
+
+        def expand(df: pd.DataFrame) -> pd.DataFrame:
+            labs = df[df["member"] < 0][["key", "cluster"]].drop_duplicates("key")
+            mems = df[df["member"] >= 0][["key", "member"]]
+            out = [pd.DataFrame({"doc_id": labs["key"].to_numpy(np.int64),
+                                 "cluster": labs["cluster"].to_numpy(np.int64)})]
+            if len(mems):
+                m = mems.merge(labs, on="key", how="left")
+                labeled = m["cluster"].notna().to_numpy()
+                cl = np.where(
+                    labeled,
+                    m["cluster"].to_numpy(dtype=np.float64, na_value=-1.0),
+                    m["key"].to_numpy(np.float64),
+                ).astype(np.int64)
+                # labeled reps already pass through as label rows
+                keep = ~(labeled & (m["member"].to_numpy() == m["key"].to_numpy()))
+                out.append(
+                    pd.DataFrame({"doc_id": m["member"].to_numpy(np.int64)[keep],
+                                  "cluster": cl[keep]})
+                )
+            return pd.concat(out, ignore_index=True)
+
+        return grouped_map(u2, ["key"], expand)
     if mdf is None or not len(mdf):
         return labels
     labels = labels.materialize()

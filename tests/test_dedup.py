@@ -240,6 +240,14 @@ def test_minhash_collapse_parity_and_skew(ray_session):
         .reset_index(drop=True)
     )
     pd.testing.assert_frame_equal(a, b)
+    # collapse_cap=1 forces the fully-distributed collapse + expansion
+    c = (
+        minhash_lsh_dedup(docs, threshold=0.5, collapse=True, collapse_cap=1)
+        .to_pandas()
+        .sort_values("doc_id")
+        .reset_index(drop=True)
+    )
+    pd.testing.assert_frame_equal(a, c)
     cl = dict(zip(a["doc_id"], a["cluster"]))
     clone_ids = list(range(30, 530))
     assert len({cl[i] for i in clone_ids}) == 1  # clones one cluster
