@@ -116,9 +116,21 @@ def dedup_by_phash(joined: ray.data.Dataset, num_parts: int | None = None,
 
             order = pc.sort_indices(t, sort_keys=[("image_id", "ascending")])
             t2 = t.take(order)
-            key = hash_columns(t2, cols)
-            _, first = np.unique(key, return_index=True)  # first in id order
-            return t2.take(np.sort(first))
+            # EXACT key grouping (a 64-bit hash as the identity would
+            # silently merge colliding keys at ~1e8-key scale): stable
+            # lexsort on the real columns preserves image_id order
+            # within each key, so first-of-run = first in id order
+            arrs = [
+                t2[c].to_numpy(zero_copy_only=False) for c in cols
+            ]
+            ord2 = np.lexsort(tuple(reversed(arrs)))
+            new = np.zeros(len(t2), dtype=bool)
+            if len(new):
+                new[0] = True
+                for a in arrs:
+                    sa = a[ord2]
+                    new[1:] |= sa[1:] != sa[:-1]
+            return t2.take(np.sort(ord2[np.flatnonzero(new)]))
 
         return fn
 
@@ -151,14 +163,26 @@ def cell_rollup(joined: ray.data.Dataset, shuffle_blocks: int | None = None) -> 
         cell = t["cell_id"].to_numpy(zero_copy_only=False)
         pid = t["polygon_id"].to_numpy(zero_copy_only=False)
         par = ci.parent(cell, 2)
-        key = (pid.astype(np.int64) << np.int64(40)) ^ par  # pack for unique
-        uniq, inv, cnt = np.unique(key, return_inverse=True, return_counts=True)
-        first = np.zeros(len(uniq), dtype=np.int64)
-        first[inv[::-1]] = np.arange(len(key))[::-1]
+        # EXACT (pid, parent) grouping via one lexsort — bit-packing
+        # the pair into 64 bits overflows for deep levels (morton bits
+        # of a level>=23 parent exceed the 40-bit field) and would
+        # silently merge distinct groups
+        if not len(pid):
+            return pa.table(
+                {"polygon_id": pid, "parent_cell": par,
+                 "pn": np.empty(0, dtype=np.int64)}
+            )
+        order = np.lexsort((par, pid))
+        sp, sc = pid[order], par[order]
+        new = np.empty(len(sp), dtype=bool)
+        new[0] = True
+        new[1:] = (sp[1:] != sp[:-1]) | (sc[1:] != sc[:-1])
+        starts = np.flatnonzero(new)
+        cnt = np.diff(np.append(starts, len(sp)))
         return pa.table(
             {
-                "polygon_id": pid[first],
-                "parent_cell": par[first],
+                "polygon_id": sp[starts],
+                "parent_cell": sc[starts],
                 "pn": cnt.astype(np.int64),
             }
         )
@@ -167,7 +191,11 @@ def cell_rollup(joined: ray.data.Dataset, shuffle_blocks: int | None = None) -> 
 
     def final(t: pa.Table) -> pa.Table:
         out = t.group_by(["polygon_id", "parent_cell"]).aggregate([("pn", "sum")])
-        return out.rename_columns(["polygon_id", "parent_cell", "n_images"])
+        # select by NAME: pyarrow's key-vs-aggregate column order in
+        # group_by output has differed across versions
+        return out.select(["polygon_id", "parent_cell", "pn_sum"]).rename_columns(
+            ["polygon_id", "parent_cell", "n_images"]
+        )
 
     partials = joined.map_batches(partial, batch_format="pyarrow")
     return grouped_map(
@@ -236,6 +264,17 @@ def flagship_full(
     if checkpoint_dir is not None:
         done = load_manifest(checkpoint_dir)
         if done:
+            # the prefilter drops rows BEFORE write_partitioned's own
+            # guard could run, so a partition-count mismatch must be
+            # refused here, not downstream
+            for rec in done.values():
+                npr = rec.get("num_parts")
+                if npr is not None and npr != checkpoint_parts:
+                    raise ValueError(
+                        f"checkpoint at {checkpoint_dir} was written with "
+                        f"num_parts={npr}, cannot resume with "
+                        f"checkpoint_parts={checkpoint_parts}"
+                    )
             done_ref = ray.put(np.array(sorted(int(k) for k in done), dtype=np.int64))
 
             def prefilter(t: pa.Table) -> pa.Table:
@@ -247,10 +286,28 @@ def flagship_full(
 
             images = images.map_batches(prefilter, batch_format="pyarrow")
 
+    def enforce_verify(t: pa.Table) -> pa.Table:
+        # the input_hint invariant is a GATE, not a report: rows whose
+        # recomputed perceptual hash mismatches the stored phash
+        # (bit-rot, mislabeled payload) are dropped with a warning
+        # instead of silently flowing into the join/dedup/rollup
+        ok = t["verify_ok"].to_numpy(zero_copy_only=False).astype(bool)
+        if not ok.all():
+            import logging
+
+            logging.getLogger(__name__).warning(
+                "flagship_full: dropping %d/%d images failing decode "
+                "verification",
+                int((~ok).sum()),
+                len(ok),
+            )
+            t = t.filter(pa.array(ok))
+        return t.select(["image_id", "phash"])
+
     if decode_concurrency is None:
         decoded = images.map_batches(
             decode_features_batch, batch_format="pyarrow", batch_size=decode_batch_size
-        ).select_columns(["image_id", "phash"])
+        ).map_batches(enforce_verify, batch_format="pyarrow")
     else:
         decoded = images.map_batches(
             DecodeStage,
@@ -258,7 +315,7 @@ def flagship_full(
             batch_size=decode_batch_size,
             concurrency=decode_concurrency,
             num_cpus=1,
-        ).select_columns(["image_id", "phash"])
+        ).map_batches(enforce_verify, batch_format="pyarrow")
     joined = assign_and_join(decoded, level=level)
     # checkpoint the NARROW join output before the shuffle stages: the
     # streaming executor schedules an AllToAll chained directly after

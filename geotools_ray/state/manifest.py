@@ -40,11 +40,18 @@ def load_manifest(out_dir: str) -> dict[str, dict]:
     if not os.path.isdir(mdir):
         return out
     for f in os.listdir(mdir):
-        if f.endswith(".json"):
+        # dotfiles are in-flight temp writes (never valid records); a
+        # record that fails to parse is stale crash debris from a
+        # pre-rename writer — skip it, never crash the resume path
+        if f.startswith(".") or not f.endswith(".json"):
+            continue
+        try:
             with open(os.path.join(mdir, f)) as fh:
                 rec = json.load(fh)
-            if rec.get("status") == "done":
-                out[rec["partition_key"]] = rec
+        except (json.JSONDecodeError, OSError):
+            continue
+        if rec.get("status") == "done":
+            out[rec["partition_key"]] = rec
     return out
 
 
@@ -69,6 +76,7 @@ def write_partition(
     key: str,
     table: pa.Table,
     input_fragments: list[str] | None = None,
+    extra_meta: dict | None = None,
 ) -> dict:
     """Atomically write one partition + its manifest record."""
     t0 = time.time()
@@ -88,9 +96,14 @@ def write_partition(
         "status": "done",
         "wall_s": round(time.time() - t0, 4),
     }
+    if extra_meta:
+        rec.update(extra_meta)
     mdir = _manifest_dir(out_dir)
     os.makedirs(mdir, exist_ok=True)
-    mtmp = os.path.join(mdir, f".tmp-{key}.json")
+    # temp name: no .json suffix (load_manifest must never pick up a
+    # partial write) and uniquified per writer (a re-executed task must
+    # not interleave into a concurrent writer's file)
+    mtmp = os.path.join(mdir, f".tmp-{key}-{os.getpid()}-{int(t0 * 1e6)}")
     with open(mtmp, "w") as fh:
         json.dump(rec, fh)
     os.replace(mtmp, os.path.join(mdir, f"{key}.json"))
@@ -117,7 +130,18 @@ def write_partitioned(
 
     from ..stages.grouped import grouped_map
 
-    done = set(load_manifest(out_dir)) if resume else set()
+    prior = load_manifest(out_dir)
+    # a checkpoint written with a different num_parts partitions the
+    # key space differently — resuming against it silently drops or
+    # duplicates rows, so refuse loudly
+    for rec in prior.values():
+        np_rec = rec.get("num_parts")
+        if np_rec is not None and np_rec != num_parts:
+            raise ValueError(
+                f"checkpoint at {out_dir} was written with num_parts="
+                f"{np_rec}, cannot resume with num_parts={num_parts}"
+            )
+    done = set(prior) if resume else set()
     done_ids = {int(k) for k in done}
     done_ref = ray.put(done_ids)
 
@@ -132,11 +156,13 @@ def write_partitioned(
 
     keyed = ds.map_batches(assign, batch_format="pyarrow")
 
+    meta = {"num_parts": num_parts}
+
     def write(df: pd.DataFrame) -> pd.DataFrame:
         recs = []
         for k, g in df.groupby("_pkey", sort=False):
             t = pa.Table.from_pandas(g.drop(columns=["_pkey"]), preserve_index=False)
-            rec = write_partition(out_dir, str(int(k)), t, input_fragments)
+            rec = write_partition(out_dir, str(int(k)), t, input_fragments, meta)
             recs.append(
                 {
                     "partition_key": rec["partition_key"],
@@ -149,7 +175,30 @@ def write_partitioned(
             recs, columns=["partition_key", "row_count", "byte_count", "checksum"]
         )
 
-    return grouped_map(keyed, ["_pkey"], write, num_parts=num_parts).to_pandas()
+    out = grouped_map(keyed, ["_pkey"], write, num_parts=num_parts).to_pandas()
+
+    # partitions that received ZERO rows still get a done record (and
+    # an empty data file carrying the schema): the full input has been
+    # processed by the time the shuffle above completes, so an absent
+    # group is genuinely empty — without the record, resume would
+    # re-decode its inputs on every rerun
+    have = set(load_manifest(out_dir))
+    missing = [i for i in range(num_parts) if str(i) not in have]
+    if missing:
+        schema = None
+        if os.path.isdir(out_dir):
+            for d in sorted(os.listdir(out_dir)):
+                p = os.path.join(out_dir, d, "data.parquet")
+                if d.startswith("part=") and os.path.exists(p):
+                    schema = pq.read_schema(p)
+                    break
+        if schema is None:
+            sch = ds.schema()
+            schema = getattr(sch, "base_schema", sch)
+        empty = pa.Table.from_pylist([], schema=schema)
+        for i in missing:
+            write_partition(out_dir, str(i), empty, input_fragments, meta)
+    return out
 
 
 def read_partitioned(out_dir: str):
@@ -161,4 +210,11 @@ def read_partitioned(out_dir: str):
         for d in os.listdir(out_dir)
         if d.startswith("part=")
     )
-    return ray.data.read_parquet(parts)
+    if not parts:
+        raise FileNotFoundError(
+            f"no partitions under {out_dir} — not a checkpointed output"
+        )
+    # partitioning=None: the part=<k> dirs are OUR bookkeeping, not a
+    # hive column — inferring it would ship a dead int column through
+    # every downstream shuffle
+    return ray.data.read_parquet(parts, partitioning=None)

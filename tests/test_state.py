@@ -135,3 +135,74 @@ def test_metrics_counters(ray_session):
     assert snap["ingest"]["rows"] == 5000
     assert snap["after_filter"]["rows"] == 2500
     assert snap["ingest"]["bytes"] > 0
+
+
+def test_manifest_crash_debris_and_empty_partitions(ray_session, tmp_path):
+    """Round-3 review fixes: (a) stale/partial temp files in _manifest
+    never break load_manifest; (b) partitions receiving zero rows get
+    done records + empty data files so resume skips their inputs;
+    (c) resuming with a different num_parts is refused loudly."""
+    import json
+
+    import ray.data
+
+    from geotools_ray.state.manifest import (
+        load_manifest,
+        read_partitioned,
+        write_partitioned,
+    )
+
+    out = str(tmp_path / "ckpt")
+    # keys only hash to parts {0, 2} of 4 -> parts 1 and 3 are empty
+    rows = [{"k": i * 2, "v": float(i)} for i in range(100)]
+
+    def key4(t):
+        import numpy as np
+
+        return (t["k"].to_numpy(zero_copy_only=False) % 4).astype("int64")
+
+    write_partitioned(ray.data.from_items(rows), out, key4, num_parts=4)
+    man = load_manifest(out)
+    assert set(man) == {"0", "1", "2", "3"}
+    assert man["1"]["row_count"] == 0 and man["3"]["row_count"] == 0
+    assert man["0"]["num_parts"] == 4
+    # empty partitions carry the schema on disk
+    back = read_partitioned(out).to_pandas()
+    assert len(back) == 100 and set(back.columns) == {"k", "v"}
+
+    # crash debris: a partial temp write and a corrupt record
+    mdir = os.path.join(out, "_manifest")
+    with open(os.path.join(mdir, ".tmp-7-999-123"), "w") as fh:
+        fh.write('{"partition_key": "7", "stat')  # truncated
+    with open(os.path.join(mdir, "9.json"), "w") as fh:
+        fh.write("{not json")
+    man2 = load_manifest(out)
+    assert set(man2) == {"0", "1", "2", "3"}  # debris skipped, no crash
+
+    # a rerun writes nothing new (all four partitions are done)
+    recs = write_partitioned(ray.data.from_items(rows), out, key4, num_parts=4)
+    assert len(recs) == 0
+
+    # num_parts mismatch is refused
+    with pytest.raises(ValueError, match="num_parts"):
+        write_partitioned(ray.data.from_items(rows), out, key4, num_parts=8)
+
+
+def test_flagship_verify_gate_drops_corrupt_rows(ray_session, tmp_path):
+    """A row whose stored phash mismatches its decoded pixels must be
+    dropped by flagship_full (the input_hint invariant is a gate)."""
+    import pyarrow.parquet as pq
+    import ray.data
+
+    from geotools_ray.ops.imagepipeline import flagship_full
+    from geotools_ray.sources.images import generate_image_table
+
+    t = generate_image_table(400, seed=11)
+    full = flagship_full(ray.data.from_arrow(t)).to_pandas()
+    # corrupt one image's stored phash -> its decode verify fails
+    ph = t["phash"].to_numpy(zero_copy_only=False).copy()
+    ph[0] ^= 0x5A5A5A5A
+    bad = t.set_column(t.schema.get_field_index("phash"), "phash", pa.array(ph))
+    out = flagship_full(ray.data.from_arrow(bad)).to_pandas()
+    assert out["n_images"].sum() <= full["n_images"].sum()
+    assert out["n_images"].sum() >= full["n_images"].sum() - 1
