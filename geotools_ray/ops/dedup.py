@@ -746,79 +746,53 @@ def minhash_lsh_dedup(
 
         lsh_sets = sets.map_batches(drop_nonrep, batch_format="pyarrow")
     elif n_dup > collapse_cap:
-        # distributed collapse: too many dup-group rows to broadcast —
-        # ONE payload shuffle co-locates identical sets by (h1, h2);
-        # each group keeps its rep's set (gsize >= 0 rows) and emits
-        # narrow (member, rep) mapping rows (gsize == -1) for groups
-        # of two or more. Linear in the corpus at any duplicate volume.
-        def shash_full(t: pa.Table) -> pa.Table:
-            h1, h2, counts = _set_hash_cols(t)
-            return pa.table(
-                {"doc_id": t["doc_id"], "sh": t["sh"], "h1": h1, "h2": h2,
-                 "nsh": counts}
-            )
+        # distributed collapse: too many dup-group rows to broadcast.
+        # The narrow (member, rep) mapping from the hash pass above IS
+        # the collapse — reuse it. Non-rep members' sets are dropped by
+        # a doc_id-keyed shuffle anti-join: the set payload moves ONCE,
+        # keyed by the UNIQUE doc_id so there is no hot partition (a
+        # set-hash-keyed payload shuffle would land a whole clone
+        # cluster's sets in one part). All id arithmetic stays int64
+        # (negative ids fine; no float round-trips).
+        mapping_nds = mapping
 
-        def rep_rows(t: pa.Table) -> pa.Table:
+        def sets_tag(t: pa.Table) -> pa.Table:
             ids = t["doc_id"].to_numpy(zero_copy_only=False).astype(np.int64)
-            h1 = t["h1"].to_numpy(zero_copy_only=False)
-            h2 = t["h2"].to_numpy(zero_copy_only=False)
-            nsh = t["nsh"].to_numpy(zero_copy_only=False)
+            return pa.table(
+                {"doc_id": ids, "sh": t["sh"],
+                 "drop": np.zeros(len(ids), dtype=np.int8)}
+            )
+
+        def nonrep_tag(t: pa.Table) -> pa.Table:
+            ids = t["doc_id"].to_numpy(zero_copy_only=False).astype(np.int64)
+            reps = t["rep"].to_numpy(zero_copy_only=False).astype(np.int64)
+            ids = ids[ids != reps]
             n = len(ids)
-            order = np.lexsort((ids, h2, h1))
-            s1, s2, sids, snsh = h1[order], h2[order], ids[order], nsh[order]
-            new = np.empty(n, dtype=bool)
-            new[0] = True
-            new[1:] = (s1[1:] != s1[:-1]) | (s2[1:] != s2[:-1])
-            # empty sets are never collapsed: each is its own group
-            new |= snsh == 0
-            new[1:] |= snsh[:-1] == 0
-            gid = np.cumsum(new) - 1
-            starts = np.flatnonzero(new)
-            gsizes = np.diff(np.append(starts, n))
-            reps = sids[starts]  # ids sort innermost -> first == min
-            sel = t.take(pa.array(order[starts], pa.int64()))
-            out1 = pa.table(
-                {
-                    "doc_id": sel["doc_id"],
-                    "sh": sel["sh"],
-                    "rep": pa.array(reps, pa.int64()),
-                    "gsize": pa.array(gsizes.astype(np.int64)),
-                }
+            return pa.table(
+                {"doc_id": ids,
+                 "sh": pa.ListArray.from_arrays(
+                     pa.array(np.zeros(n + 1, dtype=np.int32)),
+                     pa.array([], pa.int64()),
+                 ),
+                 "drop": np.ones(n, dtype=np.int8)}
             )
-            mem = gsizes[gid] >= 2
-            n_mem = int(mem.sum())
-            if not n_mem:
-                return out1
-            out2 = pa.table(
-                {
-                    "doc_id": pa.array(sids[mem], pa.int64()),
-                    "sh": pa.ListArray.from_arrays(
-                        pa.array(np.zeros(n_mem + 1, dtype=np.int32)),
-                        pa.array([], pa.int64()),
-                    ),
-                    "rep": pa.array(reps[gid][mem], pa.int64()),
-                    "gsize": pa.array(np.full(n_mem, -1, dtype=np.int64)),
-                }
-            )
-            return pa.concat_tables([out1, out2])
 
-        combined = grouped_map(
-            sets.map_batches(shash_full, batch_format="pyarrow"),
-            ["h1", "h2"],
-            rep_rows,
-            batch_format="pyarrow",
-        ).materialize()
+        u0 = sets.map_batches(sets_tag, batch_format="pyarrow").union(
+            mapping.map_batches(nonrep_tag, batch_format="pyarrow")
+        )
 
-        def to_sets(t: pa.Table) -> pa.Table:
-            g = t["gsize"].to_numpy(zero_copy_only=False)
-            return t.filter(pa.array(g >= 0)).select(["doc_id", "sh"])
+        def keep_reps(t: pa.Table) -> pa.Table:
+            ids = t["doc_id"].to_numpy(zero_copy_only=False)
+            dr = t["drop"].to_numpy(zero_copy_only=False)
+            dropids = np.unique(ids[dr == 1])
+            if len(dropids):
+                pos = np.minimum(np.searchsorted(dropids, ids), len(dropids) - 1)
+                keep = (dropids[pos] != ids) & (dr == 0)
+            else:
+                keep = dr == 0
+            return t.filter(pa.array(keep)).select(["doc_id", "sh"])
 
-        def to_map(t: pa.Table) -> pa.Table:
-            g = t["gsize"].to_numpy(zero_copy_only=False)
-            return t.filter(pa.array(g == -1)).select(["doc_id", "rep"])
-
-        lsh_sets = combined.map_batches(to_sets, batch_format="pyarrow")
-        mapping_nds = combined.map_batches(to_map, batch_format="pyarrow")
+        lsh_sets = grouped_map(u0, ["doc_id"], keep_reps, batch_format="pyarrow")
 
     sigs = minhash_signatures_from_sets(lsh_sets, num_perm=num_perm)
     # dedup=True is load-bearing even after the collapse: a pair of
@@ -835,22 +809,29 @@ def minhash_lsh_dedup(
     labels = connected_components(verified)
     if mapping_nds is not None:
         # distributed expansion: members join their rep's label via ONE
-        # grouped shuffle of two NARROW tables (labels + mapping);
-        # label rows pass through, members of unlabeled (standalone)
-        # groups cluster under their rep — which is the group min
-        MINUS1 = np.int64(-1)
-
+        # grouped shuffle of two NARROW (int64) tables — labels +
+        # mapping, discriminated by an explicit side flag so the full
+        # signed id domain is valid. Label rows pass through; members
+        # of unlabeled (standalone) groups cluster under their rep,
+        # which is the group min. A giant clone group keys all its
+        # mapping rows to one rep — narrow 16 B/row skew, heap-safe at
+        # orders of magnitude more clones than the payload shuffle the
+        # doc_id-keyed anti-join above avoided.
         def lab_tag(t: pa.Table) -> pa.Table:
+            ids = t["doc_id"].to_numpy(zero_copy_only=False).astype(np.int64)
+            cl = t["cluster"].to_numpy(zero_copy_only=False).astype(np.int64)
             return pa.table(
-                {"key": t["doc_id"],
-                 "member": np.full(len(t), MINUS1),
-                 "cluster": t["cluster"]}
+                {"key": ids, "member": np.zeros(len(ids), dtype=np.int64),
+                 "cluster": cl, "side": np.zeros(len(ids), dtype=np.int8)}
             )
 
         def map_tag(t: pa.Table) -> pa.Table:
+            mem = t["doc_id"].to_numpy(zero_copy_only=False).astype(np.int64)
+            rep = t["rep"].to_numpy(zero_copy_only=False).astype(np.int64)
             return pa.table(
-                {"key": t["rep"], "member": t["doc_id"],
-                 "cluster": np.full(len(t), MINUS1)}
+                {"key": rep, "member": mem,
+                 "cluster": np.zeros(len(mem), dtype=np.int64),
+                 "side": np.ones(len(mem), dtype=np.int8)}
             )
 
         u2 = labels.map_batches(lab_tag, batch_format="pyarrow").union(
@@ -858,24 +839,30 @@ def minhash_lsh_dedup(
         )
 
         def expand(df: pd.DataFrame) -> pd.DataFrame:
-            labs = df[df["member"] < 0][["key", "cluster"]].drop_duplicates("key")
-            mems = df[df["member"] >= 0][["key", "member"]]
+            labs = df[df["side"] == 0][["key", "cluster"]].drop_duplicates("key")
+            mems = df[df["side"] == 1][["key", "member"]]
             out = [pd.DataFrame({"doc_id": labs["key"].to_numpy(np.int64),
                                  "cluster": labs["cluster"].to_numpy(np.int64)})]
             if len(mems):
-                m = mems.merge(labs, on="key", how="left")
-                labeled = m["cluster"].notna().to_numpy()
-                cl = np.where(
-                    labeled,
-                    m["cluster"].to_numpy(dtype=np.float64, na_value=-1.0),
-                    m["key"].to_numpy(np.float64),
-                ).astype(np.int64)
+                # int64-exact label lookup (a pandas left-merge would
+                # round-trip missing labels through float64, corrupting
+                # ids above 2^53)
+                lk = labs["key"].to_numpy(np.int64)
+                lc = labs["cluster"].to_numpy(np.int64)
+                o = np.argsort(lk)
+                lk, lc = lk[o], lc[o]
+                keys = mems["key"].to_numpy(np.int64)
+                mem = mems["member"].to_numpy(np.int64)
+                if len(lk):
+                    pos = np.minimum(np.searchsorted(lk, keys), len(lk) - 1)
+                    labeled = lk[pos] == keys
+                    cl = np.where(labeled, lc[pos], keys)
+                else:
+                    labeled = np.zeros(len(keys), dtype=bool)
+                    cl = keys
                 # labeled reps already pass through as label rows
-                keep = ~(labeled & (m["member"].to_numpy() == m["key"].to_numpy()))
-                out.append(
-                    pd.DataFrame({"doc_id": m["member"].to_numpy(np.int64)[keep],
-                                  "cluster": cl[keep]})
-                )
+                keep = ~(labeled & (mem == keys))
+                out.append(pd.DataFrame({"doc_id": mem[keep], "cluster": cl[keep]}))
             return pd.concat(out, ignore_index=True)
 
         return grouped_map(u2, ["key"], expand)

@@ -253,3 +253,48 @@ def test_minhash_collapse_parity_and_skew(ray_session):
     assert len({cl[i] for i in clone_ids}) == 1  # clones one cluster
     assert cl[530] == cl[30]  # near-dup joins the clone cluster
     assert cl[533] == cl[534] == 533  # standalone pair, rep-labeled
+
+
+def test_minhash_collapse_distributed_id_domains(ray_session):
+    """Round-3 review repros: the distributed collapse/expansion path
+    must handle negative doc ids, ids above 2^53 (float64-unsafe), and
+    non-int64 id dtypes — identically to the broadcast path."""
+    import pyarrow as pa
+    import ray.data
+
+    from geotools_ray.ops.dedup import minhash_lsh_dedup
+
+    base = "alpha bravo charlie delta echo foxtrot golf hotel india"
+    other = "kilo lima mike november oscar papa quebec romeo sierra"
+
+    def run(ids, dtype):
+        t = pa.table(
+            {"doc_id": pa.array(ids, dtype),
+             "text": [base, base, base, other]}
+        )
+        ds = ray.data.from_arrow(t).materialize()
+        a = (
+            minhash_lsh_dedup(ds, threshold=0.6, collapse_cap=1)
+            .to_pandas().sort_values("doc_id").reset_index(drop=True)
+        )
+        b = (
+            minhash_lsh_dedup(ds, threshold=0.6)
+            .to_pandas().sort_values("doc_id").reset_index(drop=True)
+        )
+        pd.testing.assert_frame_equal(a, b)
+        return a
+
+    # negative ids: three clones cluster under the min (most negative)
+    out = run([-100, -99, -98, 5], pa.int64())
+    assert out["doc_id"].tolist() == [-100, -99, -98]
+    assert out["cluster"].tolist() == [-100, -100, -100]
+
+    # ids above 2^53: odd low bits survive (no float64 round-trip)
+    big = 2**53
+    out = run([big + 1, big + 3, big + 5, 7], pa.int64())
+    assert out["doc_id"].tolist() == [big + 1, big + 3, big + 5]
+    assert set(out["cluster"]) == {big + 1}
+
+    # int32 id column: no schema crash, same clustering
+    out = run([10, 11, 12, 13], pa.int32())
+    assert out["cluster"].tolist() == [10, 10, 10]
