@@ -8,12 +8,12 @@ actor-sharded index partitioned by parent cell — the ST3 KD-tree
 replacement, reference include/nanoflann.hpp + J9).
 
 kNN ring closure: after searching all cells with Chebyshev ring
-distance <= d, any unseen point is at least (d * res) away from the
-query cell's BOUNDARY, i.e. >= max(0, d-... ) — we use the safe bound
-dist_min(ring d) = (d - 1) * res for a query anywhere in its cell.
-Expansion stops when k candidates are found AND the k-th candidate
-distance <= (next_ring - 1) * res, so no farther ring can improve the
-result — the guarantee the north star requires.
+distance <= d, any unseen point is at least d * res away from a query
+anywhere in its cell. Expansion stops when k candidates are found AND
+the k-th candidate distance is STRICTLY below d * res (a tie at
+exactly d * res could lose the column tie-break to an unseen point),
+or when the rings have covered the whole indexed grid — at which point
+every point has been seen and fewer than k rows is the exact answer.
 """
 
 from __future__ import annotations
@@ -26,6 +26,25 @@ import ray.data
 
 from ..kernels.grid import Bounds
 
+# cell key = c * 2^32 + r with r in [0, 2^32): injective for any c
+# (including negative columns) — a 22-bit row field aliased distinct
+# cells once a raster exceeded ~4.2M rows. Out-of-domain ring cells
+# are FILTERED on the query side, never packed.
+_CELL_SHIFT = np.int64(32)
+_CELL_MASK = np.int64((1 << 32) - 1)
+
+
+def _pack(c, r):
+    return (np.asarray(c, dtype=np.int64) << _CELL_SHIFT) + np.asarray(
+        r, dtype=np.int64
+    )
+
+
+def _grid_dims(bounds: Bounds, res: float) -> tuple[int, int]:
+    ncols = max(1, int(np.ceil((bounds.maxx - bounds.minx) / res)))
+    nrows = max(1, int(np.ceil((bounds.maxy - bounds.miny) / res)))
+    return ncols, nrows
+
 
 def build_cell_index(
     points: ray.data.Dataset,
@@ -37,17 +56,17 @@ def build_cell_index(
     cell_key = (col, row) at `res` over `bounds` (driver-side build:
     the index is the SMALL side's structure; for a large index shard
     this dict by parent cell across actors)."""
+    ncols_g, nrows_g = _grid_dims(bounds, res)
     cols = {}
     for batch in points.iter_batches(batch_format="pyarrow"):
         x = batch["x"].to_numpy(zero_copy_only=False)
         y = batch["y"].to_numpy(zero_copy_only=False)
         c = np.floor((x - bounds.minx) / res).astype(np.int64)
         r = np.floor((y - bounds.miny) / res).astype(np.int64)
-        key = c * (1 << 22) + r
+        key = _pack(c, r)
         order = np.argsort(key, kind="stable")
         key_s = key[order]
-        starts = np.searchsorted(key_s, np.unique(key_s))
-        uniq = np.unique(key_s)
+        uniq, starts = np.unique(key_s, return_index=True)
         data = {"x": x[order], "y": y[order]}
         for col in keep_cols:
             data[col] = batch[col].to_numpy(zero_copy_only=False)[order]
@@ -60,7 +79,7 @@ def build_cell_index(
     index = {
         k: {c2: np.concatenate(v[c2]) for c2 in v} for k, v in cols.items()
     }
-    return ray.put((index, res, bounds.minx, bounds.miny))
+    return ray.put((index, res, bounds.minx, bounds.miny, ncols_g, nrows_g))
 
 
 def knn_cell_ring(
@@ -71,14 +90,22 @@ def knn_cell_ring(
     qy: str = "sy",
     query_key: str = "s_suppkey",
     point_cols: tuple[str, ...] = ("l_orderkey", "l_linenumber"),
-    max_ring: int = 64,
+    max_ring: int | None = None,
 ) -> ray.data.Dataset:
     """-> (query_key, rank, point_cols..., dist), ranked by
     (d2, *point_cols) — identical ordering to the brute-force kNN and
-    the SQL oracle."""
+    the SQL oracle.
+
+    Expansion runs until ring closure OR until the rings cover the
+    whole indexed domain (at which point every point has been seen, so
+    returning < k rows is the exact answer). Closure is STRICT
+    (kth_d < ring * res): an unseen point at exactly ring * res could
+    tie the kth distance and win the column tie-break. An explicit
+    `max_ring` cap that aborts expansion before either condition
+    raises instead of silently returning wrong neighbors."""
 
     def per_batch(t: pa.Table) -> pa.Table:
-        index, res, minx, miny = ray.get(index_ref)
+        index, res, minx, miny, ncols_g, nrows_g = ray.get(index_ref)
         xs = t[qx].to_numpy(zero_copy_only=False)
         ys = t[qy].to_numpy(zero_copy_only=False)
         keys = t[query_key].to_numpy(zero_copy_only=False)
@@ -88,12 +115,15 @@ def knn_cell_ring(
         for i in range(len(xs)):
             qc = int(np.floor((xs[i] - minx) / res))
             qr = int(np.floor((ys[i] - miny) / res))
+            # rings beyond `cover` contain no in-domain cells
+            cover = max(qc, ncols_g - 1 - qc, qr, nrows_g - 1 - qr, 0)
+            limit = cover if max_ring is None else min(max_ring, cover)
             cand = {c2: [] for c2 in ("x", "y", *point_cols)}
             n_found = 0
-            kth_d = np.inf
+            closed = False
             ring = 0
-            while ring <= max_ring:
-                # cells at Chebyshev distance == ring
+            while ring <= limit:
+                # cells at Chebyshev distance == ring, clipped to grid
                 cells = []
                 if ring == 0:
                     cells = [(qc, qr)]
@@ -105,7 +135,9 @@ def knn_cell_ring(
                         cells.append((qc - ring, qr + dr))
                         cells.append((qc + ring, qr + dr))
                 for cc, rr in cells:
-                    ent = index.get(cc * (1 << 22) + rr)
+                    if cc < 0 or cc >= ncols_g or rr < 0 or rr >= nrows_g:
+                        continue
+                    ent = index.get(int(_pack(cc, rr)))
                     if ent is None:
                         continue
                     for c2 in cand:
@@ -119,9 +151,16 @@ def knn_cell_ring(
                     d2 = (cx - xs[i]) ** 2 + (cy - ys[i]) ** 2
                     kk = min(k, len(d2))
                     kth_d = np.sqrt(np.partition(d2, kk - 1)[kk - 1])
-                    if kth_d <= ring * res:
+                    if kth_d < ring * res:
+                        closed = True
                         break
                 ring += 1
+            if not closed and max_ring is not None and limit < cover:
+                raise RuntimeError(
+                    f"knn_cell_ring: expansion hit max_ring={max_ring} "
+                    f"before closure (needed up to ring {cover}); raise "
+                    "max_ring or coarsen res"
+                )
             if not cand["x"]:
                 continue
             cx = np.concatenate(cand["x"])
@@ -136,10 +175,16 @@ def knn_cell_ring(
             for c2 in point_cols:
                 out[c2].append(tb[c2][sel])
         if not out[query_key]:
-            empty = {query_key: pa.array([], pa.int64()), "rank": pa.array([], pa.int64()),
-                     "dist": pa.array([], pa.float64())}
+            # schema-stable empties: dtypes derived from the sources
+            ent0 = next(iter(index.values()), None)
+            empty = {
+                query_key: pa.array(np.empty(0, dtype=keys.dtype)),
+                "rank": pa.array([], pa.int64()),
+                "dist": pa.array([], pa.float64()),
+            }
             for c2 in point_cols:
-                empty[c2] = pa.array([], pa.int64())
+                dt = ent0[c2].dtype if ent0 is not None else np.int64
+                empty[c2] = pa.array(np.empty(0, dtype=dt))
             return pa.table(empty)
         return pa.table({c2: np.concatenate(v) for c2, v in out.items()})
 
@@ -165,17 +210,37 @@ def range_join_cells(
     res = radius
     r2 = radius * radius
 
+    # side padding must match the OTHER side's dtype or the union's
+    # schemas conflict; schema() is metadata-cheap for parquet-backed
+    # inputs (the callers here) — fall back to int64 when unavailable
+    def _types(ds) -> dict:
+        try:
+            sch = ds.schema()
+            sch = getattr(sch, "base_schema", sch)
+            return {f.name: f.type for f in sch}
+        except Exception:
+            return {}
+
+    ltypes, rtypes = _types(left), _types(right)
+
+    def _pad(n: int, typ):
+        if typ is None:
+            return np.zeros(n, dtype=np.int64)
+        if pa.types.is_string(typ) or pa.types.is_large_string(typ):
+            return pa.array([""] * n, typ)
+        return np.zeros(n, dtype=typ.to_pandas_dtype())
+
     def key_left(t: pa.Table) -> pa.Table:
         x = t["x"].to_numpy(zero_copy_only=False)
         y = t["y"].to_numpy(zero_copy_only=False)
         c = np.floor((x - bounds.minx) / res).astype(np.int64)
         r = np.floor((y - bounds.miny) / res).astype(np.int64)
-        cols = {"cell": c * (1 << 22) + r, "x": x, "y": y,
+        cols = {"cell": _pack(c, r), "x": x, "y": y,
                 "side": np.zeros(len(x), dtype=np.int8)}
         for col in left_cols:
             cols[col] = t[col].to_numpy(zero_copy_only=False)
         for col in right_cols:
-            cols[col] = np.zeros(len(x), dtype=np.int64)
+            cols[col] = _pad(len(x), rtypes.get(col))
         return pa.table(cols)
 
     def key_right(t: pa.Table) -> pa.Table:
@@ -184,16 +249,22 @@ def range_join_cells(
         c = np.floor((x - bounds.minx) / res).astype(np.int64)
         r = np.floor((y - bounds.miny) / res).astype(np.int64)
         n = len(x)
-        reps = []
+        reps_c, reps_r = [], []
         for dc in (-1, 0, 1):
             for dr in (-1, 0, 1):
-                reps.append(((c + dc) * (1 << 22) + (r + dr)))
-        cell = np.concatenate(reps)
+                reps_c.append(c + dc)
+                reps_r.append(r + dr)
+        cc = np.concatenate(reps_c)
+        rr = np.concatenate(reps_r)
         idx = np.tile(np.arange(n), 9)
-        cols = {"cell": cell, "x": x[idx], "y": y[idx],
+        # clip ring replicas below row/col 0: r-1 = -1 would alias
+        # (c-1, 2^32-1) under the packed key
+        ok = (rr >= 0) & (cc >= 0)
+        cc, rr, idx = cc[ok], rr[ok], idx[ok]
+        cols = {"cell": _pack(cc, rr), "x": x[idx], "y": y[idx],
                 "side": np.ones(len(idx), dtype=np.int8)}
         for col in left_cols:
-            cols[col] = np.zeros(len(idx), dtype=np.int64)
+            cols[col] = _pad(len(idx), ltypes.get(col))
         for col in right_cols:
             cols[col] = t[col].to_numpy(zero_copy_only=False)[idx]
         return pa.table(cols)
@@ -254,8 +325,16 @@ class CellShardActor:
     def __init__(self):
         self._cells: dict[int, dict[str, list]] = {}
         self._sealed: dict[int, dict[str, np.ndarray]] | None = None
+        self._seen: set[int] = set()
 
-    def add(self, table: pa.Table):
+    def add(self, token: int, table: pa.Table):
+        # content-token idempotency: Ray may re-execute a push task
+        # (worker death, lineage reconstruction) whose add RPCs already
+        # landed — the same block must not index twice. The token is a
+        # content hash, so a retry (identical payload) is a no-op.
+        if token in self._seen:
+            return 0
+        self._seen.add(token)
         key = table["cell"].to_numpy(zero_copy_only=False)
         order = np.argsort(key, kind="stable")
         key_s = key[order]
@@ -289,16 +368,18 @@ class ShardedCellIndex:
     """Handle bundle: actors + grid geometry. Pickles into tasks (actor
     handles are serializable); lookups go shard -> one RPC."""
 
-    def __init__(self, actors, res, minx, miny, num_shards):
+    def __init__(self, actors, res, minx, miny, num_shards, ncols=None, nrows=None):
         self.actors = actors
         self.res = res
         self.minx = minx
         self.miny = miny
         self.num_shards = num_shards
+        self.ncols = ncols
+        self.nrows = nrows
 
     def shard_for_key(self, key: int) -> int:
-        c = key >> 22
-        r = key & ((1 << 22) - 1)
+        c = key >> 32
+        r = key & int(_CELL_MASK)
         return int(
             _shard_of(
                 np.array([c // PARENT]), np.array([r // PARENT]), self.num_shards
@@ -309,8 +390,8 @@ class ShardedCellIndex:
         """Batched lookup: one get_cells RPC per shard that owns any
         of `keys` (shard routing vectorized)."""
         ka = np.asarray(keys, dtype=np.int64)
-        c = ka >> 22
-        r = ka & ((1 << 22) - 1)
+        c = ka >> _CELL_SHIFT
+        r = ka & _CELL_MASK
         shard = _shard_of(c // PARENT, r // PARENT, self.num_shards)
         futs = [
             self.actors[s].get_cells.remote(ka[shard == s].tolist())
@@ -332,14 +413,17 @@ def build_sharded_cell_index(
     """Streaming build: each batch routes its rows to the owning shard
     actors (parent-cell hash) — the point cloud never lands on the
     driver."""
+    import zlib
+
     actors = [CellShardActor.remote() for _ in range(num_shards)]
+    ncols_g, nrows_g = _grid_dims(bounds, res)
 
     def push(t: pa.Table) -> pa.Table:
         x = t["x"].to_numpy(zero_copy_only=False)
         y = t["y"].to_numpy(zero_copy_only=False)
         c = np.floor((x - bounds.minx) / res).astype(np.int64)
         r = np.floor((y - bounds.miny) / res).astype(np.int64)
-        key = c * (1 << 22) + r
+        key = _pack(c, r)
         shard = _shard_of(c // PARENT, r // PARENT, num_shards)
         cols = {"cell": key, "x": x, "y": y}
         for col in keep_cols:
@@ -347,7 +431,17 @@ def build_sharded_cell_index(
         payload = pa.table(cols)
         futs = []
         for s in np.unique(shard):
-            futs.append(actors[s].add.remote(payload.filter(pa.array(shard == s))))
+            sub = payload.filter(pa.array(shard == s))
+            # deterministic content token (stable across task retries,
+            # unlike a uuid) so the actor can drop duplicate adds; two
+            # legitimately byte-identical blocks would collide, which
+            # requires the INPUT to contain fully duplicated blocks
+            tok = zlib.crc32(
+                sub["cell"].to_numpy(zero_copy_only=False).tobytes()
+                + sub["x"].to_numpy(zero_copy_only=False).tobytes()
+                + sub["y"].to_numpy(zero_copy_only=False).tobytes()
+            ) ^ (len(sub) << 32)
+            futs.append(actors[s].add.remote(tok, sub))
         ray.get(futs)  # backpressure: don't let adds pile up unbounded
         return pa.table({"n": np.array([len(x)], dtype=np.int64)})
 
@@ -356,7 +450,9 @@ def build_sharded_cell_index(
     # batches (6k rounds at sf0.1); block-sized pushes cut that ~200x
     points.map_batches(push, batch_format="pyarrow", batch_size=None).materialize()
     ray.get([a.seal.remote() for a in actors])
-    return ShardedCellIndex(actors, res, bounds.minx, bounds.miny, num_shards)
+    return ShardedCellIndex(
+        actors, res, bounds.minx, bounds.miny, num_shards, ncols_g, nrows_g
+    )
 
 
 def knn_cell_ring_sharded(
@@ -367,7 +463,7 @@ def knn_cell_ring_sharded(
     qy: str = "sy",
     query_key: str = "s_suppkey",
     point_cols: tuple[str, ...] = ("l_orderkey", "l_linenumber"),
-    max_ring: int = 64,
+    max_ring: int | None = None,
     num_query_blocks: int | None = 32,
 ) -> ray.data.Dataset:
     """kNN ring expansion against the sharded index: each query batch
@@ -403,13 +499,26 @@ def knn_cell_ring_sharded(
         n = len(xs)
         qc = np.floor((xs - minx) / res).astype(np.int64)
         qr = np.floor((ys - miny) / res).astype(np.int64)
+        ncols_g = index.ncols if index.ncols else 1 << 21
+        nrows_g = index.nrows if index.nrows else 1 << 21
+        # rings beyond a query's `cover` hold no in-domain cells: once
+        # passed, the query has seen EVERY indexed point and < k rows
+        # is the exact answer (no silent truncation at a fixed ring)
+        cover = np.maximum.reduce(
+            [qc, ncols_g - 1 - qc, qr, nrows_g - 1 - qr,
+             np.zeros(n, dtype=np.int64)]
+        )
+        ring_stop = int(cover.max()) if len(cover) else 0
+        if max_ring is not None:
+            ring_stop = min(ring_stop, max_ring)
         found = np.zeros(n, dtype=np.int64)
         done = np.zeros(n, dtype=bool)
         acc_qi: list[np.ndarray] = []
         acc_d2: list[np.ndarray] = []
         acc = {c2: [] for c2 in fields}
         cache: dict = {}
-        for ring in range(max_ring + 1):
+        for ring in range(ring_stop + 1):
+            done |= cover < ring  # exhausted their domain: all seen
             open_idx = np.nonzero(~done)[0]
             if not len(open_idx):
                 break
@@ -417,7 +526,13 @@ def knn_cell_ring_sharded(
             cc = (qc[open_idx][:, None] + dc[None, :]).ravel()
             rr = (qr[open_idx][:, None] + dr[None, :]).ravel()
             qi = np.repeat(open_idx, len(dc))
-            kk = cc * (1 << 22) + rr
+            # clip to the grid: out-of-domain cells are empty, and a
+            # negative row would alias under the packed key
+            ok = (cc >= 0) & (cc < ncols_g) & (rr >= 0) & (rr < nrows_g)
+            cc, rr, qi = cc[ok], rr[ok], qi[ok]
+            if not len(cc):
+                continue
+            kk = _pack(cc, rr)
             slots, inv = np.unique(kk, return_inverse=True)
             missing = [int(s) for s in slots if s not in cache]
             if missing:
@@ -462,7 +577,9 @@ def knn_cell_ring_sharded(
                     acc[c2].append(ent[c2][cols_])
                 found += np.bincount(rows_qi, minlength=n)
             # ring closure: a query with >= k candidates is done when
-            # its kth distance <= ring * res (no farther ring can beat)
+            # its kth distance < ring * res — STRICT: an unseen point
+            # at exactly ring * res could tie kth and win the column
+            # tie-break, so equality keeps expanding one more ring
             ready = np.nonzero(~done & (found >= k))[0]
             if len(ready) and acc_qi:
                 aqi = np.concatenate(acc_qi)
@@ -475,12 +592,24 @@ def knn_cell_ring_sharded(
                 sd = ad2[m][order]
                 su, sstarts = np.unique(sq, return_index=True)
                 kth = np.sqrt(sd[sstarts + (k - 1)])
-                done[su[kth <= ring * res]] = True
+                done[su[kth < ring * res]] = True
+        if max_ring is not None and bool(np.any(~done & (cover > max_ring))):
+            raise RuntimeError(
+                f"knn_cell_ring_sharded: expansion hit max_ring="
+                f"{max_ring} before closure (needed up to ring "
+                f"{int(cover.max())}); raise max_ring or coarsen res"
+            )
         if not acc_qi:
-            empty = {query_key: pa.array([], pa.int64()), "rank": pa.array([], pa.int64()),
-                     "dist": pa.array([], pa.float64())}
+            # schema-stable empties: dtypes derived from the sources
+            ent0 = next((e for e in cache.values() if e is not None), None)
+            empty = {
+                query_key: pa.array(np.empty(0, dtype=keys.dtype)),
+                "rank": pa.array([], pa.int64()),
+                "dist": pa.array([], pa.float64()),
+            }
             for c2 in point_cols:
-                empty[c2] = pa.array([], pa.int64())
+                dt = ent0[c2].dtype if ent0 is not None else np.int64
+                empty[c2] = pa.array(np.empty(0, dtype=dt))
             return pa.table(empty)
         aqi = np.concatenate(acc_qi)
         ad2 = np.concatenate(acc_d2)

@@ -12,8 +12,12 @@ tools/check_correctness.py are unchanged.
 Long-format contract (mirrors the driver's canon compare):
 - v is DOUBLE on both sides; the driver rounds floats to 6 dp, and the
   sub-queries already emit ROUND(x, 6)-stable values.
-- rows are a multiset: (q, c, v) triples, order-insensitive; no row
-  ordinal is needed because the driver sorts rows before hashing.
+- rows are a multiset of (q, i, c, v): the driver sorts rows before
+  hashing, so order is free — but the per-subquery row ordinal `i`
+  (rank over ALL columns, identically computed on both sides) is
+  REQUIRED to preserve cross-column row association: without it, a
+  regression that swaps values between two rows of one column melts
+  to the same multiset and the hash could not catch it.
 """
 
 from __future__ import annotations
@@ -49,17 +53,18 @@ def _module_for(attr: str):
 
 def q_small_suite(sf_dir: str) -> pd.DataFrame:
     """One driver slot covering six small oracle queries: melt each
-    result to (q, c, v) numeric long rows."""
+    result to (q, i, c, v) numeric long rows, i = 1-based rank of the
+    row under an all-columns sort (mirrors the oracle's ROW_NUMBER)."""
     parts = []
-    for name, fn_name, _sql, _cols in _SUBS:
+    for name, fn_name, _sql, cols in _SUBS:
         fn = getattr(_module_for(fn_name), fn_name)
         res = fn(sf_dir)
         df = res.to_pandas() if hasattr(res, "to_pandas") else res
-        for c in df.columns:
+        df = df[cols].astype("float64").sort_values(cols).reset_index(drop=True)
+        i = df.index.to_numpy() + 1
+        for c in cols:
             parts.append(
-                pd.DataFrame(
-                    {"q": name, "c": c, "v": df[c].astype("float64")}
-                )
+                pd.DataFrame({"q": name, "i": i, "c": c, "v": df[c]})
             )
     return pd.concat(parts, ignore_index=True)
 
@@ -68,8 +73,9 @@ def _unpivot(name: str, sql: str, cols: list[str]) -> str:
     casts = ", ".join(f"CAST({c} AS DOUBLE) AS {c}" for c in cols)
     collist = ", ".join(cols)
     return (
-        f"SELECT '{name}' AS q, c, v FROM "
-        f"(SELECT {casts} FROM ({sql}) _t) "
+        f"SELECT '{name}' AS q, i, c, v FROM "
+        f"(SELECT ROW_NUMBER() OVER (ORDER BY {collist}) AS i, {casts} "
+        f"FROM (SELECT {casts} FROM ({sql}) _t0) _t) "
         f"UNPIVOT (v FOR c IN ({collist}))"
     )
 

@@ -169,3 +169,60 @@ def test_sharded_index_knn_matches_bruteforce(ray_session):
         want = pid[order]
         got = out[out["s_suppkey"] == qi].sort_values("rank")["l_orderkey"].to_numpy()
         np.testing.assert_array_equal(got, want)
+
+
+def test_knn_full_coverage_beyond_fixed_ring_cap(ray_session):
+    """Round-3 review repro: with res=1.0 the nearest point to the far
+    query sits >100 rings out — the old fixed max_ring=64 silently
+    emitted ZERO rows for it. Expansion must now run to grid coverage
+    and return the exact kNN from both index variants."""
+    import pyarrow as pa
+    import ray.data
+
+    from geotools_ray.kernels.grid import Bounds
+    from geotools_ray.ops.celljoin import (
+        build_cell_index,
+        build_sharded_cell_index,
+        knn_cell_ring,
+        knn_cell_ring_sharded,
+    )
+    from geotools_ray.ops.neighbors import knn_join
+
+    rng = np.random.RandomState(5)
+    rows = [
+        {"l_orderkey": i, "l_linenumber": 0,
+         "x": float(rng.uniform(0, 10)), "y": float(rng.uniform(0, 10))}
+        for i in range(50)
+    ]
+    pts = ray.data.from_items(rows)
+    smp = pa.table(
+        {"s_suppkey": np.array([0], dtype=np.int64),
+         "sx": np.array([95.0]), "sy": np.array([95.0])}
+    )
+    b = Bounds(0, 0, 100, 100)
+    want = knn_join(pts, smp, k=3).to_pandas()
+    w = want.sort_values(["s_suppkey", "rank"])["l_orderkey"].to_numpy()
+
+    idx = build_cell_index(pts, res=1.0, bounds=b)
+    got = knn_cell_ring(ray.data.from_arrow(smp), idx, k=3).to_pandas()
+    assert len(got) == 3
+    np.testing.assert_array_equal(
+        got.sort_values(["s_suppkey", "rank"])["l_orderkey"].to_numpy(), w
+    )
+    # an explicit too-small cap raises instead of silently truncating
+    with pytest.raises(Exception, match="max_ring"):
+        knn_cell_ring(ray.data.from_arrow(smp), idx, k=3, max_ring=10).to_pandas()
+
+    sidx = build_sharded_cell_index(pts, res=1.0, bounds=b, num_shards=2)
+    got2 = knn_cell_ring_sharded(
+        ray.data.from_arrow(smp), sidx, k=3, num_query_blocks=None
+    ).to_pandas()
+    assert len(got2) == 3
+    np.testing.assert_array_equal(
+        got2.sort_values(["s_suppkey", "rank"])["l_orderkey"].to_numpy(), w
+    )
+    with pytest.raises(Exception, match="max_ring"):
+        knn_cell_ring_sharded(
+            ray.data.from_arrow(smp), sidx, k=3, max_ring=10,
+            num_query_blocks=None,
+        ).to_pandas()
