@@ -91,8 +91,8 @@ def rastfit_correction(
     samples = pa.table(
         {"sx": sc.astype(np.float64), "sy": sr.astype(np.float64), "sz": diffs}
     )
-    # evaluate the correction at every valid cell
-    tr, tc = np.nonzero(valid)
+    # evaluate the correction at every valid cell (same mask as above)
+    tr, tc = rs, cs
     targets = ray.data.from_arrow(
         pa.table({"i": np.arange(len(tr)), "cx": tc.astype(np.float64), "cy": tr.astype(np.float64)})
     )

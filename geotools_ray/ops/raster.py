@@ -64,7 +64,8 @@ def list_col_of(arrays: list[np.ndarray]) -> pa.ListArray:
         if arrays else np.array([], dtype=np.float64)
     )
     return pa.ListArray.from_arrays(
-        pa.array(offs, pa.int32()), pa.array(vals.astype(np.float64), pa.float64())
+        pa.array(offs, pa.int32()),
+        pa.array(vals.astype(np.float64, copy=False), pa.float64()),
     )
 
 
@@ -165,6 +166,16 @@ def tiles_to_grid(df, H: int, W: int, tile: int, nodata: float = NODATA) -> np.n
 # ---------------------------------------------------------------------------
 # halo exchange
 
+
+def _edge_key(ek0: int, ek1: int, ek2: int) -> int:
+    """Collision-free packing of a boundary-strip key (orientation,
+    tile_row, tile_col) where row/col can be -1 for grid-edge strips:
+    1+26+26-bit fields (< 2^53). The previous decimal *100000 fields
+    aliased (a, b, -1) with (a, b-1, 99999) once a tile grid axis
+    reached 100000."""
+    return (((ek0 << 26) | (ek1 + 1)) << 26) | (ek2 + 1)
+
+
 def tile_map_with_halo(
     tiles: ray.data.Dataset,
     fn,
@@ -178,64 +189,6 @@ def tile_map_with_halo(
     """fn(padded, halo, gr0, gc0) -> interior array (h x w) for the
     tile whose global origin is (gr0, gc0). `padded` is the tile plus
     `halo` cells of context on every side (nodata beyond the grid)."""
-    ntr = (H + tile - 1) // tile
-    ntc = (W + tile - 1) // tile
-
-    def emit_pieces(t: pa.Table) -> pa.Table:
-        out = []
-        views = list_col_views(t["data"])
-        trows = t["trow"].to_numpy(zero_copy_only=False)
-        tcols = t["tcol"].to_numpy(zero_copy_only=False)
-        hs = t["h"].to_numpy(zero_copy_only=False)
-        ws = t["w"].to_numpy(zero_copy_only=False)
-        for i in range(len(t)):
-            tr = int(trows[i])
-            tc = int(tcols[i])
-            h = int(hs[i])
-            w = int(ws[i])
-            data = views[i].reshape(h, w)
-            # this tile's global extent
-            gr0, gc0 = tr * tile, tc * tile
-            for dr in (-1, 0, 1):
-                for dc in (-1, 0, 1):
-                    ttr, ttc = tr + dr, tc + dc
-                    if not (0 <= ttr < ntr and 0 <= ttc < ntc):
-                        continue
-                    # neighbour's padded region in global coords
-                    pr0, pc0 = ttr * tile - halo, ttc * tile - halo
-                    pr1 = min(ttr * tile + tile, H) + halo
-                    pc1 = min(ttc * tile + tile, W) + halo
-                    # overlap with this tile
-                    or0, oc0 = max(gr0, pr0), max(gc0, pc0)
-                    or1, oc1 = min(gr0 + h, pr1), min(gc0 + w, pc1)
-                    if or0 >= or1 or oc0 >= oc1:
-                        continue
-                    sub = data[or0 - gr0 : or1 - gr0, oc0 - gc0 : oc1 - gc0]
-                    out.append(
-                        {
-                            "trow": ttr,
-                            "tcol": ttc,
-                            "y": or0 - pr0,
-                            "x": oc0 - pc0,
-                            "ph": sub.shape[0],
-                            "pw": sub.shape[1],
-                            "data": np.ascontiguousarray(sub).ravel(),
-                        }
-                    )
-        if not out:
-            return pa.table(
-                {"trow": pa.array([], pa.int64()), "tcol": pa.array([], pa.int64()),
-                 "y": pa.array([], pa.int64()), "x": pa.array([], pa.int64()),
-                 "ph": pa.array([], pa.int64()), "pw": pa.array([], pa.int64()),
-                 "data": pa.array([], pa.list_(pa.float64()))}
-            )
-        return pa.table(
-            {k: pa.array([o[k] for o in out])
-             for k in ("trow", "tcol", "y", "x", "ph", "pw")}
-            | {"data": list_col_of([o["data"] for o in out])}
-        )
-
-    pieces = tiles.map_batches(emit_pieces, batch_format="pyarrow")
 
     def assemble(t: pa.Table) -> pa.Table:
         out_tr, out_tc, out_h, out_w, arrays = [], [], [], [], []
@@ -252,8 +205,9 @@ def tile_map_with_halo(
             }
         )
 
-    return grouped_map(pieces, ["trow", "tcol"], assemble, num_parts=num_parts,
-                       batch_format="pyarrow")
+    return _pieces_grouped(
+        tiles, halo, H, W, tile, nodata, assemble, num_parts=num_parts
+    )
 
 
 # ---------------------------------------------------------------------------
@@ -343,6 +297,12 @@ def minima_tiles(tiles, H, W, tile, nodata=NODATA, **kw):
 
 
 def _pieces_grouped(tiles, halo, H, W, tile, nodata, assemble, **kw):
+    if halo > tile:
+        raise ValueError(
+            f"halo={halo} exceeds tile={tile}: 3x3 neighbour replication "
+            "cannot provide that much context — cells beyond one tile away "
+            "would be silently nodata-filled. Use a larger tile size."
+        )
     ntr = (H + tile - 1) // tile
     ntc = (W + tile - 1) // tile
 
@@ -401,6 +361,11 @@ def mosaic_tiles(base_tiles, overlay_tiles, distance, resolution, H, W, tile,
     on the padded overlay, blend writes the tile interior only."""
     steps = max(1.0, distance / resolution)
     halo = int(steps) + 2
+    if halo > tile:
+        raise ValueError(
+            f"mosaic halo={halo} (feather distance/resolution) exceeds "
+            f"tile={tile}: use a larger tile size"
+        )
 
     # tag the two sides, union, and assemble pairs per tile
     def tag(name):
@@ -530,7 +495,7 @@ def void_fill_tiles(tiles, radius, count, exp, H, W, tile, max_radius=None,
     print a warning and continue likewise when its loop exhausts the
     grid). With max_radius >= the reference's terminal radius the
     results agree exactly."""
-    max_radius = int(max_radius or radius * 4)
+    max_radius = int(max_radius) if max_radius is not None else int(radius * 4)
     halo = max_radius + 1
 
     def fn(padded, hal, gr0, gc0):
@@ -759,7 +724,7 @@ def flood_basins_tiles(
                     pos = np.nonzero(strip > 0)[0]
                     if not len(pos):
                         continue
-                    kid = ((ek[0] * 100000 + ek[1]) * 100000 + ek[2]) * len(elevs) + ei
+                    kid = _edge_key(*ek) * len(elevs) + ei  # len(elevs) < 1024 keeps this < 2^63
                     edge_rows["elev"].extend([elev] * len(pos))
                     edge_rows["ek"].extend([kid] * len(pos))
                     edge_rows["pos"].extend(pos.tolist())
@@ -935,7 +900,7 @@ def flood_label_tiles(
                 pos = np.nonzero(strip > 0)[0]
                 if not len(pos):
                     continue
-                kid = ((ek[0] * 100000 + ek[1]) * 100000 + ek[2])
+                kid = _edge_key(*ek)
                 st["kind"].extend([1] * len(pos))
                 st["ek"].extend([kid] * len(pos))
                 st["pos"].extend(pos.tolist())
@@ -1169,7 +1134,21 @@ def detect_hot_keys(ds, key_col, threshold_frac=0.01, sample_frac=0.05, seed=7):
     from ray.data.aggregate import Count
 
     sampled = ds.random_sample(sample_frac, seed=seed)
-    counts = sampled.groupby(key_col).aggregate(Count(alias_name="n")).to_pandas()
-    total = counts["n"].sum()
-    hot = counts[counts["n"] > threshold_frac * total]
+    counts = sampled.groupby(key_col).aggregate(Count(alias_name="n")).materialize()
+    total = int(counts.sum("n") or 0)
+    if not total:
+        return {}
+    cut = threshold_frac * total
+
+    # filter DISTRIBUTED: the driver receives at most 1/threshold_frac
+    # hot keys, never the full per-key count table (cell/user-key
+    # cardinality is millions at scale — cf. stages/grouped.py's
+    # detect_hot_key_hashes, the hash-level variant the salted shuffle
+    # paths use)
+    def only_hot(t: pa.Table) -> pa.Table:
+        return t.filter(pa.array(t["n"].to_numpy(zero_copy_only=False) > cut))
+
+    hot = counts.map_batches(only_hot, batch_format="pyarrow").to_pandas()
+    if not len(hot):
+        return {}
     return dict(zip(hot[key_col], hot["n"]))
