@@ -297,14 +297,12 @@ def minima_tiles(tiles, H, W, tile, nodata=NODATA, **kw):
 
 
 def _pieces_grouped(tiles, halo, H, W, tile, nodata, assemble, **kw):
-    if halo > tile:
-        raise ValueError(
-            f"halo={halo} exceeds tile={tile}: 3x3 neighbour replication "
-            "cannot provide that much context — cells beyond one tile away "
-            "would be silently nodata-filled. Use a larger tile size."
-        )
     ntr = (H + tile - 1) // tile
     ntc = (W + tile - 1) // tile
+    # a halo wider than one tile needs pieces from ceil(halo/tile)
+    # rings of neighbours — a fixed 3x3 would silently nodata-fill the
+    # context beyond one tile away
+    reach = max(1, -(-halo // tile))
 
     def emit(t: pa.Table) -> pa.Table:
         out = []
@@ -318,8 +316,8 @@ def _pieces_grouped(tiles, halo, H, W, tile, nodata, assemble, **kw):
             h = int(hs[i]); w = int(ws[i])
             data = views[i].reshape(h, w)
             gr0, gc0 = tr * tile, tc * tile
-            for dr in (-1, 0, 1):
-                for dc in (-1, 0, 1):
+            for dr in range(-reach, reach + 1):
+                for dc in range(-reach, reach + 1):
                     ttr, ttc = tr + dr, tc + dc
                     if not (0 <= ttr < ntr and 0 <= ttc < ntc):
                         continue
@@ -361,11 +359,9 @@ def mosaic_tiles(base_tiles, overlay_tiles, distance, resolution, H, W, tile,
     on the padded overlay, blend writes the tile interior only."""
     steps = max(1.0, distance / resolution)
     halo = int(steps) + 2
-    if halo > tile:
-        raise ValueError(
-            f"mosaic halo={halo} (feather distance/resolution) exceeds "
-            f"tile={tile}: use a larger tile size"
-        )
+    # a halo wider than one tile needs ceil(halo/tile) rings of
+    # neighbour pieces (cf. _pieces_grouped)
+    reach = max(1, -(-halo // tile))
 
     # tag the two sides, union, and assemble pairs per tile
     def tag(name):
@@ -395,8 +391,8 @@ def mosaic_tiles(base_tiles, overlay_tiles, distance, resolution, H, W, tile,
             data = views[i].reshape(h, w)
             gr0, gc0 = tr * tile, tc * tile
             hal = halo if side == "over" else 0  # base needs no halo
-            for dr in (-1, 0, 1):
-                for dc in (-1, 0, 1):
+            for dr in range(-reach, reach + 1):
+                for dc in range(-reach, reach + 1):
                     if side == "base" and (dr or dc):
                         continue
                     ttr, ttc = tr + dr, tc + dc

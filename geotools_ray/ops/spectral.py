@@ -14,14 +14,14 @@ import pandas as pd
 import pyarrow as pa
 import ray.data
 
-from ..kernels import stats as K
 from ..stages.grouped import grouped_map
 from .raster import group_slices, list_col_views
 
 NODATA = -9999.0
 
 
-def zip_tiles(a: ray.data.Dataset, b: ray.data.Dataset, fn, num_parts=None) -> ray.data.Dataset:
+def zip_tiles(a: ray.data.Dataset, b: ray.data.Dataset, fn, num_parts=None,
+              empty: pd.DataFrame | None = None) -> ray.data.Dataset:
     """fn(trow, tcol, grid_a, grid_b) -> DataFrame rows; grids are the
     two sides' tile arrays (nodata-filled when a side lacks a tile)."""
 
@@ -40,7 +40,7 @@ def zip_tiles(a: ray.data.Dataset, b: ray.data.Dataset, fn, num_parts=None) -> r
         tcs = t["tcol"].to_numpy(zero_copy_only=False)
         hs = t["h"].to_numpy(zero_copy_only=False)
         ws = t["w"].to_numpy(zero_copy_only=False)
-        sides = np.asarray(t["side"].to_pylist())
+        sides = t["side"].to_numpy(zero_copy_only=False)
         order, slices = group_slices(trs, tcs)
         out = []
         for s, e in slices:
@@ -61,7 +61,11 @@ def zip_tiles(a: ray.data.Dataset, b: ray.data.Dataset, fn, num_parts=None) -> r
             res = fn(int(trs[g[0]]), int(tcs[g[0]]), ga, gb)
             if res is not None and len(res):
                 out.append(res)
-        return pd.concat(out) if out else pd.DataFrame()
+        if out:
+            return pd.concat(out)
+        # schema-stable empty: a columnless frame breaks downstream
+        # grouped_map key hashing / schema merges
+        return empty.iloc[0:0].copy() if empty is not None else pd.DataFrame()
 
     return grouped_map(both, ["trow", "tcol"], per_tile, num_parts=num_parts,
                        batch_format="pyarrow")
@@ -95,7 +99,12 @@ def spectral_extract(
             }
         )
 
-    return zip_tiles(index_tiles, band_tiles, fn, num_parts=num_parts)
+    empty = pd.DataFrame({"id": pd.Series(dtype=np.int64),
+                          "x": pd.Series(dtype=np.float64),
+                          "y": pd.Series(dtype=np.float64),
+                          "dn": pd.Series(dtype=np.float64)})
+    return zip_tiles(index_tiles, band_tiles, fn, num_parts=num_parts,
+                     empty=empty)
 
 
 def spectral_extract_cotiled(
@@ -150,7 +159,8 @@ def spectral_extract_cotiled(
     return tiles.map_batches(fn, batch_format="pyarrow")
 
 
-def zip3_tiles(a, b, c, fn, num_parts=None) -> ray.data.Dataset:
+def zip3_tiles(a, b, c, fn, num_parts=None,
+               empty: pd.DataFrame | None = None) -> ray.data.Dataset:
     """Three-way tile co-partition in ONE grouped shuffle;
     fn(trow, tcol, ga, gb, gc) -> DataFrame rows."""
 
@@ -171,7 +181,7 @@ def zip3_tiles(a, b, c, fn, num_parts=None) -> ray.data.Dataset:
         tcs = t["tcol"].to_numpy(zero_copy_only=False)
         hs = t["h"].to_numpy(zero_copy_only=False)
         ws = t["w"].to_numpy(zero_copy_only=False)
-        sides = np.asarray(t["side"].to_pylist())
+        sides = t["side"].to_numpy(zero_copy_only=False)
         order, slices = group_slices(trs, tcs)
         out = []
         for s, e in slices:
@@ -187,7 +197,11 @@ def zip3_tiles(a, b, c, fn, num_parts=None) -> ray.data.Dataset:
             res = fn(int(trs[g[0]]), int(tcs[g[0]]), ga, gb, gc)
             if res is not None and len(res):
                 out.append(res)
-        return pd.concat(out) if out else pd.DataFrame()
+        if out:
+            return pd.concat(out)
+        # schema-stable empty: a columnless frame breaks downstream
+        # grouped_map key hashing / schema merges
+        return empty.iloc[0:0].copy() if empty is not None else pd.DataFrame()
 
     return grouped_map(allt, ["trow", "tcol"], per_tile, num_parts=num_parts,
                        batch_format="pyarrow")
@@ -208,7 +222,14 @@ def raster_pair_diff_stats(
     def stat_fn(tr, tc, ga, gb, cls):
         return _diff_stats_partial(ga, gb, cls)
 
-    partials = zip3_tiles(a_tiles, b_tiles, class_tiles, stat_fn, num_parts=num_parts)
+    empty = pd.DataFrame({"cls": pd.Series(dtype=np.int64),
+                          "pn": pd.Series(dtype=np.int64),
+                          "ps": pd.Series(dtype=np.float64),
+                          "pss": pd.Series(dtype=np.float64),
+                          "pmn": pd.Series(dtype=np.float64),
+                          "pmx": pd.Series(dtype=np.float64)})
+    partials = zip3_tiles(a_tiles, b_tiles, class_tiles, stat_fn,
+                          num_parts=num_parts, empty=empty)
     return grouped_map(partials, ["cls"], _diff_stats_final, num_parts=8)
 
 
@@ -250,12 +271,14 @@ def raster_diff_stats_cotiled(
 
 
 def _diff_stats_partial(ga, gb, cls):
-    okd = (ga != NODATA) & (gb != NODATA)
-    d = np.where(okd, ga - gb, NODATA)
-    ok = (d != NODATA) & (cls != NODATA)
+    # validity comes from the INPUT masks only (reference skips when
+    # either pixel is nodata, src/rasterstats.cpp:233-234) — routing
+    # the diff through a NODATA sentinel would silently drop a pixel
+    # whose legitimate diff equals exactly -9999.0
+    ok = (ga != NODATA) & (gb != NODATA) & (cls != NODATA)
     if not ok.any():
         return None
-    vals = d[ok]
+    vals = (ga - gb)[ok]
     cl = cls[ok].astype(np.int64)
     uniq, inv = np.unique(cl, return_inverse=True)
     n = np.bincount(inv)

@@ -158,23 +158,13 @@ def q_flightline(sf_dir: str):
     pts = _stream_points(sf_dir)
 
     def per_file(df: pd.DataFrame) -> pd.DataFrame:
+        from .ops.flightline import _file_segments
+
         out = []
         for f, g in df.groupby("file", sort=False):
             g = g.sort_values(["gps_time", "l_orderkey", "l_linenumber"])
-            times = g["gps_time"].to_numpy()
-            start = end = 0.0
-            started = False
-            for t in times:
-                if not started:
-                    start = end = t
-                    started = True
-                else:
-                    if t - end < 0.0 or t - end > TIME_GAP_DAYS:
-                        out.append({"t_start": start, "t_end": end})
-                        start = t
-                    end = t
-            if started and end != start:
-                out.append({"t_start": start, "t_end": end})
+            for st, en in _file_segments(g, "gps_time", TIME_GAP_DAYS):
+                out.append({"t_start": st, "t_end": en})
         return pd.DataFrame(out, columns=["t_start", "t_end"])
 
     raw = grouped_map(pts, ["file"], per_file).to_pandas()
@@ -246,15 +236,15 @@ def _mean_tiles(sf_dir: str, res: float = 2.0, tile: int = 16):
     return tiles, b, rows, cols
 
 
-def _tile_checksums(out, H, W, tile):
-    from .ops.raster import list_col_views
+def _tile_checksums(out):
+    from .ops.raster import NODATA, list_col_views
 
     def fin(t: pa.Table) -> pd.DataFrame:
         views = list_col_views(t["data"])
         nv = np.zeros(len(views), dtype=np.int64)
         cks = np.zeros(len(views), dtype=np.float64)
         for i, v in enumerate(views):
-            valid = v != -9999.0
+            valid = v != NODATA
             nv[i] = valid.sum()
             cks[i] = float(_round_away(v[valid].sum(), 4)) if nv[i] else 0.0
         return pd.DataFrame(
@@ -276,7 +266,7 @@ def q_raster_smooth(sf_dir: str):
 
     tiles, b, H, W = _mean_tiles(sf_dir)
     out = smooth_tiles(tiles, sigma=1.0, size=3, H=H, W=W, tile=16, num_parts=8)
-    return _tile_checksums(out, H, W, 16)
+    return _tile_checksums(out)
 
 
 def q_treetops(sf_dir: str):
@@ -345,7 +335,7 @@ def q_mosaic(sf_dir: str):
     ot = mt.map_batches(pick("ocount"), batch_format="pyarrow")
     H, W = rows, cols
     out = mosaic_tiles(bt, ot, distance=3.0, resolution=1.0, H=H, W=W, tile=16, num_parts=8)
-    return _tile_checksums(out, H, W, 16)
+    return _tile_checksums(out)
 
 
 def q_datum_transform(sf_dir: str):
@@ -552,7 +542,7 @@ def q_boundary(sf_dir: str):
 
 
 def q_spectral(sf_dir: str):
-    """J5: index raster (cell_id+1 where count >= 20 — an oracle-
+    """J5: index raster (cell_id+1 where count >= SPECTRAL_MIN_N — an oracle-
     checkable deterministic labeling) ⋈ mean raster by pixel."""
     import pyarrow as pa
 
@@ -632,7 +622,7 @@ def q_void_fill(sf_dir: str):
     tiles, b, H, W = _mean_tiles(sf_dir)
     out = void_fill_tiles(tiles, radius=2.0, count=3, exp=1.0, H=H, W=W,
                           tile=16, max_radius=6, num_parts=8)
-    return _tile_checksums(out, H, W, 16)
+    return _tile_checksums(out)
 
 
 def q_rugosity(sf_dir: str):
@@ -851,6 +841,12 @@ def q_zonal_wkb(sf_dir: str):
         }
     )
     polys, attrs = read_polygon_table(ptab, attr_cols=("name",))
+    # the attr-parse path is part of what this query proves: check it
+    # round-tripped before discarding (attrs don't join the output —
+    # the oracle compares the spatial join only)
+    assert [attrs.loc[p.polygon_id, "name"] for p in RECT_POLYS] == [
+        f"zone{p.polygon_id}" for p in RECT_POLYS
+    ]
     pts = tpch.read_points(sf_dir)
     return Z.zonal_join(pts, polys, keep_cols=("l_orderkey", "l_linenumber"))
 

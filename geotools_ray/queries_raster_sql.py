@@ -261,7 +261,7 @@ filled AS (
 """ + _tile_checksum_sql("filled")
 
 
-# J5 spectral extraction: index raster = cell_id+1 where n >= 20,
+# J5 spectral extraction: index raster = cell_id+1 where n >= SPECTRAL_MIN_N,
 # band = mean grid; per-pixel (id, x, y, dn) with the reference's
 # y-from-grid-row quirk (src/spectral.cpp:97-197).
 SPECTRAL_MIN_N = 3

@@ -312,3 +312,19 @@ def test_spill_points_tiles_matches_kernel(ray_session):
     for c in key:
         assert np.array_equal(got[c].to_numpy(), want[c].to_numpy()), c
     assert np.allclose(got["dist"], want["dist"])
+
+
+def test_smooth_tiles_halo_wider_than_tile(ray_ctx):
+    """Round-3 review fix: a window whose halo exceeds the tile size
+    must replicate ceil(halo/tile) neighbour rings — the fixed 3x3
+    silently nodata-filled context beyond one tile away."""
+    from geotools_ray.ops.raster import smooth_tiles, tiles_to_grid
+
+    g = make_grid(30, 34, seed=8)
+    # size=13 -> half=6 > tile=4 (reach 2); also > tile=8 edge case no
+    want = KR.smooth(g, sigma=2.0, size=13)
+    for tile in (4, 8):
+        ds = _tiles_ds(ray_ctx, g, tile)
+        out = smooth_tiles(ds, 2.0, 13, g.shape[0], g.shape[1], tile, num_parts=4)
+        got = tiles_to_grid(out.to_pandas(), g.shape[0], g.shape[1], tile)
+        np.testing.assert_allclose(got, want, rtol=0, atol=1e-12)
