@@ -141,7 +141,10 @@ def radius_cells_of_points(x, y, bounds: Bounds, res: float, radius: float):
     dy2 = (cys - y[:, None]) ** 2
     # (n, span, span) distance-squared via broadcast
     dist2 = dx2[:, :, None] + dy2[:, None, :]
-    keep = (dist2 <= radius * radius) & cc_ok[:, :, None] & rr_ok[:, None, :]
+    # sqrt-then-compare mirrors the reference's inRadius (sqrt(d2) <=
+    # radius, src/lasgrid.cpp) — d2 <= r*r can disagree by one ulp at
+    # the exact boundary; the SQL oracle uses the same sqrt form
+    keep = (np.sqrt(dist2) <= radius) & cc_ok[:, :, None] & rr_ok[:, None, :]
     pi, ci, ri = np.nonzero(keep)
     cell = (rows - rr[pi, ri] - 1) * cols + cc[pi, ci]
     return pi.astype(np.int64), cell.astype(np.int64)

@@ -35,7 +35,6 @@ from ..kernels import stats as K
 from ..kernels.grid import Bounds, cell_centroids, cell_id_of_points, radius_cells_of_points
 
 ALGEBRAIC = {"count", "min", "max", "mean", "density", "variance", "stddev", "pvariance", "pstddev"}
-EXACT_ONLY = {"median", "skew", "kurtosis"} | {f"q{i}" for i in range(1, 100)}
 
 
 @dataclass(frozen=True)
@@ -52,29 +51,36 @@ class GridConfig:
     salt_hot: bool = False  # exact path: probe for hot cells and salt them
 
 
-_BOUNDS_CACHE: dict = {}  # (id(ds), res) -> (ds strong ref, Bounds)
+_BOUNDS_CACHE: dict = {}  # (id(ds), res) -> (weakref to ds, Bounds)
 
 
 def compute_bounds(points: ray.data.Dataset, res: float) -> Bounds:
     """Data-driven snapped bounds (pass 1 of the reference). Cached per
     dataset object: the bench sweep shares ONE materialized points
-    table across ~40 queries, each of which needs the same bounds —
-    the identity check (`is`) makes the cache safe against id reuse."""
+    table across ~40 queries, each of which needs the same bounds.
+    Entries hold WEAK references, so dead pipelines' (possibly
+    materialized, object-store-backed) datasets are not pinned by the
+    cache and a recycled id() cannot produce a stale hit."""
+    import weakref
+
     key = (id(points), res)
     hit = _BOUNDS_CACHE.get(key)
-    if hit is not None and hit[0] is points:
+    if hit is not None and hit[0]() is points:
         return hit[1]
     agg = points.aggregate(Min("x"), Max("x"), Min("y"), Max("y"))
+    if agg is None:  # ray returns None for an empty dataset
+        raise ValueError("compute_bounds: points dataset is empty")
     b = Bounds(agg["min(x)"], agg["min(y)"], agg["max(x)"], agg["max(y)"]).snap(res)
     if len(_BOUNDS_CACHE) > 64:
-        _BOUNDS_CACHE.clear()
-    _BOUNDS_CACHE[key] = (points, b)
+        for k in [k for k, v in _BOUNDS_CACHE.items() if v[0]() is None]:
+            del _BOUNDS_CACHE[k]
+    _BOUNDS_CACHE[key] = (weakref.ref(points), b)
     return b
 
 
-def _apply_filters(t: pa.Table, cfg: GridConfig, b: Bounds):
+def _apply_filters(t: pa.Table, cfg: GridConfig, b: Bounds, skip_class: bool = False):
     mask = np.ones(len(t), dtype=bool)
-    if cfg.class_filter is not None:
+    if cfg.class_filter is not None and not skip_class:
         cls = t["cls"].to_numpy(zero_copy_only=False)
         mask &= np.isin(cls, list(cfg.class_filter))
     if cfg.angle_limit is not None:
@@ -87,25 +93,52 @@ def _apply_filters(t: pa.Table, cfg: GridConfig, b: Bounds):
 
 
 def assign_cells(points: ray.data.Dataset, cfg: GridConfig, b: Bounds,
-                 keep_cols: tuple[str, ...] = ()) -> ray.data.Dataset:
+                 keep_cols: tuple[str, ...] = (),
+                 defer_class: bool = False) -> ray.data.Dataset:
     """filter + cell-id column (radius window flat-maps a point into
-    every cell whose centroid is within radius — R1 semantics)."""
+    every cell whose centroid is within radius — R1 semantics).
+
+    defer_class=True keeps class-filtered rows with a `keep` flag
+    instead of dropping them — the reference's kurtosis divides by the
+    UNFILTERED per-cell count (cellstats.hpp:356), which is lost once
+    the rows are gone."""
 
     def fn(t: pa.Table) -> pa.Table:
-        t = _apply_filters(t, cfg, b)
+        t = _apply_filters(t, cfg, b, skip_class=defer_class)
         x = t["x"].to_numpy(zero_copy_only=False)
         y = t["y"].to_numpy(zero_copy_only=False)
+        keep = None
+        if defer_class and cfg.class_filter is not None:
+            cls = t["cls"].to_numpy(zero_copy_only=False)
+            keep = np.isin(cls, list(cfg.class_filter)).astype(np.int8)
         if cfg.radius == 0.0:
             cid = cell_id_of_points(x, y, b, cfg.res)
+            # a point exactly on the closed-interval maxx/maxy boundary
+            # gets col==cols / row==rows; the reference's clamped cell
+            # window drops it (lasgrid.cpp:308-310) — unclamped it
+            # would wrap into a wrong cell id
+            cols_g, rows_g = b.cols(cfg.res), b.rows(cfg.res)
+            col = np.floor((x - b.minx) / cfg.res)
+            row = np.floor((y - b.miny) / cfg.res)
+            ok = (col >= 0) & (col < cols_g) & (row >= 0) & (row < rows_g)
+            if not ok.all():
+                t = t.filter(pa.array(ok))
+                cid = cid[ok]
+                if keep is not None:
+                    keep = keep[ok]
             cols = {"cell_id": cid, "v": t[cfg.value_col].to_numpy(zero_copy_only=False)}
             for c in keep_cols:
                 cols[c] = t[c].to_numpy(zero_copy_only=False)
+            if keep is not None:
+                cols["keep"] = keep
         else:
             pi, cid = radius_cells_of_points(x, y, b, cfg.res, cfg.radius)
             v = t[cfg.value_col].to_numpy(zero_copy_only=False)
             cols = {"cell_id": cid, "v": v[pi]}
             for c in keep_cols:
                 cols[c] = t[c].to_numpy(zero_copy_only=False)[pi]
+            if keep is not None:
+                cols["keep"] = keep[pi]
         return pa.table(cols)
 
     return points.map_batches(fn, batch_format="pyarrow")
@@ -135,7 +168,15 @@ def grid_stats(points: ray.data.Dataset, cfg: GridConfig) -> ray.data.Dataset:
     strategy = cfg.strategy
     if strategy == "auto":
         strategy = "partial" if all(s in ALGEBRAIC for s in cfg.stats) else "exact"
-    cells = assign_cells(points, cfg, b)
+    # kurtosis + class filter: the reference divides by the UNFILTERED
+    # per-cell count (cellstats.hpp:356) — carry the dropped rows as a
+    # keep flag so the exact kernels can see both counts
+    quirk = (
+        strategy == "exact"
+        and "kurtosis" in cfg.stats
+        and cfg.class_filter is not None
+    )
+    cells = assign_cells(points, cfg, b, defer_class=quirk)
     cell_area = cfg.res * cfg.res
 
     if strategy == "partial":
@@ -183,17 +224,21 @@ def grid_stats(points: ray.data.Dataset, cfg: GridConfig) -> ray.data.Dataset:
 
     from ..stages.grouped import detect_hot_key_hashes, grouped_map, salted_grouped_map
 
-    def _finalize_rows(cids, values) -> pd.DataFrame:
+    def _finalize_rows(cids, values, unf=None) -> pd.DataFrame:
         rows: dict[str, list] = {"cell_id": []}
         for st in stats:
             rows[st] = []
-        for cid, v in zip(cids, values):
+        for gi, (cid, v) in enumerate(zip(cids, values)):
             rows["cell_id"].append(cid)
             for st in stats:
                 if st.startswith("q") and st[1:].isdigit():
                     rows[st].append(K.ref_quantile(v, int(st[1:]), qn))
                 elif st == "density":
                     rows[st].append(K.ref_density(v, cell_area))
+                elif st == "kurtosis":
+                    rows[st].append(
+                        K.ref_kurtosis(v, unf[gi] if unf is not None else None)
+                    )
                 else:
                     rows[st].append(K.STAT_KERNELS[st](v))
         return pd.DataFrame(rows)
@@ -202,10 +247,20 @@ def grid_stats(points: ray.data.Dataset, cfg: GridConfig) -> ray.data.Dataset:
 
         def per_part(df: pd.DataFrame) -> pd.DataFrame:
             groups = list(df.groupby("cell_id", sort=False))
-            return _finalize_rows(
-                [cid for cid, _ in groups],
-                [g["v"].to_numpy(dtype=np.float64) for _, g in groups],
-            )
+            if not quirk:
+                return _finalize_rows(
+                    [cid for cid, _ in groups],
+                    [g["v"].to_numpy(dtype=np.float64) for _, g in groups],
+                )
+            cids, vals, unf = [], [], []
+            for cid, g in groups:
+                k = g["keep"].to_numpy().astype(bool)
+                if not k.any():
+                    continue  # no filtered points: cell absent (nodata)
+                cids.append(cid)
+                vals.append(g["v"].to_numpy(dtype=np.float64)[k])
+                unf.append(len(g))
+            return _finalize_rows(cids, vals, unf)
 
         return grouped_map(cells, ["cell_id"], per_part)
 
@@ -218,28 +273,45 @@ def grid_stats(points: ray.data.Dataset, cfg: GridConfig) -> ray.data.Dataset:
     # bytes still meet in its phase-2 merge task — but that task holds
     # ONE cell, not a partition's worth, and every algebraic stat
     # should use the 'partial' strategy instead (skew-free by design).
+    # materialize ONCE: the probe's random_sample would otherwise
+    # execute the full upstream read+filter+assign pipeline a second
+    # time just to sample 5% of it
+    cells = cells.materialize()
     hot = detect_hot_key_hashes(cells, ["cell_id"])
 
     def chunk(df: pd.DataFrame) -> pd.DataFrame:
         groups = list(df.groupby(["cell_id", "_salt"], sort=False))
-        return pd.DataFrame(
-            {
-                "cell_id": [cid for (cid, _s), _ in groups],
-                # no per-chunk sort: merge() re-sorts the full
-                # concatenation anyway, so phase-1 ordering is wasted
-                "vals": [g["v"].to_numpy(dtype=np.float64) for _, g in groups],
-            }
-        )
+        cids = [cid for (cid, _s), _ in groups]
+        if not quirk:
+            return pd.DataFrame(
+                {
+                    "cell_id": cids,
+                    # no per-chunk sort: merge() re-sorts the full
+                    # concatenation anyway, so phase-1 ordering is wasted
+                    "vals": [g["v"].to_numpy(dtype=np.float64) for _, g in groups],
+                    "unf": np.zeros(len(cids), dtype=np.int64),
+                }
+            )
+        vals, unf = [], []
+        for _, g in groups:
+            k = g["keep"].to_numpy().astype(bool)
+            vals.append(g["v"].to_numpy(dtype=np.float64)[k])
+            unf.append(len(g))
+        return pd.DataFrame({"cell_id": cids, "vals": vals, "unf": unf})
 
     def merge(df: pd.DataFrame) -> pd.DataFrame:
         groups = list(df.groupby("cell_id", sort=False))
-        return _finalize_rows(
-            [cid for cid, _ in groups],
-            [
-                np.sort(np.concatenate([np.asarray(a, dtype=np.float64) for a in g["vals"]]))
-                for _, g in groups
-            ],
-        )
+        cids, vals, unf = [], [], []
+        for cid, g in groups:
+            v = np.sort(
+                np.concatenate([np.asarray(a, dtype=np.float64) for a in g["vals"]])
+            )
+            if quirk and not len(v):
+                continue  # no filtered points: cell absent (nodata)
+            cids.append(cid)
+            vals.append(v)
+            unf.append(int(g["unf"].sum()))
+        return _finalize_rows(cids, vals, unf if quirk else None)
 
     return salted_grouped_map(
         cells, ["cell_id"], chunk, merge, hot_hashes=hot

@@ -21,7 +21,7 @@ import ray
 import ray.data
 
 from ..kernels import stats as K
-from ..kernels.geom import points_in_polygon, polygon_bbox
+from ..kernels.geom import points_in_polygon
 
 
 @dataclass(frozen=True)
@@ -51,13 +51,14 @@ def zonal_join(
 ) -> ray.data.Dataset:
     """-> one row per (point, containing polygon) pair."""
     polys_ref = ray.put(polygons)
+    ids = np.array([p.polygon_id for p in polygons], dtype=np.int64)
 
     def fn(t: pa.Table) -> pa.Table:
         polys = ray.get(polys_ref)
         m = _match_matrix(t, polys)
         pi, pj = np.nonzero(m)
         cols = {c: t[c].to_numpy(zero_copy_only=False)[pi] for c in keep_cols}
-        cols["polygon_id"] = np.array([polys[j].polygon_id for j in range(len(polys))], dtype=np.int64)[pj]
+        cols["polygon_id"] = ids[pj]
         return pa.table(cols)
 
     return points.map_batches(fn, batch_format="pyarrow")

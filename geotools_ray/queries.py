@@ -206,7 +206,7 @@ allcells AS (
   WHERE c.c < g.ncols AND r.r < g.nrows)
 SELECT a.cell_id, count(*) AS n, round(avg(p.z), {R6}) AS mean_z
 FROM pts p JOIN allcells a
-  ON (a.cx-p.x)*(a.cx-p.x) + (a.cy-p.y)*(a.cy-p.y) <= {RADIUS}*{RADIUS}
+  ON sqrt((a.cx-p.x)*(a.cx-p.x) + (a.cy-p.y)*(a.cy-p.y)) <= {RADIUS}
 GROUP BY a.cell_id"""
 
 

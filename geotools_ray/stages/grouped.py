@@ -151,7 +151,9 @@ def detect_hot_key_hashes(
         .aggregate(Count(alias_name="n"))
         .materialize()
     )
-    total = counts.aggregate(Sum("n", alias_name="t"))["t"] or 0
+    agg = counts.aggregate(Sum("n", alias_name="t"))
+    # ray returns None (not a row) when the sampled dataset is empty
+    total = (agg or {}).get("t") or 0
     if not total:
         return np.array([], dtype=np.uint64)
     cut = threshold_frac * total

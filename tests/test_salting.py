@@ -163,3 +163,85 @@ def test_dedup_by_phash_salted_identity(ray_session):
         got[["phash", "polygon_id", "image_id"]],
         want[["phash", "polygon_id", "image_id"]],
     )
+
+
+def _kurt_ref(v, unf):
+    v = np.asarray(v, dtype=np.float64)
+    m = v.mean()
+    s = v.std(ddof=1)
+    return float(np.sum((v - m) ** 4 / unf) / s**4 - 3.0)
+
+
+def test_kurtosis_unfiltered_count_quirk(ray_session):
+    """Reference CellKurtosis divides by the UNFILTERED per-cell count
+    (cellstats.hpp: count = values.size() while other stats use the
+    filtered list) — the exact path must preserve that when a class
+    filter is active, on both the plain and salted shuffles."""
+    import ray.data
+
+    from geotools_ray.kernels.grid import Bounds
+    from geotools_ray.ops.gridstats import GridConfig, grid_stats
+
+    rng = np.random.RandomState(11)
+    n = 4000
+    t = pa.table(
+        {
+            "x": rng.uniform(0, 40, n),
+            "y": rng.uniform(0, 40, n),
+            "z": rng.uniform(0, 30, n),
+            "cls": rng.choice([1, 2, 3], n).astype(np.int64),
+            "scan_angle": np.zeros(n, dtype=np.int64),
+        }
+    )
+    b = Bounds(0.0, 0.0, 40.0, 40.0)
+    for salt in (False, True):
+        cfg = GridConfig(
+            res=10.0, bounds=b, stats=("count", "kurtosis"),
+            class_filter=frozenset({1}), strategy="exact", salt_hot=salt,
+        )
+        out = (
+            grid_stats(ray.data.from_arrow(t), cfg)
+            .to_pandas().set_index("cell_id").sort_index()
+        )
+        # straight-line oracle per cell
+        x = t["x"].to_numpy(); y = t["y"].to_numpy()
+        z = t["z"].to_numpy(); cls = t["cls"].to_numpy()
+        col = np.floor(x / 10.0).astype(int)
+        row = np.floor(y / 10.0).astype(int)
+        rows_g = 4
+        cid = (rows_g - row - 1) * 4 + col
+        for c in np.unique(cid):
+            in_cell = cid == c
+            vf = z[in_cell & (cls == 1)]
+            if not len(vf):
+                assert c not in out.index
+                continue
+            assert out.loc[c, "count"] == len(vf)
+            want = _kurt_ref(vf, int(in_cell.sum()))
+            assert out.loc[c, "kurtosis"] == pytest.approx(want, rel=1e-12)
+
+
+def test_grid_boundary_point_dropped(ray_session):
+    """A point exactly on the closed-interval maxx/maxy boundary is
+    DROPPED (reference lasgrid's clamped window), not wrapped into a
+    neighbouring cell id."""
+    import ray.data
+
+    from geotools_ray.kernels.grid import Bounds
+    from geotools_ray.ops.gridstats import GridConfig, grid_stats
+
+    t = pa.table(
+        {
+            "x": np.array([5.0, 10.0, 5.0]),
+            "y": np.array([5.0, 5.0, 10.0]),
+            "z": np.array([1.0, 2.0, 3.0]),
+            "cls": np.array([1, 1, 1], dtype=np.int64),
+            "scan_angle": np.zeros(3, dtype=np.int64),
+        }
+    )
+    b = Bounds(0.0, 0.0, 10.0, 10.0)
+    cfg = GridConfig(res=5.0, bounds=b, stats=("count",), strategy="exact")
+    out = grid_stats(ray.data.from_arrow(t), cfg).to_pandas()
+    # only the interior point (5,5) lands; the two boundary points are
+    # dropped, and notably NOT wrapped into cells 0/2/3
+    assert out["count"].sum() == 1
