@@ -14,52 +14,109 @@ import numpy as np
 
 
 def delaunay(points: np.ndarray) -> list[tuple[int, int, int]]:
-    """-> list of triangles as index triples into `points` (n, 2)."""
+    """-> list of triangles as index triples into `points` (n, 2).
+
+    Bowyer-Watson with a SYMBOLIC infinite vertex (index -1) instead
+    of a finite super-triangle: a finite super-triangle culls every
+    sliver whose circumradius exceeds its span, so near-collinear
+    point sets (a single flight-line strip crossing a cell — common
+    lidar geometry) triangulated to NOTHING. With the infinite vertex
+    the predicates are local: finite triangles (stored CCW) use the
+    strict in-circumcircle determinant; an infinite triangle
+    (u, v, -1) represents the half-plane left of hull edge u->v
+    (hull edges directed CW), and a point falls in its "circumdisk"
+    iff it is strictly left of u->v, or exactly on the edge's open
+    segment (which dissolves the hull edge). Exactly-collinear inputs
+    return [] (no TIN exists)."""
     pts = np.asarray(points, dtype=np.float64)
     n = len(pts)
     if n < 3:
         return []
-    cx, cy = pts[:, 0].mean(), pts[:, 1].mean()
-    span = max(np.ptp(pts[:, 0]), np.ptp(pts[:, 1]), 1.0) * 20
-    sup = np.array([[cx - span, cy - span], [cx + span, cy - span], [cx, cy + span]])
-    allp = np.vstack([pts, sup])
+    x = np.ascontiguousarray(pts[:, 0])
+    y = np.ascontiguousarray(pts[:, 1])
 
-    tris = np.array([[n, n + 1, n + 2]], dtype=np.int64)  # (T, 3)
+    # initial triangle: first distinct pair, first non-collinear third
+    nz = np.flatnonzero((x != x[0]) | (y != y[0]))
+    if not len(nz):
+        return []
+    j = int(nz[0])
+    cr = (x[j] - x[0]) * (y - y[0]) - (y[j] - y[0]) * (x - x[0])
+    nz2 = np.flatnonzero(cr != 0)
+    if not len(nz2):
+        return []  # all points collinear
+    k0 = int(nz2[0])
+    i0, i1, i2 = 0, j, k0
+    if cr[k0] < 0:
+        i1, i2 = i2, i1  # make (i0, i1, i2) CCW
+    tris = np.array(
+        [[i0, i1, i2], [i1, i0, -1], [i2, i1, -1], [i0, i2, -1]],
+        dtype=np.int64,
+    )
 
+    used = {i0, i1, i2}
     for i in range(n):
-        p = allp[i]
-        a = allp[tris[:, 0]]
-        b = allp[tris[:, 1]]
-        c = allp[tris[:, 2]]
-        ax = a[:, 0] - p[0]; ay = a[:, 1] - p[1]
-        bx = b[:, 0] - p[0]; by = b[:, 1] - p[1]
-        cx_ = c[:, 0] - p[0]; cy_ = c[:, 1] - p[1]
+        if i in used:
+            continue
+        px, py = x[i], y[i]
+        u, v, w = tris[:, 0], tris[:, 1], tris[:, 2]
+        is_fin = w >= 0
+        ws = np.where(is_fin, w, 0)  # safe index for the -1 slot
+        ax = x[u] - px
+        ay = y[u] - py
+        bx = x[v] - px
+        by = y[v] - py
+        cx_ = x[ws] - px
+        cy_ = y[ws] - py
         det = (
             (ax * ax + ay * ay) * (bx * cy_ - by * cx_)
             - (bx * bx + by * by) * (ax * cy_ - ay * cx_)
             + (cx_ * cx_ + cy_ * cy_) * (ax * by - ay * bx)
         )
-        o = (b[:, 0] - a[:, 0]) * (c[:, 1] - a[:, 1]) - (b[:, 1] - a[:, 1]) * (c[:, 0] - a[:, 0])
-        bad = np.where(o > 0, det > 0, det < 0)
+        # infinite: strictly left of the CW hull edge u->v, or exactly
+        # on its open segment (then the edge itself must dissolve);
+        # collinear-BEYOND points are caught strictly by the adjacent
+        # hull edge at the turn, so they must NOT mark this one bad
+        # (that would fabricate a degenerate triangle on the edge line)
+        ex = x[v] - x[u]
+        ey = y[v] - y[u]
+        o = ex * (py - y[u]) - ey * (px - x[u])
+        t = (px - x[u]) * ex + (py - y[u]) * ey
+        L2 = ex * ex + ey * ey
+        # strict t bounds: o==0 with t==0 (or t==L2) means p IS the hull
+        # vertex u (resp. v) — a duplicate to skip, not an edge dissolve
+        bad = np.where(
+            is_fin, det > 0, (o > 0) | ((o == 0) & (t > 0) & (t < L2))
+        )
         if not bad.any():
-            # numerically degenerate (duplicate point) — skip
-            continue
+            continue  # duplicate of an existing vertex
         bad_tris = tris[bad]
         tris = tris[~bad]
-        # boundary = edges of the bad region appearing exactly once
+        # cavity boundary = DIRECTED edges appearing exactly once (a
+        # shared edge appears once per direction and cancels)
         edges = np.concatenate(
             [bad_tris[:, [0, 1]], bad_tris[:, [1, 2]], bad_tris[:, [2, 0]]]
         )
-        edges_sorted = np.sort(edges, axis=1)
-        key = edges_sorted[:, 0] * (n + 3) + edges_sorted[:, 1]
+        lo = np.minimum(edges[:, 0], edges[:, 1]) + 1  # -1 -> 0
+        hi = np.maximum(edges[:, 0], edges[:, 1]) + 1
+        key = lo * np.int64(n + 2) + hi
         uniq, first_idx, counts = np.unique(key, return_index=True, return_counts=True)
-        boundary = edges_sorted[first_idx[counts == 1]]
-        new = np.column_stack(
-            [boundary[:, 0], boundary[:, 1], np.full(len(boundary), i, dtype=np.int64)]
+        boundary = edges[first_idx[counts == 1]]  # keep stored direction
+        bx_, by_ = boundary[:, 0], boundary[:, 1]
+        pcol = np.full(len(boundary), i, dtype=np.int64)
+        # (bx, by, i), rotated so the infinite vertex sits in slot 2
+        # (cyclic order — and thus orientation — is preserved)
+        new = np.where(
+            (bx_ == -1)[:, None],
+            np.column_stack([by_, pcol, bx_]),
+            np.where(
+                (by_ == -1)[:, None],
+                np.column_stack([pcol, bx_, by_]),
+                np.column_stack([bx_, by_, pcol]),
+            ),
         )
         tris = np.vstack([tris, new])
 
-    keep = (tris < n).all(axis=1)
+    keep = (tris >= 0).all(axis=1)
     return [tuple(t) for t in tris[keep]]
 
 

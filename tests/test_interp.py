@@ -17,6 +17,49 @@ def test_delaunay_square_and_interp():
     assert np.isnan(interp_tin(np.array([5.0]), np.array([5.0]), pts, z)[0])
 
 
+def test_delaunay_near_collinear_strip_and_degeneracies():
+    """Infinite-vertex Bowyer-Watson regression: a finite super-triangle
+    culled every sliver in a flight-line strip (circumradius >> span) so
+    near-collinear lidar geometry triangulated to NOTHING; the symbolic
+    infinite vertex keeps them. Also pins the empty-circumcircle
+    invariant on a cocircular grid and exact-collinear -> []."""
+    from geotools_ray.kernels.delaunay import delaunay
+
+    rng = np.random.default_rng(7)
+    t = np.linspace(0, 100, 50)
+    strip = np.column_stack([t, 1e-3 * t + rng.normal(0, 1e-4, 50)])
+    tris = delaunay(strip)
+    # a simple polygon over n=50 near-collinear points: n-2 .. 2n-2 tris
+    assert len(tris) >= 48
+
+    def violations(pts, tris):
+        pts = np.asarray(pts, float)
+        bad = 0
+        for a, b, c in tris:
+            A, B, C = pts[a], pts[b], pts[c]
+            d = 2 * (A[0] * (B[1] - C[1]) + B[0] * (C[1] - A[1]) + C[0] * (A[1] - B[1]))
+            assert d != 0  # no degenerate (zero-area) triangles emitted
+            ux = ((A @ A) * (B[1] - C[1]) + (B @ B) * (C[1] - A[1]) + (C @ C) * (A[1] - B[1])) / d
+            uy = ((A @ A) * (C[0] - B[0]) + (B @ B) * (A[0] - C[0]) + (C @ C) * (B[0] - A[0])) / d
+            r2 = (A[0] - ux) ** 2 + (A[1] - uy) ** 2
+            d2 = (pts[:, 0] - ux) ** 2 + (pts[:, 1] - uy) ** 2
+            inside = set(np.flatnonzero(d2 < r2 * (1 - 1e-12) - 1e-12)) - {a, b, c}
+            bad += bool(inside)
+        return bad
+
+    assert violations(strip, tris) == 0
+    # cocircular degeneracy: 10x10 integer grid -> exactly 2*100-2-36 tris
+    gx, gy = np.meshgrid(np.arange(10.0), np.arange(10.0))
+    grid = np.column_stack([gx.ravel(), gy.ravel()])
+    gt = delaunay(grid)
+    assert len(gt) == 162 and violations(grid, gt) == 0
+    # exactly collinear -> no TIN
+    assert delaunay(np.column_stack([t, 2 * t])) == []
+    # duplicates are skipped, invariant holds
+    dup = np.vstack([strip, strip[:7]])
+    assert violations(dup, delaunay(dup)) == 0
+
+
 def _samples_table():
     import pyarrow as pa
 
