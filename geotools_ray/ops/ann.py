@@ -48,6 +48,8 @@ def _stack(col) -> np.ndarray:
         vals = col.values.to_numpy(zero_copy_only=False)
         flat = np.asarray(vals, dtype=np.float64)[offs[0] : offs[-1]]
         return flat.reshape(len(col), int(widths[0]))
+    if len(col) == 0:
+        return np.empty((0, 0), dtype=np.float64)
     return np.stack([np.asarray(v, dtype=np.float64) for v in col.to_pylist()])
 
 
@@ -174,6 +176,37 @@ def _invert_probes(probes: np.ndarray, nlist: int) -> list[np.ndarray]:
     return [np.asarray(v, dtype=np.int64) for v in inv]
 
 
+def _bucket_topk_batch(
+    t: pa.Table, qids, q, inv_, k: int, id_col: str, emb_col: str
+) -> pa.Table:
+    """Per-batch IVF top-k: group the batch's rows by bucket and
+    multiply each group only against the queries probing that bucket.
+    Shared by the single-pass (ivf_topk) and partitioned-index
+    (ivf_topk_index) tiers so the tie-break contract stays in one
+    place (rank ties break on vec_id via the lexsort)."""
+    vid = t[id_col].to_numpy(zero_copy_only=False).astype(np.int64)
+    bk = t["bucket"].to_numpy(zero_copy_only=False).astype(np.int64)
+    En = _stack(t[emb_col])  # already L2-normalized by assign_buckets
+    out = {"q_id": [], "vec_id": [], "sim": []}
+    order = np.argsort(bk, kind="stable")
+    ub, starts = np.unique(bk[order], return_index=True)
+    bounds = np.append(starts, len(order))
+    for bi, b in enumerate(ub):
+        qidx = inv_[int(b)]
+        if not len(qidx):
+            continue
+        rows = order[bounds[bi] : bounds[bi + 1]]
+        sims = En[rows] @ q[qidx].T  # (rows, probing queries)
+        sub_vid = vid[rows]
+        kk = min(k, len(rows))
+        for jj, qi in enumerate(qidx):
+            idx = np.lexsort((sub_vid, -sims[:, jj]))[:kk]
+            out["q_id"].append(np.full(len(idx), qids[qi]))
+            out["vec_id"].append(sub_vid[idx])
+            out["sim"].append(sims[idx, jj])
+    return _topk_table(out)
+
+
 def ivf_topk(
     vectors: ray.data.Dataset,
     queries: np.ndarray,
@@ -195,32 +228,14 @@ def ivf_topk(
     bucketed = assign_buckets(vectors, C, emb_col=emb_col)
     qn = _norm_rows(np.asarray(queries, dtype=np.float64))
     probes = np.argsort(-(qn @ C.T), axis=1)[:, :nprobe]
-    inv = _invert_probes(probes, nlist)
+    # invert by len(C): with pre-trained centroids larger than the
+    # default nlist, bucket ids range over len(C), not the parameter
+    inv = _invert_probes(probes, len(C))
     ref = ray.put((np.asarray(query_ids), qn, inv))
 
     def local_topk(t: pa.Table) -> pa.Table:
         qids, q, inv_ = ray.get(ref)
-        vid = t[id_col].to_numpy(zero_copy_only=False).astype(np.int64)
-        bk = t["bucket"].to_numpy(zero_copy_only=False)
-        En = _stack(t[emb_col])  # already normalized by assign_buckets
-        out = {"q_id": [], "vec_id": [], "sim": []}
-        order = np.argsort(bk, kind="stable")
-        ub, starts = np.unique(bk[order], return_index=True)
-        bounds = np.append(starts, len(order))
-        for bi, b in enumerate(ub):
-            qidx = inv_[int(b)]
-            if not len(qidx):
-                continue
-            rows = order[bounds[bi] : bounds[bi + 1]]
-            sims = En[rows] @ q[qidx].T  # (rows, probing queries)
-            sub_vid = vid[rows]
-            kk = min(k, len(rows))
-            for jj, qi in enumerate(qidx):
-                idx = np.lexsort((sub_vid, -sims[:, jj]))[:kk]
-                out["q_id"].append(np.full(len(idx), qids[qi]))
-                out["vec_id"].append(sub_vid[idx])
-                out["sim"].append(sims[idx, jj])
-        return _topk_table(out)
+        return _bucket_topk_batch(t, qids, q, inv_, k, id_col, emb_col)
 
     cand = bucketed.map_batches(local_topk, batch_format="pyarrow")
     return _merge_topk(cand, k)
@@ -255,19 +270,29 @@ def ivf_topk_index(
     queries' nprobe buckets is READ (partition pruning at the
     source) — the rest of the corpus never leaves storage."""
     import pyarrow.compute as pc
+    import pyarrow.dataset as pads
+
+    from ray.data.datasource.partitioning import Partitioning
 
     qn = _norm_rows(np.asarray(queries, dtype=np.float64))
     probes = np.argsort(-(qn @ centroids.T), axis=1)[:, :nprobe]
     needed = sorted({int(b) for row in probes for b in row})
-    import glob
-
-    from ray.data.datasource.partitioning import Partitioning
-
-    # partition pruning at the SOURCE: only the probed buckets' files
-    # are listed, opened, or read
-    files = [f for b in needed for f in sorted(glob.glob(f"{path}/bucket={b}/*.parquet"))]
+    # partition pruning at the SOURCE, filesystem-agnostic: pyarrow
+    # dataset discovery resolves the path on any registered filesystem
+    # (local, s3://, gcs://) and get_fragments with the partition
+    # filter lists ONLY the probed buckets' files — the rest of the
+    # corpus is never listed, opened, or read
+    dset = pads.dataset(
+        path,
+        partitioning=pads.partitioning(
+            pa.schema([("bucket", pa.int32())]), flavor="hive"
+        ),
+    )
+    frags = dset.get_fragments(filter=pc.field("bucket").isin(needed))
+    files = sorted(f.path for f in frags)
     ds = ray.data.read_parquet(
         files,
+        filesystem=dset.filesystem,
         partitioning=Partitioning("hive", base_dir=path, field_types={"bucket": int}),
     )
     inv = _invert_probes(probes, len(centroids))
@@ -275,27 +300,7 @@ def ivf_topk_index(
 
     def local_topk(t: pa.Table) -> pa.Table:
         qids, q, inv_ = ray.get(ref)
-        vid = t[id_col].to_numpy(zero_copy_only=False).astype(np.int64)
-        bk = t["bucket"].to_numpy(zero_copy_only=False).astype(np.int64)
-        En = _stack(t[emb_col])
-        out = {"q_id": [], "vec_id": [], "sim": []}
-        order = np.argsort(bk, kind="stable")
-        ub, starts = np.unique(bk[order], return_index=True)
-        bounds = np.append(starts, len(order))
-        for bi, b in enumerate(ub):
-            qidx = inv_[int(b)]
-            if not len(qidx):
-                continue
-            rows = order[bounds[bi] : bounds[bi + 1]]
-            sims = En[rows] @ q[qidx].T
-            sub_vid = vid[rows]
-            kk = min(k, len(rows))
-            for jj, qi in enumerate(qidx):
-                idx = np.lexsort((sub_vid, -sims[:, jj]))[:kk]
-                out["q_id"].append(np.full(len(idx), qids[qi]))
-                out["vec_id"].append(sub_vid[idx])
-                out["sim"].append(sims[idx, jj])
-        return _topk_table(out)
+        return _bucket_topk_batch(t, qids, q, inv_, k, id_col, emb_col)
 
     cand = ds.map_batches(local_topk, batch_format="pyarrow")
     return _merge_topk(cand, k)
@@ -332,7 +337,6 @@ def embedding_near_dup_pairs(
     4-bit buckets make the candidate set ~n^2/2^width and the verify
     join ships it all."""
     from ..stages.grouped import grouped_map
-    import pandas as pd
 
     assert num_bits <= 64 and num_bits % bands == 0
     # Hamming prefilter cutoff: mean + 4 sd of the true-pair bit-flip

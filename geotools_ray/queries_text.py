@@ -188,8 +188,13 @@ SQL_FINGERPRINT = "SELECT doc_id, md5(text) AS fp FROM documents"
 def _load_queries(sf_dir: str, n: int = 5):
     import pyarrow.parquet as pq
 
-    t = pq.read_table(f"{sf_dir}/embeddings.parquet")
-    t = t.filter(pc.less(t["vec_id"], n))
+    # row-group-pruned read: a 5-row lookup must not materialize the
+    # corpus on the driver
+    t = pq.read_table(
+        f"{sf_dir}/embeddings.parquet",
+        columns=["vec_id", "embedding"],
+        filters=[("vec_id", "<", n)],
+    )
     from .ops.ann import _stack
 
     q = _stack(t["embedding"])
@@ -200,38 +205,14 @@ def q_ann_bruteforce(sf_dir: str, k: int = 10):
     """Brute-force cosine top-k per query vector (queries = vec_id < 5),
     rank ordered by (round(sim, 6) desc, vec_id). Partial top-k per
     batch -> tiny merge; the matrix product is the batch hot loop."""
+    from .ops.ann import brute_force_topk
+
     qids, qmat = _load_queries(sf_dir)
-    qnorm = qmat / np.linalg.norm(qmat, axis=1, keepdims=True)
-    ref = ray.put((qids, qnorm))
     ds = ray.data.read_parquet(f"{sf_dir}/embeddings.parquet", columns=["vec_id", "embedding"])
-
-    def local_topk(t: pa.Table) -> pa.Table:
-        qids_, qn = ray.get(ref)
-        vid = t["vec_id"].to_numpy(zero_copy_only=False).astype(np.int64)
-        from .ops.ann import _stack
-
-        E = _stack(t["embedding"])
-        En = E / np.linalg.norm(E, axis=1, keepdims=True)
-        sims = En @ qn.T  # (n, nq)
-        out = {"q_id": [], "vec_id": [], "sim": []}
-        kk = min(k, len(vid))
-        for j in range(len(qids_)):
-            idx = np.lexsort((vid, -sims[:, j]))[:kk]
-            out["q_id"].append(np.full(len(idx), qids_[j]))
-            out["vec_id"].append(vid[idx])
-            out["sim"].append(sims[idx, j])
-        return pa.table({c: np.concatenate(v) for c, v in out.items()})
-
-    cand = ds.map_batches(local_topk, batch_format="pyarrow")
-
-    def merge(g: pd.DataFrame) -> pd.DataFrame:
-        g = g.sort_values(["sim", "vec_id"], ascending=[False, True]).head(k).reset_index(drop=True)
-        g["rank"] = np.arange(1, len(g) + 1, dtype=np.int64)
-        # sim itself is engine-noise-sensitive (f32 SIMD accumulation in
-        # the oracle); the rank order is stable -> emit rank only
-        return g.drop(columns=["sim"])
-
-    return cand.groupby("q_id").map_groups(merge, batch_format="pandas")
+    out = brute_force_topk(ds, qmat, qids, k=k)
+    # sim itself is engine-noise-sensitive (f32 SIMD accumulation in
+    # the oracle); the rank order is stable -> emit rank only
+    return out.select_columns(["q_id", "vec_id", "rank"])
 
 
 SQL_ANN = """
@@ -248,8 +229,10 @@ SELECT q_id, vec_id, rank FROM ranked WHERE rank <= 10"""
 
 
 def q_embed_pairs(sf_dir: str, threshold: float = 0.35):
-    """Embedding near-dup pair mining: all (i < j) pairs with rounded
-    cosine >= threshold. Blocked matmul of each batch against the full
+    """Embedding near-dup pair mining: all (i < j) pairs with raw
+    cosine >= threshold (no rounding on either side — the oracle SQL
+    compares the raw similarity too; the pair SET is what's stable).
+    Blocked matmul of each batch against the full
     (broadcast) normalized matrix — O(n^2) work without an O(n^2) shuffle."""
     import pyarrow.parquet as pq
 
@@ -379,24 +362,39 @@ FROM events GROUP BY 1, 2"""
 def q_sessionize(sf_dir: str, gap_s: int = 600):
     """M8 flight-line segmentation analog: split each user's ordered
     event stream on gaps > gap_s; emit sessions-per-user + event count.
-    Ordered map_groups per user (sort inside the group, never global)."""
+    grouped_map (hash-partition by user, ONE shuffle) with a
+    vectorized multi-user sessionizer — per-key map_groups pays
+    ~1-2 ms of Python dispatch per user (stages/grouped.py header),
+    which collapses at real user cardinality."""
+    from .stages.grouped import grouped_map
+
     ds = ray.data.read_parquet(f"{sf_dir}/events.parquet", columns=["user_id", "ts", "event_id"])
     gap_us = gap_s * 1_000_000
 
-    def per_user(g: pd.DataFrame) -> pd.DataFrame:
-        g = g.sort_values(["ts", "event_id"])
-        us = g["ts"].astype("int64").to_numpy()
-        new = np.ones(len(us), dtype=np.int64)
-        new[1:] = (np.diff(us) > gap_us).astype(np.int64)
+    def per_part(df: pd.DataFrame) -> pd.DataFrame:
+        if not len(df):
+            return pd.DataFrame(
+                {
+                    "user_id": pd.Series(dtype=np.int64),
+                    "n_sessions": pd.Series(dtype=np.int64),
+                    "n_events": pd.Series(dtype=np.int64),
+                }
+            )
+        df = df.sort_values(["user_id", "ts", "event_id"])
+        uid = df["user_id"].to_numpy()
+        us = df["ts"].astype("int64").to_numpy()
+        brk = np.ones(len(df), dtype=np.int64)
+        brk[1:] = ((uid[1:] != uid[:-1]) | (np.diff(us) > gap_us)).astype(np.int64)
+        uu, starts, counts = np.unique(uid, return_index=True, return_counts=True)
         return pd.DataFrame(
             {
-                "user_id": [g["user_id"].iloc[0]],
-                "n_sessions": [np.int64(new.sum())],
-                "n_events": [np.int64(len(us))],
+                "user_id": uu,
+                "n_sessions": np.add.reduceat(brk, starts),
+                "n_events": counts.astype(np.int64),
             }
         )
 
-    return ds.groupby("user_id").map_groups(per_user, batch_format="pandas")
+    return grouped_map(ds, ["user_id"], per_part)
 
 
 SQL_SESSIONIZE = """

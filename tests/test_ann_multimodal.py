@@ -51,6 +51,26 @@ def test_ivf_recall(ray_session):
     assert np.mean(recalls) >= 0.8  # scale path trades little recall
 
 
+def test_ivf_topk_pretrained_centroids_exceed_default_nlist(ray_session):
+    """Regression: ivf_topk sized the probe inversion with the nlist
+    PARAMETER; pre-trained centroids with len(C) > nlist probed bucket
+    ids past the inversion list -> IndexError. Exhaustive probing over
+    the larger centroid set must also equal exact."""
+    from geotools_ray.ops.ann import brute_force_topk, ivf_topk, _norm_rows
+
+    ds = _vectors(ray_session, n=400)
+    rng = np.random.RandomState(3)
+    C = _norm_rows(rng.standard_normal((32, 32)))  # len(C)=32 > default nlist=16
+    Q = rng.standard_normal((4, 32))
+    qids = np.arange(4)
+    out = ivf_topk(ds, Q, qids, k=10, nprobe=32, centroids=C).to_pandas()
+    exact = brute_force_topk(ds, Q, qids, k=10).to_pandas()
+    for q in range(4):
+        got = out[out["q_id"] == q].sort_values("rank")["vec_id"].to_numpy()
+        want = exact[exact["q_id"] == q].sort_values("rank")["vec_id"].to_numpy()
+        np.testing.assert_array_equal(got, want)
+
+
 def test_audio_stage_plumbing(ray_session):
     import pyarrow as pa
     import ray.data
