@@ -14,7 +14,6 @@ Throughput metric = input images / wall seconds end-to-end.
 from __future__ import annotations
 
 import numpy as np
-import pandas as pd
 import pyarrow as pa
 import ray
 import ray.data
@@ -77,12 +76,15 @@ def assign_and_join(
         else:
             pi = np.array([], dtype=np.int64)
             pid = np.array([], dtype=np.int64)
+        # explicit types: a zero-match batch must emit string/int64
+        # blocks, not null-typed ones (schema-unstable blocks break the
+        # downstream union/shuffle — the zip_tiles bug class)
         return pa.table(
             {
-                "image_id": ids[pi],
-                "phash": ph[pi],
-                "cell_id": cell[pi],
-                "polygon_id": pid,
+                "image_id": pa.array(ids[pi], type=pa.string()),
+                "phash": pa.array(ph[pi], type=pa.int64()),
+                "cell_id": pa.array(cell[pi], type=pa.int64()),
+                "polygon_id": pa.array(pid, type=pa.int64()),
             }
         )
 
@@ -108,7 +110,7 @@ def dedup_by_phash(joined: ray.data.Dataset, num_parts: int | None = None,
     the ingest manifest) and the hot keys' rows split over salt_k
     phase-1 partitions, a per-(key, salt) first each, then a
     per-key merge of the <= salt_k survivors (north_rule)."""
-    from ..stages.grouped import grouped_map, hash_columns, salted_grouped_map
+    from ..stages.grouped import grouped_map, salted_grouped_map
 
     def _first_per(cols):
         def fn(t: pa.Table) -> pa.Table:
@@ -209,8 +211,46 @@ def flagship(images: ray.data.Dataset, level: int = DEFAULT_LEVEL) -> ray.data.D
     return cell_rollup(deduped)
 
 
+def _input_token(images: ray.data.Dataset) -> str:
+    """Cheap input-identity fingerprint for resume validation: the
+    sorted source-file list when the input is file-backed (no scan),
+    else an order-insensitive hash of the image_id column (one narrow
+    pass). Guards against resuming a checkpoint against a DIFFERENT
+    input, where rows hashing into completed partitions would be
+    silently dropped."""
+    import hashlib
+
+    files = sorted(images.input_files() or [])
+    if files:
+        return "files:" + hashlib.sha1("\n".join(files).encode()).hexdigest()
+    from ray.data.aggregate import Sum
+
+    from ..stages.grouped import hash_columns
+
+    def hid(t: pa.Table) -> pa.Table:
+        h = hash_columns(t, ["image_id"])
+        # split into two unsigned-32 halves so int64 partial sums can't
+        # overflow below 2^31 rows (sum order must not matter)
+        return pa.table(
+            {
+                "_lo": (h & np.uint64(0xFFFFFFFF)).astype(np.int64),
+                "_hi": (h >> np.uint64(32)).astype(np.int64),
+            }
+        )
+
+    agg = (
+        images.select_columns(["image_id"])
+        .map_batches(hid, batch_format="pyarrow")
+        .aggregate(Sum("_lo", alias_name="lo"), Sum("_hi", alias_name="hi"))
+    ) or {}
+    return f"ids:{int(agg.get('lo') or 0):x}:{int(agg.get('hi') or 0):x}"
+
+
 def checkpoint_join(
-    joined: ray.data.Dataset, out_dir: str, num_parts: int = 32
+    joined: ray.data.Dataset,
+    out_dir: str,
+    num_parts: int = 32,
+    input_fragments: list[str] | None = None,
 ) -> ray.data.Dataset:
     """Durable restart boundary for the flagship: write the narrow
     join output as `num_parts` image_id-hash partitions with manifest
@@ -224,7 +264,10 @@ def checkpoint_join(
     def key_fn(t: pa.Table) -> np.ndarray:
         return (hash_columns(t, ["image_id"]) % np.uint64(num_parts)).astype(np.int64)
 
-    write_partitioned(joined, out_dir, key_fn, num_parts=num_parts)
+    write_partitioned(
+        joined, out_dir, key_fn, num_parts=num_parts,
+        input_fragments=input_fragments,
+    )
     return read_partitioned(out_dir)
 
 
@@ -261,12 +304,14 @@ def flagship_full(
     from ..stages.imaging import DecodeStage, decode_features_batch
     from ..state.manifest import load_manifest
 
+    input_token = None
     if checkpoint_dir is not None:
+        input_token = _input_token(images)
         done = load_manifest(checkpoint_dir)
         if done:
             # the prefilter drops rows BEFORE write_partitioned's own
-            # guard could run, so a partition-count mismatch must be
-            # refused here, not downstream
+            # guard could run, so a partition-count or input-identity
+            # mismatch must be refused here, not downstream
             for rec in done.values():
                 npr = rec.get("num_parts")
                 if npr is not None and npr != checkpoint_parts:
@@ -274,6 +319,15 @@ def flagship_full(
                         f"checkpoint at {checkpoint_dir} was written with "
                         f"num_parts={npr}, cannot resume with "
                         f"checkpoint_parts={checkpoint_parts}"
+                    )
+                frags = rec.get("input_fragments")
+                if frags and frags != [input_token]:
+                    # resuming against a different input would silently
+                    # drop every new row hashing into a done partition
+                    raise ValueError(
+                        f"checkpoint at {checkpoint_dir} was written from "
+                        f"a different input ({frags} != "
+                        f"{[input_token]}); use a fresh checkpoint_dir"
                     )
             done_ref = ray.put(np.array(sorted(int(k) for k in done), dtype=np.int64))
 
@@ -324,7 +378,10 @@ def flagship_full(
     # durable per-partition parquet manifest when a dir is given
     # (resumable), else the object store holds it (~40 B/row)
     if checkpoint_dir is not None:
-        joined = checkpoint_join(joined, checkpoint_dir, num_parts=checkpoint_parts)
+        joined = checkpoint_join(
+            joined, checkpoint_dir, num_parts=checkpoint_parts,
+            input_fragments=[input_token],
+        )
     else:
         joined = joined.materialize()
     deduped = dedup_by_phash(joined)

@@ -81,15 +81,17 @@ def decode_image(data: bytes) -> np.ndarray:
     if data[:2] == b"\xff\xd8":
         return codecs.decode_jpeg(data)
     tag = data[:4]
+    if tag not in (b"GPNG", b"GJPG"):
+        # tag check BEFORE the decompress: an unknown format must fail
+        # with this clear error, not zlib's "unknown compression method"
+        raise NotImplementedError(f"unknown codec tag {tag!r}")
     w = int.from_bytes(data[4:8], "little")
     h = int.from_bytes(data[8:12], "little")
     raw = zlib.decompress(data[12:])
     if tag == b"GPNG":
         return np.frombuffer(raw, dtype=np.uint8).reshape(h, w, 3)
-    if tag == b"GJPG":
-        q = np.frombuffer(raw, dtype=np.uint8).reshape(h, w, 3)
-        return (q.astype(np.uint16) * 5).clip(0, 255).astype(np.uint8)
-    raise NotImplementedError(f"unknown codec tag {tag!r}")
+    q = np.frombuffer(raw, dtype=np.uint8).reshape(h, w, 3)
+    return (q.astype(np.uint16) * 5).clip(0, 255).astype(np.uint8)
 
 
 def psnr(a: np.ndarray, b: np.ndarray) -> float:
@@ -101,8 +103,14 @@ def psnr(a: np.ndarray, b: np.ndarray) -> float:
 
 def perceptual_hash(pixels: np.ndarray) -> int:
     """64-bit average-hash of the grayscale image downsampled to 8x8 —
-    deterministic, duplicate images share a phash."""
-    gray = pixels.astype(np.float64).mean(axis=2)
+    deterministic, duplicate images share a phash. Accepts (h, w, 3)
+    RGB or (h, w) grayscale (decode_png returns 2-D for color-type-0
+    PNGs)."""
+    gray = (
+        pixels.astype(np.float64).mean(axis=2)
+        if pixels.ndim == 3
+        else pixels.astype(np.float64)
+    )
     h, w = gray.shape
     if h % 8 == 0 and w % 8 == 0:
         # fast path: block means via reshape (all generator sizes are
@@ -191,12 +199,12 @@ IMAGE_SCHEMA = pa.schema(
 )
 
 
-def generate_image_table(n: int, seed: int = 42, dup_frac: float = 0.01) -> pa.Table:
-    """Deterministic n-row image table; every ~1/dup_frac-th row is a
-    pixel-exact duplicate of an earlier row (dedup fixture)."""
+def _chunk_table(start: int, stop: int, seed: int, dup_every: int) -> pa.Table:
+    """Rows [start, stop) of the deterministic table — the ONE place
+    the duplicate-fixture rule lives (every dup_every-th row is a
+    pixel-exact duplicate of the row dup_every earlier)."""
     rows = []
-    dup_every = int(1 / dup_frac) if dup_frac > 0 else 0
-    for i in range(n):
+    for i in range(start, stop):
         dup_of = None
         if dup_every and i % dup_every == dup_every - 1 and i >= dup_every:
             dup_of = i - dup_every
@@ -204,35 +212,42 @@ def generate_image_table(n: int, seed: int = 42, dup_frac: float = 0.01) -> pa.T
     return pa.Table.from_pylist(rows, schema=IMAGE_SCHEMA)
 
 
-def write_image_table(path: str, n: int, seed: int = 42, rows_per_file: int = 50_000):
+def generate_image_table(n: int, seed: int = 42, dup_frac: float = 0.01) -> pa.Table:
+    """Deterministic n-row image table; every ~1/dup_frac-th row is a
+    pixel-exact duplicate of an earlier row (dedup fixture)."""
+    dup_every = int(1 / dup_frac) if dup_frac > 0 else 0
+    return _chunk_table(0, n, seed, dup_every)
+
+
+def write_image_table(
+    path: str,
+    n: int,
+    seed: int = 42,
+    rows_per_file: int = 50_000,
+    dup_frac: float = 0.01,
+):
     """Write the synthetic table as a directory of parquet files (or a
-    Lance dataset when the lance package is available)."""
+    Lance dataset when the lance package is available) — streamed in
+    rows_per_file chunks on BOTH branches so the n-row table is never
+    materialized whole."""
     import os
 
     import pyarrow.parquet as pq
 
     try:
-        import lance  # noqa: F401
-
-        have_lance = True
+        import lance
     except ImportError:
-        have_lance = False
+        lance = None
 
     os.makedirs(path, exist_ok=True)
-    if have_lance:
-        import lance
-
-        lance.write_dataset(generate_image_table(n, seed), path, mode="overwrite")
-        return path
+    dup_every = int(1 / dup_frac) if dup_frac > 0 else 0
     for start in range(0, n, rows_per_file):
         stop = min(start + rows_per_file, n)
-        rows = []
-        dup_every = 100
-        for i in range(start, stop):
-            dup_of = None
-            if dup_every and i % dup_every == dup_every - 1 and i >= dup_every:
-                dup_of = i - dup_every
-            rows.append(make_image_row(i, seed=seed, dup_of=dup_of))
-        t = pa.Table.from_pylist(rows, schema=IMAGE_SCHEMA)
-        pq.write_table(t, os.path.join(path, f"part-{start:012d}.parquet"))
+        t = _chunk_table(start, stop, seed, dup_every)
+        if lance is not None:
+            lance.write_dataset(
+                t, path, mode="overwrite" if start == 0 else "append"
+            )
+        else:
+            pq.write_table(t, os.path.join(path, f"part-{start:012d}.parquet"))
     return path

@@ -246,6 +246,47 @@ def test_decode_features_batch_handles_real_png_and_filters():
     assert out2["verify_ok"].to_numpy(zero_copy_only=False).all()
 
 
+def test_decode_features_batch_foreign_payloads():
+    """Regression trio: (1) real-JPEG rows used to die with an opaque
+    zlib.error (wrong assumed frame layout) — now they take the
+    per-image magic-byte path; (2) a spec-valid PNG whose size is not
+    a multiple of 8 crashed the batched phash reshape; (3) grayscale
+    PNGs (2-D decode) crashed perceptual_hash. All must decode AND
+    verify (recomputed phash == stored)."""
+    import pyarrow as pa
+
+    from geotools_ray.stages.imaging import decode_features_batch
+
+    rng = np.random.RandomState(11)
+
+    def row(i, px, fmt):
+        data = I.encode_image(px, fmt) if px.ndim == 3 else C.encode_png(px)
+        return {
+            "image_id": f"f{i:04d}",
+            "bytes": data,
+            "w": px.shape[1],
+            "h": px.shape[0],
+            "fmt": fmt,
+            "caption": "x",
+            "phash": I.perceptual_hash(I.decode_image(data)),
+        }
+
+    rows = [
+        row(0, rng.randint(0, 256, (16, 16, 3)).astype(np.uint8), "jpeg_real"),
+        row(1, (rng.rand(24, 24, 3) * 40 + 100).astype(np.uint8), "jpeg_real"),
+        row(2, rng.randint(0, 256, (20, 20, 3)).astype(np.uint8), "png"),
+        row(3, rng.randint(0, 256, (13, 27, 3)).astype(np.uint8), "png"),
+        row(4, rng.randint(0, 256, (20, 20)).astype(np.uint8), "png"),  # gray 2-D
+        row(5, rng.randint(0, 256, (16, 16, 3)).astype(np.uint8), "png"),
+    ]
+    out = decode_features_batch(pa.Table.from_pylist(rows, schema=I.IMAGE_SCHEMA))
+    assert out["verify_ok"].to_numpy(zero_copy_only=False).all()
+    # unknown tags still raise loudly (per-image dispatch, not zlib)
+    bad = [dict(rows[5], bytes=b"XXXX" + b"\x00" * 32)]
+    with pytest.raises(NotImplementedError):
+        decode_features_batch(pa.Table.from_pylist(bad, schema=I.IMAGE_SCHEMA))
+
+
 def test_audio_stage_real_wav():
     from geotools_ray.stages import multimodal as MM
 

@@ -119,6 +119,26 @@ def test_flagship_checkpoint_kill_and_resume(ray_session, tmp_path):
     assert out3.equals(ref)
 
 
+def test_flagship_checkpoint_refuses_different_input(ray_session, tmp_path):
+    """Resuming a checkpoint against an input with DIFFERENT image_ids
+    must fail loudly: new rows hashing into completed partitions would
+    otherwise be silently dropped before decode."""
+    import ray.data
+
+    from geotools_ray.ops import imagepipeline as IP
+    from geotools_ray.sources import images as I
+
+    t = I.generate_image_table(200, seed=7)
+    ck = str(tmp_path / "ck")
+    IP.flagship_full(ray.data.from_arrow(t), checkpoint_dir=ck, checkpoint_parts=4).to_pandas()
+
+    t2 = I.generate_image_table(260, seed=7)  # 60 new image_ids
+    with pytest.raises(ValueError, match="different input"):
+        IP.flagship_full(
+            ray.data.from_arrow(t2), checkpoint_dir=ck, checkpoint_parts=4
+        ).to_pandas()
+
+
 def test_metrics_counters(ray_session):
     import ray.data
 
