@@ -94,21 +94,15 @@ def cmd_clip(args):
 def cmd_merge(args):
     import ray.data
 
-    ds = ray.data.read_parquet(args.inputs)
     if args.bbox:
+        # J7 pushdown: the bbox predicate prunes parquet row groups at
+        # the read — non-matching fragments never leave storage
+        from .sources.io import read_points_bbox
+
         minx, miny, maxx, maxy = (float(v) for v in args.bbox.split(","))
-        from .sources.io import read_points_bbox  # noqa: F401  (predicate form below)
-        import pyarrow as pa
-
-        def f(t):
-            import numpy as np
-
-            x = t["x"].to_numpy(zero_copy_only=False)
-            y = t["y"].to_numpy(zero_copy_only=False)
-            m = (x >= minx) & (x <= maxx) & (y >= miny) & (y <= maxy)
-            return t.filter(pa.array(m))
-
-        ds = ds.map_batches(f, batch_format="pyarrow")
+        ds = read_points_bbox(args.inputs, minx, miny, maxx, maxy)
+    else:
+        ds = ray.data.read_parquet(args.inputs)
     _write(ds, args)
 
 

@@ -67,9 +67,9 @@ def epoch_transform(p: HelmertParams, x, y, z, dt: float):
     rxt = mas2rad(p.rx + p.drx * dt)
     ryt = mas2rad(p.ry + p.dry * dt)
     rzt = mas2rad(p.rz + p.drz * dt)
-    x = np.asarray(x, dtype=np.float64).copy()
-    y = np.asarray(y, dtype=np.float64).copy()
-    z = np.asarray(z, dtype=np.float64).copy()
+    x = np.asarray(x, dtype=np.float64)
+    y = np.asarray(y, dtype=np.float64)
+    z = np.asarray(z, dtype=np.float64)
     x2 = txt + dst * x + (-rzt) * y + ryt * z
     y2 = tyt + rzt * x2 + dst * y + (-rxt) * z      # uses x2 (reference quirk)
     z2 = tzt + (-ryt) * x2 + rxt * y2 + dst * z     # uses x2, y2
@@ -108,14 +108,20 @@ class ShiftGrid:
         returns (dx, dy, dz) in METERS (grid holds mm)."""
         c = (np.rad2deg(lon_rad) - self.tg[0]) / self.tg[1]
         r = (np.rad2deg(lat_rad) - self.tg[3]) / self.tg[5]
-        c0 = c.astype(np.int64)  # C cast: trunc toward zero
-        r0 = r.astype(np.int64)
+        # genuinely clamped: points outside grid coverage take the edge
+        # cell's value (the C reference reads out-of-bounds memory there
+        # — undefined — so edge extension is OUR defined behavior;
+        # interior points are untouched and stay vector-pinned).
+        # Clamp BOTH the fractional coordinate and the cell pair:
+        # c0 in [0, w-2] with c1 = c0+1 keeps the binterp denominators
+        # nonzero (c0 == c1 used to 0/0 -> NaN on the last column) and
+        # prevents negative-index wraparound to the opposite grid edge.
+        c = np.clip(c, 0.0, self.w - 1.0)
+        r = np.clip(r, 0.0, self.h - 1.0)
+        c0 = np.clip(c.astype(np.int64), 0, self.w - 2)  # C cast: trunc
+        r0 = np.clip(r.astype(np.int64), 0, self.h - 2)
         c1 = c0 + 1
         r1 = r0 + 1
-        c0 = np.clip(c0, 0, None)
-        r0 = np.clip(r0, 0, None)
-        c1 = np.minimum(c1, self.w - 1)
-        r1 = np.minimum(r1, self.h - 1)
         dx = binterp(self.xg, c, r, c0, r0, c1, r1) / 1000.0
         dy = binterp(self.yg, c, r, c0, r0, c1, r1) / 1000.0
         dz = binterp(self.zg, c, r, c0, r0, c1, r1) / 1000.0
@@ -155,7 +161,7 @@ def transform_points(
     src_ellps = P.EPSG_UTM[from_epsg][0]
 
     lon, lat = src.inverse(x, y)
-    ex, ey, ez = P.geodetic_to_ecef(lon, lat, z, ellps="GRS80" if src_ellps == "GRS80" else src_ellps)
+    ex, ey, ez = P.geodetic_to_ecef(lon, lat, z, ellps=src_ellps)
     ex, ey, ez = epoch_transform(helmert, ex, ey, ez, efrom - helmert.epoch)
 
     if efrom != eto:

@@ -96,8 +96,11 @@ def recover_flightlines(
                 out.append({"file": f, "t_start": s, "t_end": e})
         return pd.DataFrame(out, columns=["file", "t_start", "t_end"])
 
+    # pin the input once: the segment scan consumes the pipeline, and
+    # without this the id-assignment map re-executes the whole upstream
+    points = points.materialize()
     raw_segs = grouped_map(points, [file_col], per_file).to_pandas()
-    merged = merge_segments([(r["t_start"], r["t_end"]) for _, r in raw_segs.iterrows()])
+    merged = merge_segments(list(zip(raw_segs["t_start"], raw_segs["t_end"])))
     ref = ray.put(merged)
 
     def assign(t: pa.Table) -> pa.Table:
@@ -134,9 +137,7 @@ def detect_edges(
     def per_file(df: pd.DataFrame) -> pd.DataFrame:
         out_rows = []
 
-        def direction(q):
-            p0 = q[0]
-            p1 = q[-1]
+        def direction(p0, p1):
             d = math.atan2(p1[1] - p0[1], p1[0] - p0[0])
             while d < 0:
                 d += math.pi * 2
@@ -150,7 +151,6 @@ def detect_edges(
             xi = g.columns.get_loc("x")
             yi = g.columns.get_loc("y")
             ti = g.columns.get_loc(time_col)
-            ci = g.columns.get_loc("cls")
 
             pq0: list = []
             pq1: list = []
@@ -158,7 +158,7 @@ def detect_edges(
 
             def dump(q, cls=None):
                 for r in q:
-                    d = r._asdict() if hasattr(r, "_asdict") else dict(r)
+                    d = r._asdict()
                     if cls is not None:
                         d["cls"] = cls
                     out_rows.append(d)
@@ -177,8 +177,9 @@ def detect_edges(
                     continue
                 pq1.append(pq0.pop(0))
                 if len(pq1) == queue_len:
-                    d0 = direction([(q[xi], q[yi]) for q in pq0])
-                    d1 = direction([(q[xi], q[yi]) for q in pq1])
+                    # only the two endpoints of each queue matter
+                    d0 = direction((pq0[0][xi], pq0[0][yi]), (pq0[-1][xi], pq0[-1][yi]))
+                    d1 = direction((pq1[0][xi], pq1[0][yi]), (pq1[-1][xi], pq1[-1][yi]))
                     if abs(abs(d0) - abs(d1)) > flip_angle:
                         dump(pq0, 31)
                         dump(pq1, 31)

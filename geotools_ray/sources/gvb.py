@@ -48,8 +48,12 @@ def read_gvb(path: str):
             dhead()
         ihead()
 
-        rows = int((header["N_LAT"] - header["S_LAT"]) / header["LAT_INC"] + 1)
-        cols = int((header["W_LON"] - header["E_LON"]) / header["LON_INC"] + 1)
+        # round, don't truncate: (18000 - 0) / 0.3 is 59999.99999999999
+        # in float64, and int() truncation would drop a whole grid row
+        # and silently misalign every band (identical to the reference
+        # formula for all exactly-representable quotients)
+        rows = int(round((header["N_LAT"] - header["S_LAT"]) / header["LAT_INC"])) + 1
+        cols = int(round((header["W_LON"] - header["E_LON"]) / header["LON_INC"])) + 1
         raw = np.fromfile(f, dtype="<f4", count=rows * cols * 6)
     data = np.fliplr(np.flipud(raw.reshape(rows, cols, 6)))
     bands = np.moveaxis(data, 2, 0)

@@ -78,10 +78,27 @@ def sort_fragments_spatially(paths: list[str], x_col: str = "x", y_col: str = "y
         schema_names = md.schema.to_arrow_schema().names
         xi = schema_names.index(x_col)
         yi = schema_names.index(y_col)
-        mnx = min(md.row_group(i).column(xi).statistics.min for i in range(md.num_row_groups))
-        mny = min(md.row_group(i).column(yi).statistics.min for i in range(md.num_row_groups))
-        mxx = max(md.row_group(i).column(xi).statistics.max for i in range(md.num_row_groups))
-        mxy = max(md.row_group(i).column(yi).statistics.max for i in range(md.num_row_groups))
+        stats = [
+            (md.row_group(i).column(xi).statistics, md.row_group(i).column(yi).statistics)
+            for i in range(md.num_row_groups)
+        ]
+        # files without row-group statistics (write_statistics=False,
+        # or all-null columns) can't be placed — keep them FIRST in
+        # input order rather than crashing the whole sort
+        vals = [
+            (sx.min, sy.min, sx.max, sy.max)
+            for sx, sy in stats
+            if sx is not None and sy is not None
+            and sx.min is not None and sy.min is not None
+            and sx.max is not None and sy.max is not None
+        ]
+        if not vals:
+            keyed.append(((-(1 << 62), -(1 << 62)), p))
+            continue
+        mnx = min(v[0] for v in vals)
+        mny = min(v[1] for v in vals)
+        mxx = max(v[2] for v in vals)
+        mxy = max(v[3] for v in vals)
         cx, cy = (mnx + mxx) / 2, (mny + mxy) / 2
         keyed.append(((int(cy // 100), int(cx // 100)), p))
     return [p for _, p in sorted(keyed)]

@@ -55,9 +55,16 @@ def parse_wkb(data: bytes) -> tuple:
         fmt = "<" if byte_order == 1 else ">"
         (gtype,) = struct.unpack_from(fmt + "I", buf, off)
         off += 4
-        base = gtype & 0xFF
-        if gtype & 0x80000000 or gtype & 0x40000000 or base > 1000:
+        # EWKB Z/M flags, ISO Z/M type ranges (1000 <= gtype: 1003
+        # PolygonZ, 2003 PolygonM, 3003 ZM, ...), and the PostGIS SRID
+        # flag — the SRID payload must be consumed or it parses as a
+        # ring count and dies mid-buffer with an opaque struct.error
+        if gtype & 0x80000000 or gtype & 0x40000000 or 1000 <= (gtype & 0xFFFF) < 0x8000:
             raise ValueError(f"WKB Z/M geometries not supported (type {gtype:#x})")
+        if gtype & 0x20000000:  # EWKB embedded SRID: skip the 4 bytes
+            off += 4
+            gtype &= ~0x20000000
+        base = gtype & 0xFF
         if base == 3:
             part, off = _read_polygon_body(buf, off, fmt)
             rings.extend(part)

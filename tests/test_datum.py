@@ -46,6 +46,37 @@ def test_las2csrs_vectors(vec, shift_grid):
     assert abs(oz[0] - z1) < 1e-3
 
 
+def test_shift_grid_clamped_outside_coverage(shift_grid):
+    """Regression: points outside the velocity grid used to IndexError
+    (east), wrap to the opposite edge (west, negative index), or go
+    NaN (exactly on the last row/col). Clamped = edge-cell extension,
+    finite everywhere; interior values untouched."""
+    g = shift_grid
+    # corners of the grid in lon/lat (deg), from the geotransform
+    lon0, lat0 = g.tg[0], g.tg[3]
+    lon1 = lon0 + g.tg[1] * (g.w - 1)
+    lat1 = lat0 + g.tg[5] * (g.h - 1)
+    far = np.deg2rad(
+        np.array(
+            [
+                [lon0 - 50.0, lat0 + 30.0],   # far west/north
+                [lon1 + 50.0, lat1 - 30.0],   # far east/south
+                [lon1, lat1],                 # exactly the last cell
+                [lon0, lat0],                 # exactly the first cell
+            ]
+        )
+    )
+    dx, dy, dz = g.interpolate(far[:, 0], far[:, 1])
+    assert np.isfinite(dx).all() and np.isfinite(dy).all() and np.isfinite(dz).all()
+    # far-outside points take the nearest edge cell's value
+    assert abs(dx[0] - g.xg[0, 0] / 1000.0) < 1e-9
+    assert abs(dx[1] - g.xg[g.h - 1, g.w - 1] / 1000.0) < 1e-9
+    # interior point unchanged by the clamp (bilinear as before)
+    mid = np.deg2rad(np.array([[lon0 + g.tg[1] * (g.w / 2), lat0 + g.tg[5] * (g.h / 2)]]))
+    mx, my, mz = g.interpolate(mid[:, 0], mid[:, 1])
+    assert np.isfinite(mx[0])
+
+
 def test_utm_roundtrip_submm():
     from geotools_ray.kernels import proj as P
 

@@ -53,6 +53,31 @@ def test_gvb_to_tiff_roundtrip(tmp_path):
     assert abs(gt[3] - n_lat / 3600.0) < 1e-9
 
 
+def test_gvb_inexact_increment_row_count(tmp_path):
+    """Regression: int() truncation of (N_LAT-S_LAT)/LAT_INC dropped a
+    whole grid row when the increment is not exactly representable
+    ((18000-0)/0.3 = 59999.99999999999), silently misaligning every
+    band. round() keeps all exact cases identical."""
+    from geotools_ray.sources.gvb import read_gvb, write_gvb
+
+    rng = np.random.RandomState(5)
+    rows, cols = 4, 4
+    bands = rng.uniform(-5, 5, (6, rows, cols)).astype(np.float32)
+    # 0.3 / 0.1 == 2.9999999999999996 in float64: int() truncation
+    # loses a row (3 instead of 4) — header values are the clean
+    # decimals a real GVB file carries
+    lat_inc = 0.1
+    s_lat = 0.0
+    n_lat = 0.3
+    lon_inc = 0.1
+    e_lon = 0.0
+    w_lon = 0.3
+    src = str(tmp_path / "g.gvb")
+    write_gvb(src, bands, s_lat, n_lat, w_lon, e_lon, lat_inc, lon_inc)
+    got, _ = read_gvb(src)
+    np.testing.assert_array_equal(got, bands)
+
+
 def test_write_read_roundtrip_deflate(tmp_path):
     from geotools_ray.sources.tiff import read_tiff, write_tiff
 

@@ -42,6 +42,23 @@ def test_wkb_z_rejected():
     wkb_z = b"\x01" + struct.pack("<I", 0x80000003) + struct.pack("<I", 0)
     with pytest.raises(ValueError):
         parse_wkb(wkb_z)
+    # ISO Z/M numeric types (1003 PolygonZ etc.) hit the Z/M message,
+    # not the generic unsupported-type error (base>1000 was unreachable)
+    with pytest.raises(ValueError, match="Z/M"):
+        parse_wkb(b"\x01" + struct.pack("<I", 1003) + struct.pack("<I", 0))
+
+
+def test_wkb_ewkb_srid_skipped():
+    """Regression: PostGIS EWKB's embedded SRID (flag 0x20000000) was
+    parsed as the ring count, dying mid-buffer. The SRID must be
+    consumed and the geometry parse normally."""
+    from geotools_ray.sources.wkb import parse_wkb, polygon_to_wkb
+
+    ring = ((0.0, 0.0), (4.0, 0.0), (4.0, 4.0), (0.0, 4.0), (0.0, 0.0))
+    plain = polygon_to_wkb((ring,))
+    # splice the EWKB SRID flag + SRID 4326 into the plain encoding
+    ewkb = b"\x01" + struct.pack("<I", 3 | 0x20000000) + struct.pack("<I", 4326) + plain[5:]
+    assert parse_wkb(ewkb) == parse_wkb(plain)
 
 
 def test_read_polygon_table_attrs():
