@@ -63,10 +63,16 @@ def lonlat_to_xy(lon, lat, level: int):
     n = np.int64(1) << level
     lon = np.asarray(lon, dtype=np.float64)
     lat = np.asarray(lat, dtype=np.float64)
-    x = np.floor((lon + 180.0) / 360.0 * n).astype(np.int64)
+    # non-finite coordinates must fail here — floor(nan).astype(int64)
+    # is INT64_MIN, which the edge clamp below would silently turn into
+    # the valid southwest-corner cell (a garbage row joining a real
+    # cell is far worse than a loud error); out-of-range lon wraps like
+    # k_ring's longitude arithmetic, lat clamps at the poles
+    if not (np.isfinite(lon).all() and np.isfinite(lat).all()):
+        raise ValueError("lonlat_to_xy: non-finite lon/lat")
+    x = np.floor((lon + 180.0) / 360.0 * n).astype(np.int64) % n
     y = np.floor((lat + 90.0) / 180.0 * n).astype(np.int64)
-    # clamp the +180 / +90 edge into the last cell
-    np.clip(x, 0, n - 1, out=x)
+    # clamp the +90 edge (and any out-of-range lat) into the edge cell
     np.clip(y, 0, n - 1, out=y)
     return x, y
 
@@ -114,6 +120,10 @@ def children(cell) -> np.ndarray:
 
 
 def from_xy(x, y, level: int) -> np.ndarray:
+    if not 0 <= level <= MAX_LEVEL:
+        # level 30+ morton bits overflow the 58-bit field and collide
+        # across unrelated cells — same guard as encode()
+        raise ValueError(f"level must be in [0, {MAX_LEVEL}]")
     m = morton_encode(np.asarray(x).astype(np.uint64), np.asarray(y).astype(np.uint64))
     return ((np.uint64(level) << np.uint64(58)) | m).astype(np.int64)
 
@@ -134,7 +144,13 @@ def k_ring(cell: int, k: int = 1) -> np.ndarray:
 
 def ring_distance(cell_a, cell_b) -> np.ndarray:
     """Chebyshev grid distance between same-level cells (lon-wrapped)."""
-    lvl = int(level_of(np.atleast_1d(cell_a))[0])
+    la = level_of(np.atleast_1d(cell_a))
+    lb = level_of(np.atleast_1d(cell_b))
+    if (la != la[0]).any() or (lb != la[0]).any():
+        # mixed levels decode coordinates in different grids; a direct
+        # difference would be plausible-looking garbage
+        raise ValueError("ring_distance requires same-level cells")
+    lvl = int(la[0])
     n = 1 << lvl
     xa, ya = xy_of(cell_a)
     xb, yb = xy_of(cell_b)
@@ -145,7 +161,23 @@ def ring_distance(cell_a, cell_b) -> np.ndarray:
 
 
 def cover_bbox(minlon, minlat, maxlon, maxlat, level: int) -> np.ndarray:
-    """All cell ids at `level` intersecting the bbox."""
+    """All cell ids at `level` intersecting the bbox. A bbox crossing
+    the antimeridian (minlon > maxlon) splits into two lobes; an
+    inverted LATITUDE range is an error (there is no wrap there)."""
+    if minlat > maxlat:
+        raise ValueError("cover_bbox: minlat > maxlat")
+    if minlon > maxlon:
+        # antimeridian crossing: union of the [minlon, 180] and
+        # [-180, maxlon] lobes (used to silently return an EMPTY cover,
+        # dropping every point of the region from any join prefilter)
+        return np.unique(
+            np.concatenate(
+                [
+                    cover_bbox(minlon, minlat, 180.0, maxlat, level),
+                    cover_bbox(-180.0, minlat, maxlon, maxlat, level),
+                ]
+            )
+        )
     n = 1 << level
     x0 = max(0, int(np.floor((minlon + 180.0) / 360.0 * n)))
     x1 = min(n - 1, int(np.floor((maxlon + 180.0) / 360.0 * n)))
@@ -169,11 +201,11 @@ def cell_bounds(cell):
 
 
 def cover_polygon(rings, level: int) -> np.ndarray:
-    """Cells at `level` whose bbox intersects the polygon (conservative
-    cover: bbox-cover cells whose center OR any corner is inside, plus
-    cells intersecting edges — approximated by bbox cover refined with
-    a polygon-bbox overlap test; used as a join PREFILTER so a
-    conservative superset is correct)."""
+    """Conservative polygon cover = the cover of its bbox. This is a
+    SUPERSET of the cells the polygon touches (up to bbox-minus-polygon
+    overcount for thin diagonals), which is exactly what a join
+    PREFILTER needs; it is NOT a tight cover — don't use it for area
+    estimation or cell counting."""
     from .geom import polygon_bbox
 
     minx, miny, maxx, maxy = polygon_bbox(rings)

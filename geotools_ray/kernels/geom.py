@@ -4,8 +4,9 @@ polygon bbox / cell cover, triangle math.
 The reference does point-in-polygon via GEOS `geom->contains(p)` in a
 nested loop (src/pointzonalstats.cpp:393-410); here it is an even-odd
 crossing-number test vectorized over all points at once, with a bbox
-prefilter. Boundary points are excluded (GEOS `contains` = interior);
-test fixtures avoid exact-boundary coordinates.
+prefilter. Boundary points are genuinely excluded (GEOS `contains` =
+interior): crossing-test hits get an exact on-edge check, since the
+bare half-open crossing rule counts left/bottom edges as inside.
 
 A polygon is `rings`: list of rings, each ring a list of (x, y) pairs
 (first ring = shell, others = holes; even-odd rule handles both).
@@ -47,8 +48,31 @@ def points_in_ring(x: np.ndarray, y: np.ndarray, ring) -> np.ndarray:
     return inside
 
 
+def points_on_ring(x: np.ndarray, y: np.ndarray, ring) -> np.ndarray:
+    """True where a point lies exactly on a ring edge (collinear and
+    within the segment, at double precision)."""
+    x = np.asarray(x, dtype=np.float64)
+    y = np.asarray(y, dtype=np.float64)
+    r = np.asarray(ring, dtype=np.float64)
+    if len(r) and (r[0] == r[-1]).all():
+        r = r[:-1]
+    on = np.zeros(len(x), dtype=bool)
+    n = len(r)
+    for i in range(n):
+        x1, y1 = r[i]
+        x2, y2 = r[(i + 1) % n]
+        ex, ey = x2 - x1, y2 - y1
+        cross = ex * (y - y1) - ey * (x - x1)
+        dot = (x - x1) * ex + (y - y1) * ey
+        on |= (cross == 0.0) & (dot >= 0.0) & (dot <= ex * ex + ey * ey)
+    return on
+
+
 def points_in_polygon(x, y, rings) -> np.ndarray:
-    """Even-odd over all rings (shell + holes)."""
+    """Even-odd over all rings (shell + holes), boundary EXCLUDED —
+    GEOS `contains` = interior (the bare crossing rule is half-open:
+    it counts left/bottom edges in and right/top out, which would
+    diverge from both GEOS and the strict-inequality SQL oracles)."""
     minx, miny, maxx, maxy = polygon_bbox(rings)
     x = np.asarray(x, dtype=np.float64)
     y = np.asarray(y, dtype=np.float64)
@@ -57,9 +81,16 @@ def points_in_polygon(x, y, rings) -> np.ndarray:
     if not cand.any():
         return out
     idx = np.nonzero(cand)[0]
+    xs, ys = x[idx], y[idx]
     sub = np.zeros(len(idx), dtype=bool)
     for ring in rings:
-        sub ^= points_in_ring(x[idx], y[idx], ring)
+        sub ^= points_in_ring(xs, ys, ring)
+    hit = np.nonzero(sub)[0]
+    if len(hit):  # boundary exclusion only for crossing-test hits
+        border = np.zeros(len(hit), dtype=bool)
+        for ring in rings:
+            border |= points_on_ring(xs[hit], ys[hit], ring)
+        sub[hit[border]] = False
     out[idx] = sub
     return out
 
@@ -72,20 +103,6 @@ def tri_area_heron(x1, y1, z1, x2, y2, z2, x3, y3, z3):
     s2 = np.sqrt((x3 - x1) ** 2 + (y3 - y1) ** 2 + (z3 - z1) ** 2)
     s = (s0 + s1 + s2) / 2.0
     return np.sqrt(np.maximum(s * (s - s0) * (s - s1) * (s - s2), 0.0))
-
-
-def barycentric_interp_z(px, py, tri_xy, tri_z):
-    """Interpolate z at (px, py) inside a triangle via area ratios
-    (src/lasvalidate.cpp:169-232 interpolateTriangle)."""
-    (x1, y1), (x2, y2), (x3, y3) = tri_xy
-    z1, z2, z3 = tri_z
-    a_total = tri_area_heron(x1, y1, 0, x2, y2, 0, x3, y3, 0)
-    if a_total == 0:
-        return float("nan")
-    a1 = tri_area_heron(px, py, 0, x2, y2, 0, x3, y3, 0)
-    a2 = tri_area_heron(x1, y1, 0, px, py, 0, x3, y3, 0)
-    a3 = tri_area_heron(x1, y1, 0, x2, y2, 0, px, py, 0)
-    return float((a1 * z1 + a2 * z2 + a3 * z3) / a_total)
 
 
 def convex_hull(points: np.ndarray) -> np.ndarray:

@@ -57,9 +57,11 @@ def zonal_join(
         polys = ray.get(polys_ref)
         m = _match_matrix(t, polys)
         pi, pj = np.nonzero(m)
-        cols = {c: t[c].to_numpy(zero_copy_only=False)[pi] for c in keep_cols}
-        cols["polygon_id"] = ids[pj]
-        return pa.table(cols)
+        # take() through arrow keeps source column TYPES on zero-match
+        # batches (a numpy object-array gather would infer null-typed
+        # empties — schema-unstable blocks break the downstream shuffle)
+        out = t.select(list(keep_cols)).take(pa.array(pi, pa.int64()))
+        return out.append_column("polygon_id", pa.array(ids[pj]))
 
     return points.map_batches(fn, batch_format="pyarrow")
 

@@ -28,6 +28,58 @@ def test_pip_concave():
     ]
 
 
+def test_pip_boundary_excluded():
+    """GEOS contains = interior: points exactly on any edge or vertex
+    are OUT. The bare half-open crossing rule counted left/bottom edges
+    as inside (regression)."""
+    square = [[(0, 0), (10, 0), (10, 10), (0, 10)]]
+    # midpoints of all four edges + two corners + interior + hole edge
+    x = np.array([0.0, 10.0, 5.0, 5.0, 0.0, 10.0, 5.0])
+    y = np.array([5.0, 5.0, 0.0, 10.0, 0.0, 10.0, 5.0])
+    got = geom.points_in_polygon(x, y, square)
+    assert got.tolist() == [False, False, False, False, False, False, True]
+    donut = [
+        [(0, 0), (10, 0), (10, 10), (0, 10)],
+        [(4, 4), (6, 4), (6, 6), (4, 6)],
+    ]
+    # a point on the HOLE boundary is on the polygon boundary -> out
+    assert geom.points_in_polygon(np.array([4.0]), np.array([5.0]), donut).tolist() == [False]
+    # diagonal edge: exactly-representable collinear point
+    tri = [[(0, 0), (8, 8), (0, 8)]]
+    assert geom.points_in_polygon(np.array([3.0, 2.0]), np.array([3.0, 3.0]), tri).tolist() == [
+        False,  # on the diagonal
+        True,   # strictly inside
+    ]
+
+
+def test_cellindex_guards_and_antimeridian():
+    import pytest
+
+    # NaN coordinates must raise, not silently join the SW corner cell
+    with pytest.raises(ValueError, match="non-finite"):
+        ci.encode(np.array([np.nan]), np.array([0.0]), 8)
+    # out-of-range longitude wraps (antimeridian-crossing data)
+    a = ci.encode(np.array([185.0]), np.array([10.0]), 8)
+    b = ci.encode(np.array([-175.0]), np.array([10.0]), 8)
+    assert a[0] == b[0]
+    # antimeridian-crossing bbox = two lobes, never silently empty
+    cover = ci.cover_bbox(170.0, -5.0, -170.0, 5.0, 6)
+    assert len(cover) > 0
+    west = ci.encode(np.array([175.0]), np.array([0.0]), 6)[0]
+    east = ci.encode(np.array([-175.0]), np.array([0.0]), 6)[0]
+    assert west in cover and east in cover
+    with pytest.raises(ValueError, match="minlat"):
+        ci.cover_bbox(0.0, 5.0, 10.0, -5.0, 6)
+    # level guards on the non-encode constructors
+    with pytest.raises(ValueError):
+        ci.from_xy(np.array([0]), np.array([0]), 30)
+    # mixed-level ring_distance is meaningless -> raise
+    c10 = ci.encode(np.array([0.0]), np.array([0.0]), 10)
+    c12 = ci.encode(np.array([0.0]), np.array([0.0]), 12)
+    with pytest.raises(ValueError, match="same-level"):
+        ci.ring_distance(c10, c12)
+
+
 def test_pip_matches_matplotlib_free_oracle():
     rng = np.random.RandomState(3)
     ring = [(1, 1), (9, 2), (8, 8), (5, 9.5), (2, 7)]
