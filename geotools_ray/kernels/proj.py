@@ -136,8 +136,12 @@ class TMerc:
         xx = (np.asarray(x, dtype=np.float64) - self.x0) / self.a
         yy = (np.asarray(y, dtype=np.float64) - self.y0) / self.a
         phi = _inv_mlfn(self.ml0 + yy / self.k0, self.es, self.en)
+        # pj_tmerc.c pole branch: |phi| >= HALFPI clamps to the pole
+        # with lam = 0 — without it the 1/cosphi below amplifies by
+        # ~1e16 and out-of-domain northings return garbage longitude
+        pole = np.abs(phi) >= np.pi / 2
         sinphi = np.sin(phi)
-        cosphi = np.cos(phi)
+        cosphi = np.where(pole, 1.0, np.cos(phi))
         t = np.where(np.abs(cosphi) > 1e-10, sinphi / cosphi, 0.0)
         n = self.esp * cosphi * cosphi
         con = 1.0 - self.es * sinphi * sinphi
@@ -165,6 +169,8 @@ class TMerc:
                 )
             )
         ) / cosphi
+        lat = np.where(pole, np.where(yy < 0.0, -np.pi / 2, np.pi / 2), lat)
+        lam = np.where(pole, 0.0, lam)
         return lam + self.lam0, lat
 
 

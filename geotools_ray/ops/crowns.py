@@ -1,11 +1,20 @@
 """W6 crown region-growing + W7 boundary extraction.
 
-Crowns: tile-parallel with halo = ceil(radius) — growth is bounded by
-`radius` cells from each top (the claim predicate includes the
-distance test), so a tile plus that halo sees every top that can
-claim one of its interior cells; multi-source FIFO BFS order is made
-deterministic by sorting tops by id (the reference's order is its DB
-query order, src/treetops.cpp:352-361).
+Crowns: tile-parallel with halo = 2*ceil(radius)+1. The claim
+predicate bounds every claimed cell to `radius` of its top, but the
+monotone-descending BFS PATH from the top to an interior cell may
+detour anywhere inside the top's radius disk — up to 2*radius from
+the claimed cell (top <= radius from the cell, path <= radius from
+the top). A halo of only radius+1 nodata-truncated such serpentine
+paths (regression-tested). Residual caveat: FIFO contention CHAINS
+(wave A blocked by wave B blocked by wave C ...) can in principle
+couple cells further than any fixed halo; each link needs another
+top within radius of the previous disk, so with real tree spacing
+(tops >~ radius apart) chains beyond one link do not arise — for
+adversarial inputs run with tile >= grid to replay the exact global
+kernel. Multi-source FIFO BFS order is made deterministic by sorting
+tops by id (the reference's order is its DB query order,
+src/treetops.cpp:352-361).
 
 Boundary: occupancy via the distributed cell count, edge-cell
 detection (fullNeighbours complement, src/lasboundary.cpp:85-99) per
@@ -39,7 +48,7 @@ def crown_growth_tiles(
     **kw,
 ):
     """-> tile rows of the crown-id raster (0 = unclaimed)."""
-    halo = int(np.ceil(radius)) + 1
+    halo = 2 * int(np.ceil(radius)) + 1  # path-detour bound, see module doc
     tops_ref = ray.put(
         np.column_stack(
             [
@@ -111,7 +120,9 @@ def _edge_cells(
             x, y = x[m], y[m]
         col = np.floor((x - b.minx) / res).astype(np.int64)
         row = np.floor((y - b.miny) / res).astype(np.int64)  # bottom-indexed
-        return pa.table({"cell": row * cols + col})
+        # only occupancy matters downstream: batch-local dedup cuts the
+        # shuffle from O(#points) to O(#cells per batch)
+        return pa.table({"cell": np.unique(row * cols + col)})
 
     occ_cells = (
         points.map_batches(occupy, batch_format="pyarrow")

@@ -2,8 +2,15 @@
 lineage records plus row/byte counters').
 
 count_stage wraps a map stage so every batch increments a named
-counter actor; totals are read on the driver after the run.  The
-counter is a detached-free named actor per metrics session.
+counter actor; totals are read on the driver after the run.
+
+Idempotency: each add carries a (task_id, ordinal) token — a Ray task
+RETRY (worker death, lineage reconstruction of a spilled block)
+re-executes the batch with the SAME task id, so the actor drops the
+duplicate instead of double-counting (the content-token pattern from
+the cell-index shard adds). Consuming the wrapped dataset twice is two
+genuine executions (new task ids) and counts twice — the counters
+meter processing, not distinct input rows.
 """
 
 from __future__ import annotations
@@ -11,13 +18,22 @@ from __future__ import annotations
 import pyarrow as pa
 import ray
 
+# per-worker-process ordinal of batches within a task execution: a
+# retried task restarts its ordinals at 0, reproducing the same tokens
+_BATCH_ORDINALS: dict[tuple[str, str], int] = {}
+
 
 @ray.remote(num_cpus=0)
 class MetricsActor:
     def __init__(self):
         self._counts: dict[str, dict] = {}
+        self._seen: set = set()
 
-    def add(self, stage: str, rows: int, nbytes: int):
+    def add(self, stage: str, token, rows: int, nbytes: int):
+        if token is not None:
+            if token in self._seen:
+                return  # task retry replaying a counted batch
+            self._seen.add(token)
         c = self._counts.setdefault(stage, {"rows": 0, "bytes": 0, "batches": 0})
         c["rows"] += rows
         c["bytes"] += nbytes
@@ -42,9 +58,19 @@ class Metrics:
         actor = self.actor
 
         def fn(t: pa.Table) -> pa.Table:
+            try:
+                tid = ray.get_runtime_context().get_task_id()
+            except Exception:
+                tid = None
+            token = None
+            if tid:
+                key = (stage, tid)
+                ordinal = _BATCH_ORDINALS.get(key, 0)
+                _BATCH_ORDINALS[key] = ordinal + 1
+                token = (stage, tid, ordinal)
             # block on the ack so a driver snapshot after consumption
             # sees every batch (the actor call itself is ~ms)
-            ray.get(actor.add.remote(stage, t.num_rows, t.nbytes))
+            ray.get(actor.add.remote(stage, token, t.num_rows, t.nbytes))
             return t
 
         return ds.map_batches(fn, batch_format="pyarrow")

@@ -58,6 +58,42 @@ def test_crown_tiles_match_kernel(ray_session):
     np.testing.assert_array_equal(got, want)
 
 
+def test_crown_tiles_serpentine_detour_path(ray_session):
+    """Regression: halo = radius+1 nodata-truncated monotone-descending
+    BFS paths that detour through the top's radius disk beyond the
+    window (a serpentine ridge), leaving interior cells unclaimed that
+    the global kernel claims. halo = 2*radius+1 covers the detour
+    bound (path <= radius from the top, top <= radius from the cell)."""
+    import pyarrow as pa
+    import ray.data
+
+    from geotools_ray.ops.crowns import crown_growth_tiles
+    from geotools_ray.ops.raster import grid_to_tiles, tiles_to_grid
+
+    H = W = 16
+    g = np.full((H, W), KR.NODATA)
+    path = [(7, 13), (8, 14), (9, 15), (10, 14), (10, 13), (10, 12),
+            (10, 11), (10, 10), (10, 9), (9, 8), (8, 8), (7, 7)]
+    z = 30.0
+    for r, c in path:
+        g[r, c] = z
+        z -= 1.0
+    want = KR.crown_growth(g, [(1, 13, 7, 30.0)], 2.0, 0.3, 6.0)
+    assert want[7, 7] == 1  # global kernel claims via the detour
+    tops = pa.table(
+        {
+            "id": np.array([1], dtype=np.int64),
+            "col": np.array([13], dtype=np.int64),
+            "row": np.array([7], dtype=np.int64),
+            "z": np.array([30.0]),
+        }
+    )
+    tiles = ray.data.from_arrow(grid_to_tiles(g, 8))
+    out = crown_growth_tiles(tiles, tops, 2.0, 0.3, 6.0, H, W, 8, num_parts=2)
+    got = tiles_to_grid(out.to_pandas(), H, W, 8, nodata=0).astype(np.int64)
+    np.testing.assert_array_equal(got, want)
+
+
 def test_boundary_edges(ray_session):
     import ray.data
 
