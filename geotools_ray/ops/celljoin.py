@@ -246,18 +246,32 @@ def range_join_cells(
     def key_right(t: pa.Table) -> pa.Table:
         x = t["rx"].to_numpy(zero_copy_only=False)
         y = t["ry"].to_numpy(zero_copy_only=False)
-        c = np.floor((x - bounds.minx) / res).astype(np.int64)
-        r = np.floor((y - bounds.miny) / res).astype(np.int64)
         n = len(x)
-        reps_c, reps_r = [], []
-        for dc in (-1, 0, 1):
-            for dr in (-1, 0, 1):
-                reps_c.append(c + dc)
-                reps_r.append(r + dr)
-        cc = np.concatenate(reps_c)
-        rr = np.concatenate(reps_r)
-        idx = np.tile(np.arange(n), 9)
-        # clip ring replicas below row/col 0: r-1 = -1 would alias
+        # replicate each right row to every cell its slack-padded
+        # reach interval touches (normally the 3x3 ring). The fixed
+        # +/-1 ring had a 1-ulp hole: a row half-an-ulp below a cell
+        # edge with a partner at fl(distance) == radius exactly spans
+        # TWO cell steps, and the pair would silently vanish while the
+        # exact d2 <= r2 refine (and the SQL oracle) keep it.
+        eps = np.finfo(np.float64).eps
+        amax = max(
+            float(np.max(np.abs(x), initial=0.0)),
+            float(np.max(np.abs(y), initial=0.0)),
+            radius, 1.0,
+        )
+        slack = 4.0 * eps * amax
+        c0 = np.floor((x - radius - slack - bounds.minx) / res).astype(np.int64)
+        c1 = np.floor((x + radius + slack - bounds.minx) / res).astype(np.int64)
+        r0 = np.floor((y - radius - slack - bounds.miny) / res).astype(np.int64)
+        r1 = np.floor((y + radius + slack - bounds.miny) / res).astype(np.int64)
+        ncols_w = c1 - c0 + 1
+        counts = ncols_w * (r1 - r0 + 1)
+        idx = np.repeat(np.arange(n), counts)
+        cum = np.concatenate([[0], np.cumsum(counts)[:-1]])
+        k = np.arange(int(counts.sum()), dtype=np.int64) - np.repeat(cum, counts)
+        cc = c0[idx] + (k % ncols_w[idx])
+        rr = r0[idx] + (k // ncols_w[idx])
+        # clip replicas below row/col 0: r = -1 would alias
         # (c-1, 2^32-1) under the packed key
         ok = (rr >= 0) & (cc >= 0)
         cc, rr, idx = cc[ok], rr[ok], idx[ok]

@@ -65,11 +65,19 @@ def range_join(
         xs, ys = x[order], y[order]
         pcs, scs = 2048, 256
         out_pi, out_sj, out_d2 = [], [], []
+        eps = np.finfo(np.float64).eps
         for p0 in range(0, n, pcs):
             xc = xs[p0 : p0 + pcs]
             yc = ys[p0 : p0 + pcs]
-            j0 = int(np.searchsorted(s["sx"], xc[0] - radius, side="left"))
-            j1 = int(np.searchsorted(s["sx"], xc[-1] + radius, side="right"))
+            # widen the window by a few ulps of the LARGEST magnitude
+            # involved: a sample exactly on the radius boundary can sit
+            # BELOW fl(x - radius) yet still satisfy fl(x-sx)^2 == r2
+            # (e.g. x=4.2, sx=0.2, r=4: 4.2-4.0 > 0.2 but 4.2-0.2 == 4.0
+            # exactly) — candidates are re-tested with the exact d2
+            # criterion, so over-inclusion only costs a few comparisons
+            slack = 4.0 * eps * max(abs(float(xc[0])), abs(float(xc[-1])), radius, 1.0)
+            j0 = int(np.searchsorted(s["sx"], xc[0] - radius - slack, side="left"))
+            j1 = int(np.searchsorted(s["sx"], xc[-1] + radius + slack, side="right"))
             for s0 in range(j0, j1, scs):
                 s1 = min(s0 + scs, j1)
                 dx = xc[:, None] - s["sx"][None, s0:s1]

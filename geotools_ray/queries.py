@@ -15,10 +15,8 @@ from __future__ import annotations
 import numpy as np
 import pandas as pd
 import pyarrow as pa
-import pyarrow.compute as pc
 import ray.data
 
-from .kernels import stats as K
 from .ops import zonal as Z
 from .ops.gridstats import GridConfig, grid_stats
 from .ops.neighbors import knn_join, range_join
@@ -287,7 +285,7 @@ def q_gap_fraction(sf_dir: str):
             out[k] = np.bincount(inv, weights=v)
         return pa.table(out)
 
-    pc = cells.map_batches(partials, batch_format="pyarrow")
+    partial_cells = cells.map_batches(partials, batch_format="pyarrow")
 
     def rollup(df: pd.DataFrame) -> pd.DataFrame:
         s = df.groupby("cell_id", sort=False).sum().reset_index()
@@ -317,7 +315,7 @@ def q_gap_fraction(sf_dir: str):
             }
         )
 
-    return grouped_map(pc, ["cell_id"], rollup)
+    return grouped_map(partial_cells, ["cell_id"], rollup)
 
 
 SQL_GAP_FRACTION = PRELUDE + f""",
@@ -547,9 +545,16 @@ def q_merge_union(sf_dir: str):
 
         return fn
 
-    a = pts.map_batches(clip_box(0.0, 0.0, 60.05, 60.05), batch_format="pyarrow")
-    b2 = pts.map_batches(clip_box(40.05, 40.05, 100.0, 100.0), batch_format="pyarrow")
-    u = a.union(b2)
+    box_a = clip_box(0.0, 0.0, 60.05, 60.05)
+    box_b = clip_box(40.05, 40.05, 100.0, 100.0)
+
+    def both(t: pa.Table) -> pa.Table:
+        # both boxes in ONE pass over one pipeline (two .union branches
+        # would fork and re-execute the whole read+derive upstream);
+        # overlapping rows are kept twice, as a real two-file merge does
+        return pa.concat_tables([box_a(t), box_b(t)])
+
+    u = pts.map_batches(both, batch_format="pyarrow")
     from ray.data.aggregate import Count, Max, Min
 
     agg = u.aggregate(Min("x"), Max("x"), Min("y"), Max("y"), Count())
@@ -592,7 +597,15 @@ def q_sample_hash(sf_dir: str):
     def fn(t: pa.Table) -> pa.Table:
         ok = t["l_orderkey"].to_numpy(zero_copy_only=False)
         ln = t["l_linenumber"].to_numpy(zero_copy_only=False)
-        h = (ok * 2654435761 + ln * 40503) % 100
+        # uint64 wrap (mod 2^64), matching the oracle's HUGEINT-mod
+        # formula: the old int64 wraparound both differed from the
+        # stated formula and made the SQL side raise on overflow past
+        # l_orderkey ~ 3.5e9
+        with np.errstate(over="ignore"):
+            h = (
+                ok.astype(np.uint64) * np.uint64(2654435761)
+                + ln.astype(np.uint64) * np.uint64(40503)
+            ) % np.uint64(100)
         return t.filter(pa.array(h < 10))
 
     from ray.data.aggregate import Count, Sum
@@ -603,4 +616,6 @@ def q_sample_hash(sf_dir: str):
 
 SQL_SAMPLE_HASH = PRELUDE + f"""
 SELECT count(*) AS n, round(sum(z), {R6}) AS sum_z FROM pts
-WHERE (l_orderkey * 2654435761 + l_linenumber * 40503) % 100 < 10"""
+WHERE (CAST(l_orderkey AS HUGEINT) * 2654435761
+       + CAST(l_linenumber AS HUGEINT) * 40503)
+      % 18446744073709551616 % 100 < 10"""

@@ -96,6 +96,39 @@ def test_knn_cell_ring_sparse_far_queries(ray_session):
     np.testing.assert_array_equal(g, w)
 
 
+def test_range_join_ulp_boundary_pair_kept(ray_session):
+    """Regression: the x-window prune computed fl(chunk_min - radius)
+    and dropped a sample with sx strictly below it even though
+    fl(x - sx) == radius EXACTLY (x=4.2, sx=0.2, r=4: 4.2-4.0 > 0.2
+    but 4.2-0.2 == 4.0), while the d2 <= r2 criterion — and the SQL
+    oracle — keep the pair. The widened window must include it."""
+    import pyarrow as pa
+    import ray.data
+
+    from geotools_ray.ops.neighbors import range_join
+
+    assert (4.2 - 4.0) > 0.2 and (4.2 - 0.2) == 4.0  # the fp facts
+    pts = ray.data.from_arrow(
+        pa.table(
+            {
+                "x": np.array([4.2]),
+                "y": np.array([1.0]),
+                "l_orderkey": np.array([1], dtype=np.int64),
+                "l_linenumber": np.array([1], dtype=np.int64),
+            }
+        )
+    )
+    smp = pa.table(
+        {
+            "s_suppkey": np.array([7], dtype=np.int64),
+            "sx": np.array([0.2]),
+            "sy": np.array([1.0]),
+        }
+    )
+    out = range_join(pts, smp, radius=4.0).to_pandas()
+    assert len(out) == 1 and out["dist"].iloc[0] == 4.0
+
+
 def test_range_join_cells_matches_broadcast(ray_session):
     import pyarrow as pa
     import ray.data
