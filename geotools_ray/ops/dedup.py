@@ -39,6 +39,16 @@ def _popcount64(x: np.ndarray) -> np.ndarray:
     return _POP8[x.view(np.uint8).reshape(len(x), 8)].sum(axis=1).astype(np.int64)
 
 
+def _isin_sorted(ids: np.ndarray, sorted_ref: np.ndarray) -> np.ndarray:
+    """Membership of ids in a SORTED array — the searchsorted+clamp
+    idiom in ONE empty-safe place (an empty ref used to IndexError at
+    some call sites and was guarded ad hoc at others)."""
+    if not len(sorted_ref):
+        return np.zeros(len(ids), dtype=bool)
+    pos = np.minimum(np.searchsorted(sorted_ref, ids), len(sorted_ref) - 1)
+    return sorted_ref[pos] == ids
+
+
 def _splitmix64(x: np.ndarray, seed: int) -> np.ndarray:
     """Vectorized splitmix64 finalizer over uint64 — used to build an
     order-independent 128-bit set hash from sorted-distinct elements."""
@@ -184,16 +194,9 @@ def verify_jaccard(
         def semi(t: pa.Table) -> pa.Table:
             wanted = ray.get(ids_ref)
             ids = t[id_col].to_numpy(zero_copy_only=False).astype(np.int64)
-            if len(wanted) == 0:
-                keep = np.zeros(len(t), dtype=bool)
-            else:
-                pos = np.minimum(np.searchsorted(wanted, ids), len(wanted) - 1)
-                keep = wanted[pos] == ids
-            return t.filter(pa.array(keep))
+            return t.filter(pa.array(_isin_sorted(ids, wanted)))
 
         sets = sets.map_batches(semi, batch_format="pyarrow")
-
-    EMPTY = np.empty(0, dtype=np.int64)
 
     def explode_pairs(t: pa.Table) -> pa.Table:
         a = t["id_a"].to_numpy(zero_copy_only=False).astype(np.int64)
@@ -418,7 +421,13 @@ def connected_components(
                                   "cand": m["label"].astype(np.int64)}),
                 ]
             )
-            return out if len(out) else pd.DataFrame({"node": [], "cand": []})
+            if len(out):
+                return out
+            # typed empty: an untyped {} frame becomes a columnless /
+            # float64 block and destabilizes the downstream shuffle
+            return pd.DataFrame(
+                {"node": pd.Series(dtype=np.int64), "cand": pd.Series(dtype=np.int64)}
+            )
 
         msgs = grouped_map(u, ["_k"], gather)
 
@@ -460,7 +469,10 @@ def connected_components(
             anchors = df[~df["_q"]][["_k", "label"]].drop_duplicates("_k")
             queries = df[df["_q"]][["_k", "node"]]
             if not len(queries):
-                return pd.DataFrame({"node": [], "label": []})
+                return pd.DataFrame(
+                    {"node": pd.Series(dtype=np.int64),
+                     "label": pd.Series(dtype=np.int64)}
+                )
             m = queries.merge(anchors, on="_k", how="left")
             tgt = m["label"].fillna(m["_k"]).astype(np.int64)
             return pd.DataFrame({"node": m["node"].astype(np.int64), "label": tgt})
@@ -484,28 +496,6 @@ def connected_components(
 # ---------------------------------------------------------------------------
 # MinHash + LSH (scale path: banded signatures bound candidate count)
 
-def minhash_signatures(
-    docs: ray.data.Dataset,
-    text_col: str = "text",
-    id_col: str = "doc_id",
-    shingle_k: int = 3,
-    num_perm: int = 64,
-) -> ray.data.Dataset:
-    def fn(t: pa.Table) -> pa.Table:
-        ids = t[id_col].to_numpy(zero_copy_only=False)
-        sigs = []
-        for s in t[text_col].to_pylist():
-            sigs.append(T.minhash_signature(T.shingles(s, shingle_k), num_perm))
-        return pa.table(
-            {
-                id_col: ids,
-                "sig": pa.array([s.astype(np.int64) for s in sigs], pa.list_(pa.int64())),
-            }
-        )
-
-    return docs.map_batches(fn, batch_format="pyarrow")
-
-
 def minhash_signatures_from_sets(
     sets: ray.data.Dataset,
     id_col: str = "doc_id",
@@ -513,9 +503,9 @@ def minhash_signatures_from_sets(
     seed: int = 1,
 ) -> ray.data.Dataset:
     """Signatures derived from the shingle-HASH sets (the same FNV64
-    hashes minhash_signature computes internally), so the corpus is
-    shingled ONCE for both LSH and the exact-Jaccard verify.
-    Bit-identical to minhash_signatures: min over (a_i * h + b_i) is
+    hashes kernels.text.minhash_signature computes internally), so the
+    corpus is shingled ONCE for both LSH and the exact-Jaccard verify.
+    Bit-identical to the scalar kernel: min over (a_i * h + b_i) is
     order-independent. Segment mins run via ONE np.minimum.reduceat
     over the flattened list column — no per-row python."""
     rng = np.random.RandomState(seed)
@@ -575,6 +565,14 @@ def lsh_candidate_pairs(
         flat = col.values.to_numpy(zero_copy_only=False)[loffs[0] : loffs[-1]]
         S = flat.view(np.uint64).reshape(n, -1)
         num_perm = S.shape[1]
+        if bands > num_perm or num_perm % bands:
+            # rows = num_perm // bands would silently ignore trailing
+            # permutations (recall below the documented bound), and
+            # bands > num_perm gives every doc the constant seed hash
+            # -> one global bucket -> O(n^2) pair enumeration
+            raise ValueError(
+                f"bands={bands} must divide num_perm={num_perm}"
+            )
         rows = num_perm // bands
         prime = np.uint64(0x100000001B3)
         out_id, out_band, out_hash = [], [], []
@@ -741,8 +739,7 @@ def minhash_lsh_dedup(
         def drop_nonrep(t: pa.Table) -> pa.Table:
             drop = ray.get(nr_ref)
             ids = t["doc_id"].to_numpy(zero_copy_only=False).astype(np.int64)
-            pos = np.minimum(np.searchsorted(drop, ids), len(drop) - 1)
-            return t.filter(pa.array(drop[pos] != ids))
+            return t.filter(pa.array(~_isin_sorted(ids, drop)))
 
         lsh_sets = sets.map_batches(drop_nonrep, batch_format="pyarrow")
     elif n_dup > collapse_cap:
@@ -785,14 +782,15 @@ def minhash_lsh_dedup(
             ids = t["doc_id"].to_numpy(zero_copy_only=False)
             dr = t["drop"].to_numpy(zero_copy_only=False)
             dropids = np.unique(ids[dr == 1])
-            if len(dropids):
-                pos = np.minimum(np.searchsorted(dropids, ids), len(dropids) - 1)
-                keep = (dropids[pos] != ids) & (dr == 0)
-            else:
-                keep = dr == 0
+            keep = ~_isin_sorted(ids, dropids) & (dr == 0)
             return t.filter(pa.array(keep)).select(["doc_id", "sh"])
 
-        lsh_sets = grouped_map(u0, ["doc_id"], keep_reps, batch_format="pyarrow")
+        # pin the collapsed sets: BOTH the signature pass and the
+        # verify join consume them, and without this the whole
+        # corpus-payload anti-join shuffle executes twice
+        lsh_sets = grouped_map(
+            u0, ["doc_id"], keep_reps, batch_format="pyarrow"
+        ).materialize()
 
     sigs = minhash_signatures_from_sets(lsh_sets, num_perm=num_perm)
     # dedup=True is load-bearing even after the collapse: a pair of
@@ -881,8 +879,7 @@ def minhash_lsh_dedup(
     def only_dup_reps(t: pa.Table) -> pa.Table:
         keep = ray.get(dr_ref)
         ids = t["doc_id"].to_numpy(zero_copy_only=False).astype(np.int64)
-        pos = np.minimum(np.searchsorted(keep, ids), len(keep) - 1)
-        return t.filter(pa.array(keep[pos] == ids))
+        return t.filter(pa.array(_isin_sorted(ids, keep)))
 
     rl = labels.map_batches(only_dup_reps, batch_format="pyarrow").to_pandas()
     if len(rl):
@@ -1116,7 +1113,11 @@ def ngram_jaccard_pairs(
     """All pairs with word-n-gram Jaccard >= threshold, EXACTLY: a
     pair with jaccard > 0 shares >= 1 shingle, so grouping by shingle
     hash enumerates a complete candidate superset; the shuffle-join
-    verify applies the exact threshold. Shingle buckets larger than
+    verify applies the exact threshold. Convention: empty/whitespace
+    docs have EMPTY shingle sets and never pair (the 0/0 := 1.0
+    Jaccard convention applies only to the minhash verify, where
+    banding — not shared shingles — produces the candidates; the SQL
+    oracle filters empty docs to match). Shingle buckets larger than
     max_bucket (stop-shingle blowup) are dropped WITH A LOG — at the
     tested scales no bucket comes close."""
     sets = shingle_sets(docs, text_col, id_col, n)
@@ -1180,22 +1181,33 @@ def ngram_jaccard_pairs(
     cand = grouped_map(exploded, ["shingle"], shared)
 
     def finalize(df: pd.DataFrame) -> pd.DataFrame:
-        """|A∩B| = row multiplicity per pair — one vectorized unique."""
+        """|A∩B| = row multiplicity per pair — one vectorized lexsort
+        run-length count on the REAL id columns (a packed
+        id_a*2^32+id_b key aliased distinct pairs and corrupted
+        reconstructed ids for ids >= 2^32, negative ids, or
+        id_a >= 2^31 — the id-domain class the minhash path fixed)."""
         if not len(df):
             return pd.DataFrame(
                 {"id_a": pd.Series(dtype=np.int64), "id_b": pd.Series(dtype=np.int64),
                  "jaccard": pd.Series(dtype=np.float64)}
             )
-        key = df["id_a"].to_numpy() * (1 << 32) + df["id_b"].to_numpy()
-        uniq, idx, inter = np.unique(key, return_index=True, return_counts=True)
+        a = df["id_a"].to_numpy()
+        b = df["id_b"].to_numpy()
+        order = np.lexsort((b, a))
+        a_s, b_s = a[order], b[order]
+        new = np.ones(len(a_s), dtype=bool)
+        new[1:] = (a_s[1:] != a_s[:-1]) | (b_s[1:] != b_s[:-1])
+        starts = np.flatnonzero(new)
+        inter = np.diff(np.append(starts, len(a_s)))
+        idx = order[starts]
         na = df["na"].to_numpy()[idx]
         nb = df["nb"].to_numpy()[idx]
         jac = inter / (na + nb - inter)
         keep = jac >= threshold
         return pd.DataFrame(
             {
-                "id_a": (uniq[keep] >> 32).astype(np.int64),
-                "id_b": (uniq[keep] & 0xFFFFFFFF).astype(np.int64),
+                "id_a": a_s[starts][keep].astype(np.int64),
+                "id_b": b_s[starts][keep].astype(np.int64),
                 "jaccard": jac[keep],
             }
         )

@@ -21,9 +21,15 @@ ASCII; verified).
 
 from __future__ import annotations
 
-# word arrays + distinct word-3-gram shingles per doc
+# word arrays + distinct word-3-gram shingles per doc. Empty /
+# whitespace-only docs are filtered HERE: DuckDB splits '' into ['']
+# (one empty-string word) while the engine's str.split() yields no
+# words and an EMPTY shingle set — without the filter the SQL side
+# fabricates a '' shingle and pairs empty docs the engine never
+# candidates (ngram) at jaccard 1.0.
 _SHINGLES_BODY = """
-w AS (SELECT doc_id, regexp_split_to_array(trim(text), '\\s+') AS ws FROM documents),
+w AS (SELECT doc_id, regexp_split_to_array(trim(text), '\\s+') AS ws
+      FROM documents WHERE length(trim(text)) > 0),
 sh0 AS (
   SELECT doc_id,
          CASE WHEN len(ws) >= 3
@@ -55,7 +61,14 @@ SELECT id_a, id_b, round(j, 6) AS jaccard FROM jac WHERE j >= 0.3"""
 # propagation converges to)
 SQL_MINHASH_DEDUP = f"""
 WITH RECURSIVE {_SHINGLES_BODY},
-p AS (SELECT id_a, id_b FROM jac WHERE j >= 0.5),
+-- empty docs have EMPTY shingle sets: the engine's 0/0 := 1.0 Jaccard
+-- convention (and its exact-clone collapse) clusters them together,
+-- so the oracle adds those pairs explicitly
+empties AS (SELECT doc_id FROM documents WHERE length(trim(text)) = 0),
+p AS (SELECT id_a, id_b FROM jac WHERE j >= 0.5
+      UNION ALL
+      SELECT a.doc_id, b.doc_id FROM empties a JOIN empties b
+      ON a.doc_id < b.doc_id),
 e AS (SELECT id_a AS src, id_b AS dst FROM p
       UNION ALL SELECT id_b, id_a FROM p),
 nodes AS (SELECT DISTINCT src AS node FROM e),
@@ -82,7 +95,7 @@ SQL_SIMHASH_PAIRS = f"""
 WITH RECURSIVE
 occ AS (
   SELECT doc_id, unnest(regexp_split_to_array(trim(text), '\\s+')) AS w
-  FROM documents),
+  FROM documents WHERE length(trim(text)) > 0),
 wd AS (SELECT DISTINCT w FROM occ),
 fnv(w, i, h) AS (
   SELECT w, 0, {_FNV_OFFSET}::HUGEINT FROM wd
@@ -99,7 +112,14 @@ bits AS (
               THEN 1 ELSE 0 END AS bit
   FROM occ o JOIN wh ON wh.w = o.w
   CROSS JOIN generate_series(0, 63) b(b)
-  GROUP BY o.doc_id, b.b),
+  GROUP BY o.doc_id, b.b
+  UNION ALL
+  -- wordless docs: the engine's simhash is 0 (all per-bit sums are
+  -- 0, bit = sum > 0 = false), so they pair with each other at
+  -- hamming 0 and with any doc of popcount <= 10
+  SELECT d.doc_id, b.b, 0 AS bit
+  FROM documents d CROSS JOIN generate_series(0, 63) b(b)
+  WHERE length(trim(d.text)) = 0),
 hp AS (
   SELECT a.doc_id AS id_a, b.doc_id AS id_b,
          sum(CASE WHEN a.bit <> b.bit THEN 1 ELSE 0 END) AS hamming

@@ -136,6 +136,51 @@ def test_minhash_dedup_no_dups_corpus(ray_session):
     assert len(out) == 0
 
 
+def test_empty_docs_engine_sql_parity(ray_session):
+    """Empty/whitespace docs: DuckDB splits '' into [''] while the
+    engine sees no words. The oracles now align with the engine's
+    conventions — ngram: empty docs never pair; minhash: empty docs
+    cluster together (0/0 := 1.0 via the exact-clone collapse);
+    simhash: empty docs hash to 0 and pair at hamming 0."""
+    import duckdb
+    import pandas as pd
+    import ray.data
+
+    from geotools_ray import queries_dedup_sql as QD
+    from geotools_ray.ops.dedup import (
+        minhash_lsh_dedup, ngram_jaccard_pairs, simhash_pairs,
+    )
+
+    rows = [
+        {"doc_id": 0, "text": ""},
+        {"doc_id": 1, "text": "   "},
+        {"doc_id": 2, "text": "alpha beta gamma delta epsilon zeta eta theta"},
+        {"doc_id": 3, "text": "alpha beta gamma delta epsilon zeta eta theta"},
+        {"doc_id": 4, "text": "totally different words here nothing shared at all"},
+    ]
+    docs_df = pd.DataFrame(rows)
+    con = duckdb.connect()
+    con.register("documents", docs_df)
+    ds = ray.data.from_items(rows)
+
+    def pairset(df):
+        return set(zip(df["id_a"].astype(int), df["id_b"].astype(int)))
+
+    got_ng = pairset(ngram_jaccard_pairs(ds, n=3, threshold=0.3).to_pandas())
+    want_ng = pairset(con.execute(QD.SQL_NGRAM_PAIRS).df())
+    assert got_ng == want_ng and (0, 1) not in got_ng and (2, 3) in got_ng
+
+    got_sh = pairset(simhash_pairs(ds, max_hamming=10).to_pandas())
+    want_sh = pairset(con.execute(QD.SQL_SIMHASH_PAIRS).df())
+    assert got_sh == want_sh and (0, 1) in got_sh
+
+    got_mh = minhash_lsh_dedup(ds, threshold=0.5).to_pandas()
+    got_cl = set(zip(got_mh["doc_id"].astype(int), got_mh["cluster"].astype(int)))
+    want_mh = con.execute(QD.SQL_MINHASH_DEDUP).df()
+    want_cl = set(zip(want_mh["doc_id"].astype(int), want_mh["cluster"].astype(int)))
+    assert got_cl == want_cl and (1, 0) in got_cl  # empty docs cluster
+
+
 def test_simhash_pairs_equals_bruteforce(ray_session):
     """Pigeonhole recall + first-match exactly-once emission: the
     banded distributed pair set must EQUAL the brute-force all-pairs
