@@ -183,11 +183,16 @@ WITH e AS (
   SELECT (l_suppkey % 5) AS f, epoch(l_shipdate)/86400.0 AS t, l_orderkey, l_linenumber
   FROM lineitem),
 o AS (
-  SELECT f, t,
+  SELECT f, t, l_orderkey, l_linenumber,
     CASE WHEN lag(t) OVER w IS NULL OR t - lag(t) OVER w > {TIME_GAP_DAYS} THEN 1 ELSE 0 END AS brk
   FROM e WINDOW w AS (PARTITION BY f ORDER BY t, l_orderkey, l_linenumber)),
 i AS (
-  SELECT f, t, sum(brk) OVER (PARTITION BY f ORDER BY t ROWS UNBOUNDED PRECEDING) AS seg
+  -- the running sum must use the SAME tie-break as brk's window:
+  -- t alone is day-granular here, and an unspecified tie order could
+  -- place same-day rows before the brk row, fusing two segments
+  SELECT f, t, sum(brk) OVER (
+    PARTITION BY f ORDER BY t, l_orderkey, l_linenumber
+    ROWS UNBOUNDED PRECEDING) AS seg
   FROM o),
 segs AS (SELECT f, seg, min(t) AS s, max(t) AS e FROM i GROUP BY f, seg),
 segs2 AS (
@@ -908,9 +913,10 @@ def q_raster_correction(sf_dir: str):
                 out[f"m{c}"] = np.where(nc > 0, sc / np.where(nc > 0, nc, 1), -9999.0)
         return pd.DataFrame(out)
 
+    # consumed exactly once (tiles_multi_from_cellstats) — no pin
     stats = grouped_map(
         pts.map_batches(partials, batch_format="pyarrow"), ["cell_id"], rollup
-    ).materialize()
+    )
 
     # one co-tiled assembly for all four rasters (invalid cells carry
     # -9999 already = the nodata the old per-rid filter produced),

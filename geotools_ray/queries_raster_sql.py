@@ -18,7 +18,6 @@ rounding grain.
 
 from __future__ import annotations
 
-import numpy as np
 
 from .kernels.raster import gaussian_weights, tan_curve
 from .stages import tpch
@@ -54,7 +53,7 @@ grid AS (
 """
 
 # exact-strategy mean/median per cell (raster_diff / rastfit)
-GRID2_BODY = f"""
+GRID2_PRELUDE = f"""
 pts AS ({tpch.PTS_SQL}),
 b AS (
   SELECT floor(min(x)/{RES})*{RES} AS minx, floor(min(y)/{RES})*{RES} AS miny,
@@ -63,7 +62,9 @@ b AS (
 g AS (
   SELECT greatest(1, CAST(ceil((maxx-minx)/{RES}) AS BIGINT)) AS w,
          greatest(1, CAST(ceil((maxy-miny)/{RES}) AS BIGINT)) AS h,
-         minx, miny FROM b),
+         minx, miny FROM b)"""
+
+GRID2_BODY = GRID2_PRELUDE + f""",
 pc AS (
   SELECT (g.h - CAST(floor((p.y-g.miny)/{RES}) AS BIGINT) - 1) AS row,
          CAST(floor((p.x-g.minx)/{RES}) AS BIGINT) AS col, p.z
@@ -431,11 +432,10 @@ FROM edge a JOIN edge b
 # (cell, cls) pass; all-pairs (i<j) diff stats over common-valid
 # cells; greedy max-count chains to root 0 unrolled (edges strictly
 # descend j -> i < j, so depth <= 3).
-SQL_RASTER_CORRECTION = "WITH " + GRID2_BODY.replace(
-    "mm AS (SELECT row, col, avg(z) AS mean, median(z) AS med, count(*) AS n\n       FROM pc GROUP BY row, col)",
-    """pcc AS (
-  SELECT (g.h - CAST(floor((p.y-g.miny)/2.0) AS BIGINT) - 1) AS row,
-         CAST(floor((p.x-g.minx)/2.0) AS BIGINT) AS col, p.z, p.cls
+SQL_RASTER_CORRECTION = "WITH " + GRID2_PRELUDE + f""",
+pcc AS (
+  SELECT (g.h - CAST(floor((p.y-g.miny)/{RES}) AS BIGINT) - 1) AS row,
+         CAST(floor((p.x-g.minx)/{RES}) AS BIGINT) AS col, p.z, p.cls
   FROM pts p, g),
 mz AS (
   SELECT row, col,
@@ -446,8 +446,7 @@ mz AS (
               THEN sum(z) FILTER (WHERE cls = 2) / count(*) FILTER (WHERE cls = 2) END AS m2,
          CASE WHEN count(*) FILTER (WHERE cls = 3) > 0
               THEN sum(z) FILTER (WHERE cls = 3) / count(*) FILTER (WHERE cls = 3) END AS m3
-  FROM pcc GROUP BY row, col)""",
-) + f""",
+  FROM pcc GROUP BY row, col),
 pairs AS (
   SELECT 0 AS i, 1 AS j, count(*) AS cnt, sum(m0 - m1) / count(*) AS mean
     FROM mz WHERE m1 IS NOT NULL
