@@ -1,7 +1,7 @@
 """Benchmark harness (driver-run per round; see BASELINE.md).
 
 Prints ONE JSON line:
-  {"metric": "images_per_sec_flagship", "value": <headline sec>,
+  {"metric": "flagship_image_pipeline_sec", "value": <headline sec>,
    "unit": "sec", "images_per_sec": ..., "queries": {name: sec, ...},
    "sf": ..., "num_cpus": N}
 
@@ -13,7 +13,7 @@ processes at 8 and 32 CPUs on the same cached input and reports
 throughput at both plus efficiency = (T32/T8)/4.
 
 Env: GRAFT_SF_DIR (default /root/testdata/sf0.1), RAY_GRAFT_CPUS
-(default 32), GRAFT_BENCH_IMAGES (default 100000).
+(default 32), GRAFT_BENCH_IMAGES (default 2000000).
 """
 
 from __future__ import annotations
@@ -53,6 +53,14 @@ def ensure_image_cache():
             rows.append(make_image_row(int(i), seed=42, dup_of=dup_of))
         return pa.Table.from_pylist(rows, schema=IMAGE_SCHEMA)
 
+    # a crashed prior run leaves partial parquet files with no _DONE;
+    # writing into the same dir would MERGE stale and fresh files
+    # (duplicate image_ids, >N rows) and the marker would then pin the
+    # corrupt cache — start from an empty dir
+    if os.path.isdir(CACHE):
+        import shutil
+
+        shutil.rmtree(CACHE)
     os.makedirs(CACHE, exist_ok=True)
     (
         ray.data.range(N_IMAGES)

@@ -256,11 +256,22 @@ def _huff_encode_table(bits, vals) -> dict[int, tuple[int, int]]:
     return out
 
 
+_HUFF_LUT_CACHE: dict = {}
+
+
 def _huff_decode_table(bits, vals) -> tuple[list, list]:
     """16-bit-peek LUT (libjpeg-style): for every 16-bit window whose
     prefix is a valid code, lut_sym holds the symbol and lut_len the
     code length — one table lookup per symbol instead of a
-    bit-at-a-time walk. lut_len == 0 marks an invalid prefix."""
+    bit-at-a-time walk. lut_len == 0 marks an invalid prefix.
+    Cached by table content: rebuilding the 4x65536-entry LUTs per
+    decode_jpeg call (~2 MB + milliseconds) rivals the entropy decode
+    itself for small images, and real files near-always carry the
+    Annex K constants."""
+    key = (bytes(bits), bytes(vals))
+    hit = _HUFF_LUT_CACHE.get(key)
+    if hit is not None:
+        return hit
     lut_sym = np.zeros(1 << 16, dtype=np.int16)
     lut_len = np.zeros(1 << 16, dtype=np.uint8)
     code, k = 0, 0
@@ -275,7 +286,10 @@ def _huff_decode_table(bits, vals) -> tuple[list, list]:
         code <<= 1
     # python lists: scalar indexing is ~7x faster than numpy scalars
     # in the per-symbol loop
-    return lut_sym.tolist(), lut_len.tolist()
+    out = (lut_sym.tolist(), lut_len.tolist())
+    if len(_HUFF_LUT_CACHE) < 64:  # bound worker memory on hostile inputs
+        _HUFF_LUT_CACHE[key] = out
+    return out
 
 
 def _dct_matrix() -> np.ndarray:
@@ -476,6 +490,11 @@ def decode_jpeg(data: bytes) -> np.ndarray:
     while pos < len(data):
         if data[pos] != 0xFF:
             raise ValueError(f"marker expected at {pos}")
+        # T.81 B.1.1.2: markers may be preceded by any number of 0xFF
+        # fill bytes — skip them or the next data bytes get misread as
+        # a segment length and the parse desynchronizes
+        while pos + 1 < len(data) and data[pos + 1] == 0xFF:
+            pos += 1
         marker = data[pos + 1]
         pos += 2
         if marker == 0xD9:  # EOI
@@ -688,7 +707,9 @@ def encode_y4m(frames: np.ndarray, fps: float = 30.0) -> bytes:
     hdr = f"YUV4MPEG2 W{w} H{h} F{num}:1000 Ip A1:1 C{cs}\n".encode()
     payload = np.ascontiguousarray(frames, dtype=np.uint8)
     out = bytearray(hdr)
-    fsz = payload[0].nbytes
+    # from the shape, not payload[0]: a zero-frame clip is a valid
+    # header-only stream, not an IndexError
+    fsz = h * w * (1 if cs == "mono" else 3)
     flat = payload.reshape(n, fsz)
     for i in range(n):
         out += b"FRAME\n"

@@ -59,7 +59,12 @@ def read_tiff(path: str):
     bps = tags[258]
     if any(b != 32 for b in bps):
         raise NotImplementedError("only 32-bit samples supported")
-    fmt = tags.get(339, (3,) * spp)
+    if tags.get(284, (1,))[0] != 1 and spp > 1:
+        # planar interleave would be silently scrambled by the chunky
+        # reshape below
+        raise NotImplementedError("PlanarConfiguration=2 (planar) not supported")
+    # TIFF 6.0 default for SampleFormat is 1 (unsigned int), NOT float
+    fmt = tags.get(339, (1,) * spp)
     dtype = np.float32 if fmt[0] == 3 else (np.int32 if fmt[0] == 2 else np.uint32)
     if pred == 2 and dtype == np.float32:
         raise NotImplementedError("predictor=2 applies to integer samples")
@@ -79,7 +84,11 @@ def read_tiff(path: str):
             raw = zlib.decompress(raw)
         elif comp == 32773:
             raw = _unpackbits(raw)
-        arr = np.frombuffer(raw, dtype=(bo + "f4") if dtype == np.float32 else dtype)
+        # byte order applies to EVERY sample type, not just float
+        arr = np.frombuffer(
+            raw,
+            dtype=bo + ("f4" if dtype == np.float32 else "i4" if dtype == np.int32 else "u4"),
+        )
         strip = arr[: nrows * W * spp].reshape(nrows, W, spp)
         if pred == 2:
             strip = np.cumsum(strip.astype(np.int64), axis=1).astype(dtype)
@@ -174,14 +183,13 @@ def write_tiff(path: str, bands: np.ndarray, geotransform=(0.0, 1.0, 0.0, 0.0, 0
         raise ValueError(f"unknown compress {compress!r}")
     entries = []  # (tag, type, count, value_or_bytes)
 
-    data_start_placeholder = 0  # patched below
-    strip_offsets = None
-
     def val_entry(tag, typ, cnt, vals):
         entries.append((tag, typ, cnt, vals))
 
-    val_entry(256, 3, 1, (W,))
-    val_entry(257, 3, 1, (H,))
+    # dims as LONG (type 4): SHORT caps at 65535 and large mosaics
+    # crashed mid-write with struct.error
+    val_entry(256, 4, 1, (W,))
+    val_entry(257, 4, 1, (H,))
     val_entry(258, 3, S, tuple([32] * S))
     val_entry(259, 3, 1, (comp_code,))
     val_entry(262, 3, 1, (1,))           # BlackIsZero
