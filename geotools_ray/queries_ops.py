@@ -407,8 +407,6 @@ def q_normalize_height(sf_dir: str):
     # cells are the unit of work (each TINs its ground points); default
     # num_parts (2xCPU) keeps the per-part cell count low so the
     # slowest part holds 1-2 TINs, not 8
-    out = normalize_height(pc)
-
     def rollup(df: pd.DataFrame) -> pd.DataFrame:
         g = df.groupby("cell_id", sort=False)["z"]
         res_df = pd.DataFrame(
@@ -420,9 +418,10 @@ def q_normalize_height(sf_dir: str):
         )
         return res_df
 
-    from .stages.grouped import grouped_map
-
-    return grouped_map(out, ["cell_id"], rollup)
+    # the rollup runs INSIDE the normalize partitions (each holds its
+    # cells whole) — a second grouped_map here re-shuffled the entire
+    # normalized point set to compute 64 count/sum rows
+    return normalize_height(pc, reduce_fn=rollup)
 
 
 def q_minhash_dedup(sf_dir: str):

@@ -155,6 +155,49 @@ def test_normalize_height(ray_session):
     np.testing.assert_allclose(gnd["z"].to_numpy(), 0.0, atol=1e-9)
 
 
+def test_normalize_height_fused_reduce_matches_separate_shuffle(ray_session):
+    """reduce_fn runs inside the normalize partitions (cells are whole
+    per partition) — its per-cell aggregate must equal a separate
+    grouped_map over the full normalized output."""
+    import pandas as pd
+    import ray.data
+
+    from geotools_ray.ops.interp import normalize_height
+    from geotools_ray.stages.grouped import grouped_map
+
+    rng = np.random.RandomState(4)
+    rows = []
+    for c in range(6):
+        for i in range(80):
+            x, y = rng.uniform(0, 10), rng.uniform(0, 10)
+            cls = 2 if i % 3 == 0 else 1
+            rows.append(
+                {"cell_id": c, "x": x, "y": y,
+                 "z": 5 + 0.2 * x + (8.0 if cls == 1 else 0.0), "cls": cls}
+            )
+
+    def rollup(df: pd.DataFrame) -> pd.DataFrame:
+        g = df.groupby("cell_id", sort=False)["z"]
+        return pd.DataFrame(
+            {
+                "cell_id": list(g.groups.keys()),
+                "n": g.count().to_numpy().astype(np.int64),
+                "sum_nz": np.round(g.sum().to_numpy(), 4),
+            }
+        )
+
+    ds = ray.data.from_items(rows)
+    fused = (
+        normalize_height(ds, reduce_fn=rollup)
+        .to_pandas().sort_values("cell_id").reset_index(drop=True)
+    )
+    separate = (
+        grouped_map(normalize_height(ds), ["cell_id"], rollup)
+        .to_pandas().sort_values("cell_id").reset_index(drop=True)
+    )
+    pd.testing.assert_frame_equal(fused, separate)
+
+
 def test_kriging_exact_at_samples_and_smooth(ray_session):
     import pyarrow as pa
     import ray.data
