@@ -45,19 +45,24 @@ def _image_queries() -> dict[str, Callable[[str], Any]]:
     from geotools_ray.sources import images as I
     from geotools_ray.stages.imaging import DecodeStage
 
+    def _cached(kind: str, n: int, gen):
+        """Bench-sweep table cache (GRAFT_CACHE_POINTS=1): the
+        synthetic img/audio/video fixtures are driver-side generation
+        cost, not engine work — share one table per (kind, n)."""
+        if os.environ.get("GRAFT_CACHE_POINTS") == "1":
+            key = (kind, n)
+            if key not in _IMG_TABLE_CACHE:
+                _IMG_TABLE_CACHE[key] = gen()
+            return ray.data.from_arrow(_IMG_TABLE_CACHE[key])
+        return ray.data.from_arrow(gen())
+
     def _table(sf_dir: str):
         # deterministic size keyed to the sf tier so the driver's runs
         # are stable: sf0.001 -> 1000 rows, sf0.01 -> 2000, sf0.1 -> 4000
         n = {"sf0.001": 1000, "sf0.01": 2000, "sf0.1": 4000}.get(
             os.path.basename(os.path.normpath(sf_dir)), 1000
         )
-        key = (sf_dir, n)
-        if os.environ.get("GRAFT_CACHE_POINTS") == "1":
-            # bench sweep: the 4 img queries share one generated table
-            if key not in _IMG_TABLE_CACHE:
-                _IMG_TABLE_CACHE[key] = I.generate_image_table(n, seed=42)
-            return ray.data.from_arrow(_IMG_TABLE_CACHE[key])
-        return ray.data.from_arrow(I.generate_image_table(n, seed=42))
+        return _cached("img", n, lambda: I.generate_image_table(n, seed=42))
 
     def img_flagship(sf_dir: str):
         return IP.flagship(_table(sf_dir))
@@ -86,7 +91,8 @@ def _image_queries() -> dict[str, Callable[[str], Any]]:
     def audio_features(sf_dir: str):
         # REAL RIFF/WAVE PCM16 payloads parsed by the from-scratch
         # spec codec (sources/codecs.py) — no fake path
-        ds = ray.data.from_arrow(MM.generate_audio_table(_sf_n(sf_dir, 500), seed=7))
+        n = _sf_n(sf_dir, 500)
+        ds = _cached("audio", n, lambda: MM.generate_audio_table(n, seed=7))
         out = ds.map_batches(
             MM.AudioFeatureStage, batch_format="pyarrow", batch_size=128,
             concurrency=2,
@@ -95,7 +101,8 @@ def _image_queries() -> dict[str, Callable[[str], Any]]:
 
     def video_frames(sf_dir: str):
         # REAL YUV4MPEG2 payloads; every 30th frame via O(1) seek
-        ds = ray.data.from_arrow(MM.generate_video_table(_sf_n(sf_dir, 200), seed=7))
+        n = _sf_n(sf_dir, 200)
+        ds = _cached("video", n, lambda: MM.generate_video_table(n, seed=7))
         out = ds.map_batches(
             MM.VideoFrameSampleStage, batch_format="pyarrow", batch_size=64,
             concurrency=2, fn_constructor_kwargs={"stride": 30},
@@ -107,7 +114,8 @@ def _image_queries() -> dict[str, Callable[[str], Any]]:
         # JPEG q98 (PSNR >= 40 dB asserted per row) over the image table
         from geotools_ray.stages.imaging import codec_roundtrip_batch
 
-        ds = ray.data.from_arrow(I.generate_image_table(_sf_n(sf_dir, 100), seed=42))
+        n = _sf_n(sf_dir, 100)
+        ds = _cached("img", n, lambda: I.generate_image_table(n, seed=42))
         return ds.map_batches(
             codec_roundtrip_batch, batch_format="pyarrow", batch_size=64
         )
