@@ -45,6 +45,13 @@ def _read(args):
 def _write(ds, args):
     import ray.data
 
+    # replace, don't merge: Ray names part files with a fresh UUID per
+    # execution, so writing into a non-empty dir would UNION this run's
+    # rows with a previous run's (duplicate/conflicting cells on read)
+    if os.path.isdir(args.output) and os.listdir(args.output):
+        import shutil
+
+        shutil.rmtree(args.output)
     if isinstance(ds, ray.data.Dataset):
         ds.write_parquet(args.output)
     else:  # pandas
@@ -169,6 +176,11 @@ def cmd_interp(args):
 
 
 def cmd_lakes(args):
+    """SINGLE-SCENE limit: this CLI path assembles the dense (rows,
+    cols) grid on the driver — fine for one SRTM tile, OOM territory
+    for continental extents at fine --res. The scale path is
+    q_srtm_lakes (queries_ops.py), which assembles per-scene inside a
+    grouped_map worker so the driver never holds pixels."""
     import numpy as np
     import pandas as pd
 

@@ -1,7 +1,8 @@
 """Local stand-in for the driver's correctness gate: run every
 queries() pipeline at a given sf and compare against oracle_sql() via
 DuckDB — row count, schema (column names), and an order-insensitive
-value hash (values rounded to 9 significant-ish decimals, rows sorted).
+value compare (floats canonicalized to 6 decimal places, matching the
+engine/SQL convention of _round_away(x, 6) / ROUND(x, 6); rows sorted).
 
 Usage: python tools/check_correctness.py [sf_dir] [query ...]
 """
@@ -68,6 +69,12 @@ def main():
     import ray
 
     sf_dir = sys.argv[1] if len(sys.argv) > 1 else "/root/testdata/sf0.01"
+    if len(sys.argv) > 1 and not os.path.isdir(sf_dir):
+        print(
+            f"error: sf_dir {sf_dir!r} is not a directory "
+            "(usage: check_correctness.py [sf_dir] [query ...])"
+        )
+        sys.exit(2)
     only = set(sys.argv[2:])
 
     ray.init(
@@ -82,6 +89,12 @@ def main():
 
     qs = E.queries()
     sqls = E.oracle_sql()
+
+    unknown = only - set(qs)
+    if unknown:
+        # a typo'd filter must not print "0 pass, 0 fail" and exit 0
+        print(f"error: unknown queries: {sorted(unknown)}")
+        sys.exit(2)
 
     con = duckdb.connect()
     for t in "region nation customer supplier part orders lineitem events documents embeddings".split():

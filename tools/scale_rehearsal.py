@@ -81,7 +81,11 @@ def main() -> None:
     results = []
     for mult in [int(s) for s in args.scales.split(",")]:
         n = args.base * mult
-        docs = rd.from_arrow(make_corpus(n)).materialize()
+        # split the single in-memory arrow block: without this every
+        # per-doc map stage runs as ONE task and the rehearsal measures
+        # a parallelism-1 map path the real multi-fragment driver input
+        # never runs
+        docs = rd.from_arrow(make_corpus(n)).repartition(32).materialize()
         for op, fn in [
             ("minhash_dedup", lambda d: minhash_lsh_dedup(d, threshold=0.5)),
             ("simhash_pairs", lambda d: simhash_pairs(d, max_hamming=3)),
@@ -92,15 +96,16 @@ def main() -> None:
             dt = time.time() - t0
             rec = {"op": op, "scale": mult, "docs": n,
                    "rows": out.count(), "sec": round(dt, 2),
+                   "_sec_raw": dt,  # growth ratios from the unrounded value
                    "docs_per_sec": round(n / dt)}
             results.append(rec)
-            print("REHEARSAL", json.dumps(rec))
+            print("REHEARSAL", json.dumps({k: v for k, v in rec.items() if k != "_sec_raw"}))
             sys.stdout.flush()
 
     # growth factors per op: sec(scale)/sec(1x) vs scale
     by_op: dict[str, dict[int, float]] = {}
     for r in results:
-        by_op.setdefault(r["op"], {})[r["scale"]] = r["sec"]
+        by_op.setdefault(r["op"], {})[r["scale"]] = r["_sec_raw"]
     for op, d in by_op.items():
         if 1 in d:
             growth = {s: round(d[s] / d[1], 2) for s in sorted(d)}
