@@ -31,7 +31,12 @@ SF_DIR = os.environ.get("GRAFT_SF_DIR", "/root/testdata/sf0.1")
 NUM_CPUS = int(os.environ.get("RAY_GRAFT_CPUS", "32"))
 N_IMAGES = int(os.environ.get("GRAFT_BENCH_IMAGES", "2000000"))
 # v2: png rows are real spec-compliant PNG (sources/codecs.py)
-CACHE = f"/tmp/geotools_ray_bench/images_n{N_IMAGES}_seed42_v2"
+# v3: same rows, parquet written UNCOMPRESSED — the payloads are
+# deflated random pixels (incompressible), so the default snappy codec
+# only added a decompress+copy pass over the ~7 GB bytes column on
+# every timed read
+_CACHE_V2 = f"/tmp/geotools_ray_bench/images_n{N_IMAGES}_seed42_v2"
+CACHE = f"/tmp/geotools_ray_bench/images_n{N_IMAGES}_seed42_v3"
 
 
 def ensure_image_cache():
@@ -62,11 +67,18 @@ def ensure_image_cache():
 
         shutil.rmtree(CACHE)
     os.makedirs(CACHE, exist_ok=True)
-    (
-        ray.data.range(N_IMAGES)
-        .map_batches(gen, batch_format="numpy", batch_size=2048)
-        .write_parquet(CACHE)
-    )
+    if os.path.exists(os.path.join(_CACHE_V2, "_DONE")):
+        # a v2 (snappy) cache already holds the identical rows —
+        # transcode instead of re-encoding 2M images
+        ray.data.read_parquet(_CACHE_V2).write_parquet(
+            CACHE, compression="none"
+        )
+    else:
+        (
+            ray.data.range(N_IMAGES)
+            .map_batches(gen, batch_format="numpy", batch_size=2048)
+            .write_parquet(CACHE, compression="none")
+        )
     with open(done, "w") as f:
         f.write("ok")
 
