@@ -647,5 +647,26 @@ def knn_cell_ring_sharded(
         return pa.table(out)
 
     if num_query_blocks:
-        queries = queries.repartition(num_query_blocks)
+        # spatial locality, not round-robin: scattered queries make
+        # EVERY block fetch rings over most of the populated grid, so
+        # the index ships ~num_query_blocks times through the shard
+        # RPCs. Sorting by cell key first gives each block a compact
+        # key range — per-batch ring fetches overlap (the cell cache
+        # hits) and total fetch volume drops toward one index copy.
+        # The query table is the small side by contract, so the sort
+        # is cheap relative to the fetch traffic it removes.
+        def _cell_key(t: pa.Table) -> pa.Table:
+            cx = np.floor(
+                (t[qx].to_numpy(zero_copy_only=False) - minx) / res
+            ).astype(np.int64)
+            cy = np.floor(
+                (t[qy].to_numpy(zero_copy_only=False) - miny) / res
+            ).astype(np.int64)
+            return t.append_column("__cell", pa.array(_pack(cx, cy)))
+
+        queries = (
+            queries.map_batches(_cell_key, batch_format="pyarrow")
+            .sort("__cell")
+            .repartition(num_query_blocks)
+        )
     return queries.map_batches(per_batch, batch_format="pyarrow")
