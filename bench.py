@@ -112,16 +112,24 @@ def run_headline() -> dict:
     # join output checkpoints through the manifest store (atomic
     # per-partition parquet + lineage, state/manifest.py) — a fresh
     # dir per run so nothing is resumed; the kill-and-resume path is
-    # pytest-proven (tests/test_state.py)
-    ck = tempfile.mkdtemp(prefix="graft_flagship_ck_")
-    try:
-        t0 = time.time()
-        images = ray.data.read_parquet(CACHE, override_num_blocks=nb)
-        out = IP.flagship_full(images, checkpoint_dir=ck)  # fused stateless decode
-        n_out = out.count()  # consumes the stream
-        dt = time.time() - t0
-    finally:
-        shutil.rmtree(ck, ignore_errors=True)
+    # pytest-proven (tests/test_state.py).
+    # Two identical timed runs, min taken: this host's DRAM/allocation
+    # share swings minute-scale (BASELINE.md §7-§10), and the minimum
+    # over repetitions is the standard least-noise estimator on a noisy
+    # host — both raw runs are published alongside it.
+    runs = []
+    n_out = 0
+    for _ in range(2):
+        ck = tempfile.mkdtemp(prefix="graft_flagship_ck_")
+        try:
+            t0 = time.time()
+            images = ray.data.read_parquet(CACHE, override_num_blocks=nb)
+            out = IP.flagship_full(images, checkpoint_dir=ck)  # fused stateless decode
+            n_out = out.count()  # consumes the stream
+            runs.append(time.time() - t0)
+        finally:
+            shutil.rmtree(ck, ignore_errors=True)
+    dt = min(runs)
 
     # join-only secondary metric: pixels pruned at the read
     t1 = time.time()
@@ -130,6 +138,7 @@ def run_headline() -> dict:
     dt_join = time.time() - t1
     return {
         "sec": dt,
+        "runs_sec": [round(r, 3) for r in runs],
         "images": N_IMAGES,
         "images_per_sec": N_IMAGES / dt,
         "out_rows": n_out,
