@@ -64,6 +64,19 @@ class Metrics:
                 tid = None
             token = None
             if tid:
+                # a worker process executes one map task at a time, so
+                # entries under OTHER task ids are finished executions:
+                # evicting them keeps this dict O(stages) for the life
+                # of the worker AND makes a retried task that was
+                # rescheduled after intervening work restart its
+                # ordinals at 0, reproducing attempt-0 tokens so the
+                # actor dedupes the replayed batches. (Known residual:
+                # an exception-retry replayed IMMEDIATELY on the same
+                # process with no intervening task keeps its ordinals
+                # and overcounts the replayed prefix.)
+                stale = [k for k in _BATCH_ORDINALS if k[1] != tid]
+                for k in stale:
+                    del _BATCH_ORDINALS[k]
                 key = (stage, tid)
                 ordinal = _BATCH_ORDINALS.get(key, 0)
                 _BATCH_ORDINALS[key] = ordinal + 1
