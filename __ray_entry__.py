@@ -45,6 +45,21 @@ def _image_queries() -> dict[str, Callable[[str], Any]]:
     from geotools_ray.sources import images as I
     from geotools_ray.stages.imaging import DecodeStage
 
+    def _parallel_gen(n: int, rows_fn):
+        """Generate a fixture table in parallel Ray tasks: each row's
+        content depends only on its global index (the *_rows
+        contracts), so any partitioning reproduces the sequential
+        table byte-for-byte, in order. The per-row encode (PNG/JPEG/
+        WAV/Y4M) dominates generation — distributing it keeps the
+        driver-side fixture cost off the queries' critical path."""
+        import pyarrow as pa
+
+        nb = max(1, min(32, n // 32))
+        ds = ray.data.range(n, override_num_blocks=nb).map_batches(
+            lambda b: rows_fn(b["id"]), batch_format="numpy"
+        )
+        return pa.concat_tables(ray.get(ds.to_arrow_refs()))
+
     def _cached(kind: str, n: int, gen):
         """Bench-sweep table cache (GRAFT_CACHE_POINTS=1): the
         synthetic img/audio/video fixtures are driver-side generation
@@ -62,7 +77,11 @@ def _image_queries() -> dict[str, Callable[[str], Any]]:
         n = {"sf0.001": 1000, "sf0.01": 2000, "sf0.1": 4000}.get(
             os.path.basename(os.path.normpath(sf_dir)), 1000
         )
-        return _cached("img", n, lambda: I.generate_image_table(n, seed=42))
+        return _cached(
+            "img",
+            n,
+            lambda: _parallel_gen(n, lambda ids: I.image_rows(ids, 42, 100)),
+        )
 
     def img_flagship(sf_dir: str):
         return IP.flagship(_table(sf_dir))
@@ -92,7 +111,10 @@ def _image_queries() -> dict[str, Callable[[str], Any]]:
         # REAL RIFF/WAVE PCM16 payloads parsed by the from-scratch
         # spec codec (sources/codecs.py) — no fake path
         n = _sf_n(sf_dir, 500)
-        ds = _cached("audio", n, lambda: MM.generate_audio_table(n, seed=7))
+        lens = MM.audio_clip_lens(n, seed=7)
+        ds = _cached(
+            "audio", n, lambda: _parallel_gen(n, lambda ids: MM.audio_rows(ids, lens))
+        )
         out = ds.map_batches(
             MM.AudioFeatureStage, batch_format="pyarrow", batch_size=128,
             concurrency=2,
@@ -102,7 +124,10 @@ def _image_queries() -> dict[str, Callable[[str], Any]]:
     def video_frames(sf_dir: str):
         # REAL YUV4MPEG2 payloads; every 30th frame via O(1) seek
         n = _sf_n(sf_dir, 200)
-        ds = _cached("video", n, lambda: MM.generate_video_table(n, seed=7))
+        nfr = MM.video_frame_counts(n, seed=7)
+        ds = _cached(
+            "video", n, lambda: _parallel_gen(n, lambda ids: MM.video_rows(ids, nfr))
+        )
         out = ds.map_batches(
             MM.VideoFrameSampleStage, batch_format="pyarrow", batch_size=64,
             concurrency=2, fn_constructor_kwargs={"stride": 30},
@@ -115,7 +140,11 @@ def _image_queries() -> dict[str, Callable[[str], Any]]:
         from geotools_ray.stages.imaging import codec_roundtrip_batch
 
         n = _sf_n(sf_dir, 100)
-        ds = _cached("img", n, lambda: I.generate_image_table(n, seed=42))
+        ds = _cached(
+            "img",
+            n,
+            lambda: _parallel_gen(n, lambda ids: I.image_rows(ids, 42, 100)),
+        )
         return ds.map_batches(
             codec_roundtrip_batch, batch_format="pyarrow", batch_size=64
         )

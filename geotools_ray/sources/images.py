@@ -199,17 +199,24 @@ IMAGE_SCHEMA = pa.schema(
 )
 
 
-def _chunk_table(start: int, stop: int, seed: int, dup_every: int) -> pa.Table:
-    """Rows [start, stop) of the deterministic table — the ONE place
-    the duplicate-fixture rule lives (every dup_every-th row is a
-    pixel-exact duplicate of the row dup_every earlier)."""
+def image_rows(ids, seed: int, dup_every: int) -> pa.Table:
+    """Rows for arbitrary global indices of the deterministic table —
+    the ONE place the duplicate-fixture rule lives (every dup_every-th
+    row is a pixel-exact duplicate of the row dup_every earlier). Row
+    content depends only on the global index, so generation
+    parallelizes under any partitioning."""
     rows = []
-    for i in range(start, stop):
+    for i in ids:
+        i = int(i)
         dup_of = None
         if dup_every and i % dup_every == dup_every - 1 and i >= dup_every:
             dup_of = i - dup_every
         rows.append(make_image_row(i, seed=seed, dup_of=dup_of))
     return pa.Table.from_pylist(rows, schema=IMAGE_SCHEMA)
+
+
+def _chunk_table(start: int, stop: int, seed: int, dup_every: int) -> pa.Table:
+    return image_rows(range(start, stop), seed, dup_every)
 
 
 def generate_image_table(n: int, seed: int = 42, dup_frac: float = 0.01) -> pa.Table:

@@ -167,21 +167,32 @@ def _audio_waveform(i: int, n: int, sr: int) -> np.ndarray:
     return np.clip(w * 20000, -32768, 32767).astype(np.int16)
 
 
+def audio_clip_lens(n: int, seed: int = 0) -> np.ndarray:
+    """The sequential per-clip length draw — computed once (cheap)
+    so row generation can be sliced by global index."""
+    return np.random.RandomState(seed).randint(8000, 64000, n).astype(np.int64)
+
+
+def audio_rows(ids: np.ndarray, lens: np.ndarray, sr: int = 16000) -> pa.Table:
+    """Rows for arbitrary global indices `ids` of the deterministic
+    audio table (content depends only on the index + the shared
+    `lens` draw), so generation parallelizes under any partitioning."""
+    ids = np.asarray(ids, dtype=np.int64)
+    rows = {
+        "clip_id": [f"clip{i:06d}" for i in ids],
+        "bytes": [encode_clip(int(i), int(lens[i]), sr) for i in ids],
+        "sample_rate": pa.array(np.full(len(ids), sr, dtype=np.int32)),
+        "n_samples": pa.array(lens[ids]),
+        "fmt": ["wav"] * len(ids),
+    }
+    return pa.Table.from_pydict(rows, schema=AUDIO_SCHEMA)
+
+
 def generate_audio_table(n: int, seed: int = 0) -> pa.Table:
     """Deterministic synthetic audio rows — REAL RIFF/WAVE PCM16
     payloads (decodable by any wav reader), the driver-query input
     analog of generate_image_table."""
-    rng = np.random.RandomState(seed)
-    sr = 16000
-    lens = rng.randint(8000, 64000, n).astype(np.int64)
-    rows = {
-        "clip_id": [f"clip{i:06d}" for i in range(n)],
-        "bytes": [encode_clip(i, int(lens[i]), sr) for i in range(n)],
-        "sample_rate": pa.array(np.full(n, sr, dtype=np.int32)),
-        "n_samples": pa.array(lens),
-        "fmt": ["wav"] * n,
-    }
-    return pa.Table.from_pydict(rows, schema=AUDIO_SCHEMA)
+    return audio_rows(np.arange(n, dtype=np.int64), audio_clip_lens(n, seed))
 
 
 def encode_clip(i: int, n: int, sr: int) -> bytes:
@@ -201,22 +212,33 @@ def _video_frames(i: int, n_frames: int, h: int, w: int) -> np.ndarray:
     return out + noise  # uint8 wraparound is fine (deterministic)
 
 
+def video_frame_counts(n: int, seed: int = 0) -> np.ndarray:
+    """The sequential per-video frame-count draw (see audio_clip_lens)."""
+    return np.random.RandomState(seed).randint(24, 96, n).astype(np.int32)
+
+
+def video_rows(
+    ids: np.ndarray, nfr: np.ndarray, w: int = 64, h: int = 48, fps: float = 30.0
+) -> pa.Table:
+    """Rows for arbitrary global indices of the deterministic video
+    table — partition-order independent (see audio_rows)."""
+    ids = np.asarray(ids, dtype=np.int64)
+    rows = {
+        "video_id": [f"v{i:06d}" for i in ids],
+        "bytes": [
+            codecs.encode_y4m(_video_frames(int(i), int(nfr[i]), h, w), fps)
+            for i in ids
+        ],
+        "w": pa.array(np.full(len(ids), w, dtype=np.int32)),
+        "h": pa.array(np.full(len(ids), h, dtype=np.int32)),
+        "fps": pa.array(np.full(len(ids), fps)),
+        "n_frames": pa.array(nfr[ids]),
+        "fmt": ["y4m"] * len(ids),
+    }
+    return pa.Table.from_pydict(rows, schema=VIDEO_SCHEMA)
+
+
 def generate_video_table(n: int, seed: int = 0) -> pa.Table:
     """Deterministic synthetic video rows — REAL YUV4MPEG2 (Cmono)
     payloads with O(1)-seekable fixed-size frames."""
-    rng = np.random.RandomState(seed)
-    w, h, fps = 64, 48, 30.0
-    nfr = rng.randint(24, 96, n).astype(np.int32)
-    rows = {
-        "video_id": [f"v{i:06d}" for i in range(n)],
-        "bytes": [
-            codecs.encode_y4m(_video_frames(i, int(nfr[i]), h, w), fps)
-            for i in range(n)
-        ],
-        "w": pa.array(np.full(n, w, dtype=np.int32)),
-        "h": pa.array(np.full(n, h, dtype=np.int32)),
-        "fps": pa.array(np.full(n, fps)),
-        "n_frames": pa.array(nfr),
-        "fmt": ["y4m"] * n,
-    }
-    return pa.Table.from_pydict(rows, schema=VIDEO_SCHEMA)
+    return video_rows(np.arange(n, dtype=np.int64), video_frame_counts(n, seed))

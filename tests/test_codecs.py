@@ -415,3 +415,26 @@ if _HAVE_HYP:
         assert info["n_frames"] == n
         idx = int(idx_frac * n)
         assert np.array_equal(C.decode_y4m_frame(data, idx, info), fr[idx])
+
+
+def test_sliced_fixture_generation_matches_sequential():
+    """image_rows/audio_rows/video_rows over arbitrary index slices
+    reproduce the sequential generators byte-for-byte — the contract
+    the parallel fixture generation in __ray_entry__ relies on."""
+    from geotools_ray.stages import multimodal as MM
+
+    # images: cross a dup boundary (dup_every=100 -> row 199 dups 99)
+    full = I.generate_image_table(210, seed=42, dup_frac=0.01)
+    ids = [0, 5, 99, 100, 150, 199, 209]
+    part = I.image_rows(ids, 42, 100)
+    assert part.equals(full.take(ids))
+
+    lens = MM.audio_clip_lens(40, seed=7)
+    afull = MM.generate_audio_table(40, seed=7)
+    apart = MM.audio_rows(np.array([3, 17, 39]), lens)
+    assert apart.equals(afull.take([3, 17, 39]))
+
+    nfr = MM.video_frame_counts(25, seed=7)
+    vfull = MM.generate_video_table(25, seed=7)
+    vpart = MM.video_rows(np.array([0, 11, 24]), nfr)
+    assert vpart.equals(vfull.take([0, 11, 24]))
