@@ -259,6 +259,8 @@ def queries() -> dict[str, Callable[[str], Any]]:
         "detect_edges": QO.q_detect_edges,
         "natural_neighbour": QO.q_natural_neighbour,
         "srtm_lakes": QO.q_srtm_lakes,
+        # IVF-PQ memory-scale ANN (exact configuration — see docstring)
+        "ann_ivfpq": QO.q_ann_ivfpq,
     }
     for k, v in img.items():
         qs.setdefault(k, v)
@@ -325,6 +327,7 @@ def oracle_sql() -> dict[str, str]:
         "simhash_pairs": QD.SQL_SIMHASH_PAIRS,
         # IVF with nprobe=nlist probes every bucket -> exact top-k
         "ann_ivf": QT.SQL_ANN,
+        "ann_ivfpq": QT.SQL_ANN,
         # img_* queries: non-SQL-expressible (synthetic binary input) ->
         # rows-only driver check; pixel/caption invariants live in tests/
     }

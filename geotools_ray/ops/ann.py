@@ -102,17 +102,16 @@ def brute_force_topk(
     return _merge_topk(cand, k)
 
 
-def train_centroids(
+def _hash_sample(
     vectors: ray.data.Dataset,
-    nlist: int,
-    sample_n: int = 4096,
-    iters: int = 8,
+    sample_n: int,
     id_col: str = "vec_id",
     emb_col: str = "embedding",
 ) -> np.ndarray:
-    """Deterministic k-means on a HASH-selected sample (multiplicative
-    hash of the id — no global sort), Lloyd iterations with fixed
-    count; empty clusters keep their previous centroid."""
+    """Deterministic HASH-selected training sample (multiplicative
+    hash of the id — no global sort, no seed state), L2-normalized.
+    Shared by the coarse-centroid and PQ-codebook trainers so both
+    see the SAME sample."""
     n = vectors.count()  # parquet metadata — no scan
     frac = min(1.0, (sample_n * 1.3) / max(n, 1))
     lim = int(frac * 4294967296)
@@ -129,7 +128,23 @@ def train_centroids(
     )
     vid = sample[id_col].to_numpy().astype(np.int64)
     order = np.lexsort((vid, (vid * 2654435761) % 4294967296))[:sample_n]
-    X = _norm_rows(np.stack([np.asarray(v, dtype=np.float64) for v in sample[emb_col].iloc[order]]))
+    return _norm_rows(
+        np.stack([np.asarray(v, dtype=np.float64) for v in sample[emb_col].iloc[order]])
+    )
+
+
+def train_centroids(
+    vectors: ray.data.Dataset,
+    nlist: int,
+    sample_n: int = 4096,
+    iters: int = 8,
+    id_col: str = "vec_id",
+    emb_col: str = "embedding",
+) -> np.ndarray:
+    """Deterministic k-means on a hash-selected sample, Lloyd
+    iterations with fixed count; empty clusters keep their previous
+    centroid."""
+    X = _hash_sample(vectors, sample_n, id_col, emb_col)
     idx = np.linspace(0, len(X) - 1, nlist).astype(int)
     C = X[idx].copy()
     for _ in range(iters):
@@ -304,6 +319,310 @@ def ivf_topk_index(
 
     cand = ds.map_batches(local_topk, batch_format="pyarrow")
     return _merge_topk(cand, k)
+
+
+# ---------------------------------------------------------------------------
+# IVF-PQ: the MEMORY-scale ANN tier (Jégou, Douze & Schmid 2011,
+# "Product Quantization for Nearest Neighbor Search", IEEE TPAMI).
+# At 10^12 vectors the full-precision embedding matrix cannot be
+# probe-resident (dim=64 float32 = 256 B/vector); PQ codes are m bytes
+# (m=8 -> 32x smaller), so a probed bucket's codes fit in a worker's
+# heap where its raw vectors would not. Search is two-tier:
+#   1. ADC shortlist — per (query, probed bucket), an (m x 2^nbits)
+#      lookup table of subspace distances to the query's RESIDUAL
+#      (q - coarse centroid); each code row's approximate distance is
+#      m LUT gathers, no float matmul against the corpus.
+#   2. exact rerank — the per-query top-R shortlist ids (R << corpus)
+#      pull their full-precision vectors for an exact-cosine top-k.
+# With nprobe = nlist AND rerank >= corpus the result is EXACT (the
+# oracle configuration, matching q_ann_ivf's exhaustive-probe trick);
+# the pruned tier's recall is pytest-pinned.
+
+def train_pq_codebooks(
+    vectors: ray.data.Dataset,
+    centroids: np.ndarray,
+    m: int = 8,
+    nbits: int = 8,
+    sample_n: int = 4096,
+    iters: int = 8,
+    id_col: str = "vec_id",
+    emb_col: str = "embedding",
+) -> np.ndarray:
+    """Per-subspace L2 k-means codebooks over coarse-assignment
+    RESIDUALS (the classic IVF-PQ formulation: residuals are far more
+    isotropic than raw vectors, so a shared codebook across buckets
+    stays tight). Deterministic: same hash sample as train_centroids,
+    linspace init, fixed Lloyd iterations. -> (m, 2^nbits, dim//m)."""
+    X = _hash_sample(vectors, sample_n, id_col, emb_col)
+    dim = X.shape[1]
+    if dim % m:
+        raise ValueError(f"PQ subspace count m={m} must divide dim={dim}")
+    dsub = dim // m
+    res = X - centroids[np.argmax(X @ centroids.T, axis=1)]
+    ks = min(1 << nbits, len(X))
+    books = np.empty((m, ks, dsub))
+    for s in range(m):
+        Xs = np.ascontiguousarray(res[:, s * dsub : (s + 1) * dsub])
+        idx = np.linspace(0, len(Xs) - 1, ks).astype(int)
+        Cs = Xs[idx].copy()
+        for _ in range(iters):
+            d2 = ((Xs[:, None, :] - Cs[None, :, :]) ** 2).sum(axis=2)
+            a = np.argmin(d2, axis=1)
+            for j in range(ks):
+                mem = Xs[a == j]
+                if len(mem):
+                    Cs[j] = mem.mean(axis=0)
+        books[s] = Cs
+    return books
+
+
+def _pq_encode(En: np.ndarray, bucket: np.ndarray, C: np.ndarray, books: np.ndarray) -> np.ndarray:
+    """(n, m) uint8 codes: per-subspace nearest codebook entry of the
+    residual vs the assigned coarse centroid."""
+    m, ks, dsub = books.shape
+    res = En - C[bucket]
+    codes = np.empty((len(En), m), dtype=np.uint8)
+    for s in range(m):
+        Rs = res[:, s * dsub : (s + 1) * dsub]
+        d2 = ((Rs[:, None, :] - books[s][None, :, :]) ** 2).sum(axis=2)
+        codes[:, s] = np.argmin(d2, axis=1).astype(np.uint8)
+    return codes
+
+
+def _adc_shortlist_batch(
+    vid: np.ndarray,
+    bk: np.ndarray,
+    codes: np.ndarray,
+    qids: np.ndarray,
+    qn: np.ndarray,
+    inv_: list[np.ndarray],
+    C: np.ndarray,
+    books: np.ndarray,
+    r_top: int,
+) -> pa.Table:
+    """Per-batch ADC: group the batch's code rows by bucket, build the
+    (query, subspace, code) distance LUT once per (bucket, probing
+    queries), gather each row's approximate distance, keep per-query
+    top-r_top. Emits approx sim = 1 - d2/2 (vectors are normalized, so
+    exact cosine = 1 - ||x-q||^2 / 2; the PQ d2 estimates that)."""
+    m, ks, dsub = books.shape
+    out = {"q_id": [], "vec_id": [], "sim": []}
+    order = np.argsort(bk, kind="stable")
+    ub, starts = np.unique(bk[order], return_index=True)
+    bounds = np.append(starts, len(order))
+    for bi, b in enumerate(ub):
+        qidx = inv_[int(b)]
+        if not len(qidx):
+            continue
+        rows = order[bounds[bi] : bounds[bi + 1]]
+        sub_vid = vid[rows]
+        sub_codes = codes[rows]
+        r = qn[qidx] - C[int(b)]  # (nq, dim) query residuals vs this bucket
+        # LUT: (nq, m, ks) subspace distances residual-chunk -> codebook
+        lut = (
+            (r.reshape(len(qidx), m, 1, dsub) - books[None, :, :, :]) ** 2
+        ).sum(axis=3)
+        d2 = np.zeros((len(qidx), len(rows)))
+        for s in range(m):
+            d2 += lut[:, s, :][:, sub_codes[:, s]]
+        kk = min(r_top, len(rows))
+        for jj, qi in enumerate(qidx):
+            idx = np.lexsort((sub_vid, d2[jj]))[:kk]
+            out["q_id"].append(np.full(len(idx), qids[qi]))
+            out["vec_id"].append(sub_vid[idx])
+            out["sim"].append(1.0 - d2[jj, idx] / 2.0)
+    return _topk_table(out)
+
+
+def _exact_rerank(
+    vectors: ray.data.Dataset,
+    shortlist: ray.data.Dataset,
+    qids: np.ndarray,
+    qn: np.ndarray,
+    k: int,
+    id_col: str,
+    emb_col: str,
+) -> ray.data.Dataset:
+    """Exact-cosine top-k restricted to each query's shortlist ids.
+    The shortlist is queries x rerank rows — the SMALL side by
+    contract — so it broadcasts; the corpus streams one narrow pass
+    and only shortlisted rows are multiplied."""
+    sdf = shortlist.select_columns(["q_id", "vec_id"]).to_pandas()
+    cand = {
+        int(q): np.sort(g["vec_id"].to_numpy().astype(np.int64))
+        for q, g in sdf.groupby("q_id", sort=False)
+    }
+    ref = ray.put((np.asarray(qids), qn, cand))
+
+    def local_exact(t: pa.Table) -> pa.Table:
+        qids_, q_, cand_ = ray.get(ref)
+        vid = t[id_col].to_numpy(zero_copy_only=False).astype(np.int64)
+        En = None
+        out = {"q_id": [], "vec_id": [], "sim": []}
+        for j, qid in enumerate(qids_):
+            ids_j = cand_.get(int(qid))
+            if ids_j is None or not len(ids_j):
+                continue
+            pos = np.searchsorted(ids_j, vid)
+            pos[pos >= len(ids_j)] = len(ids_j) - 1
+            mask = ids_j[pos] == vid
+            if not mask.any():
+                continue
+            if En is None:
+                En = _norm_rows(_stack(t[emb_col]))
+            rows = np.nonzero(mask)[0]
+            sims = En[rows] @ q_[j]
+            kk = min(k, len(rows))
+            idx = np.lexsort((vid[rows], -sims))[:kk]
+            out["q_id"].append(np.full(len(idx), qid))
+            out["vec_id"].append(vid[rows][idx])
+            out["sim"].append(sims[idx])
+        return _topk_table(out)
+
+    cand_ds = vectors.map_batches(local_exact, batch_format="pyarrow")
+    return _merge_topk(cand_ds, k)
+
+
+def ivfpq_topk(
+    vectors: ray.data.Dataset,
+    queries: np.ndarray,
+    query_ids: np.ndarray,
+    k: int = 10,
+    nlist: int = 16,
+    m: int = 8,
+    nbits: int = 8,
+    nprobe: int = 4,
+    rerank: int | None = None,
+    id_col: str = "vec_id",
+    emb_col: str = "embedding",
+    centroids: np.ndarray | None = None,
+    codebooks: np.ndarray | None = None,
+) -> ray.data.Dataset:
+    """Single-pass IVF-PQ: assign + encode + ADC shortlist in one
+    streaming map (codes never materialize), global top-rerank merge,
+    then the exact rerank pass. rerank defaults to 4k (the usual
+    shortlist ratio); rerank >= corpus with nprobe = nlist is exact."""
+    C = centroids if centroids is not None else train_centroids(
+        vectors, nlist, id_col=id_col, emb_col=emb_col
+    )
+    books = codebooks if codebooks is not None else train_pq_codebooks(
+        vectors, C, m=m, nbits=nbits, id_col=id_col, emb_col=emb_col
+    )
+    qn = _norm_rows(np.asarray(queries, dtype=np.float64))
+    probes = np.argsort(-(qn @ C.T), axis=1)[:, :nprobe]
+    inv = _invert_probes(probes, len(C))
+    r_top = rerank if rerank is not None else 4 * k
+    ref = ray.put((np.asarray(query_ids), qn, inv, C, books))
+
+    def local_adc(t: pa.Table) -> pa.Table:
+        qids_, qn_, inv_, C_, books_ = ray.get(ref)
+        vid = t[id_col].to_numpy(zero_copy_only=False).astype(np.int64)
+        En = _norm_rows(_stack(t[emb_col]))
+        bk = np.argmax(En @ C_.T, axis=1).astype(np.int64)
+        codes = _pq_encode(En, bk, C_, books_)
+        return _adc_shortlist_batch(vid, bk, codes, qids_, qn_, inv_, C_, books_, r_top)
+
+    cand = vectors.map_batches(local_adc, batch_format="pyarrow")
+    shortlist = _merge_topk(cand, r_top)
+    return _exact_rerank(vectors, shortlist, query_ids, qn, k, id_col, emb_col)
+
+
+def build_ivfpq_index(
+    vectors: ray.data.Dataset,
+    nlist: int,
+    path: str,
+    m: int = 8,
+    nbits: int = 8,
+    id_col: str = "vec_id",
+    emb_col: str = "embedding",
+) -> tuple[np.ndarray, np.ndarray]:
+    """Write the compressed index: (id, bucket, m-byte PQ code) rows,
+    hive-partitioned by bucket — a probe reads only its buckets' code
+    partitions, each ~dim*4/m x smaller than the raw vectors it
+    stands in for. -> (centroids, codebooks)."""
+    C = train_centroids(vectors, nlist, id_col=id_col, emb_col=emb_col)
+    books = train_pq_codebooks(vectors, C, m=m, nbits=nbits, id_col=id_col, emb_col=emb_col)
+    cref = ray.put((C, books))
+
+    def encode(t: pa.Table) -> pa.Table:
+        C_, books_ = ray.get(cref)
+        En = _norm_rows(_stack(t[emb_col]))
+        bk = np.argmax(En @ C_.T, axis=1).astype(np.int64)
+        codes = _pq_encode(En, bk, C_, books_)
+        return pa.table(
+            {
+                id_col: t[id_col],
+                "bucket": pa.array(bk),
+                "code": pa.FixedSizeListArray.from_arrays(
+                    pa.array(codes.ravel(), pa.uint8()), codes.shape[1]
+                ),
+            }
+        )
+
+    vectors.map_batches(encode, batch_format="pyarrow").write_parquet(
+        path, partition_cols=["bucket"]
+    )
+    return C, books
+
+
+def ivfpq_topk_index(
+    path: str,
+    centroids: np.ndarray,
+    codebooks: np.ndarray,
+    vectors: ray.data.Dataset,
+    queries: np.ndarray,
+    query_ids: np.ndarray,
+    k: int = 10,
+    nprobe: int = 4,
+    rerank: int | None = None,
+    id_col: str = "vec_id",
+    emb_col: str = "embedding",
+) -> ray.data.Dataset:
+    """Probe a PQ-coded partitioned index: only the probed buckets'
+    CODE partitions are read (partition pruning at the source, m bytes
+    per vector); `vectors` (the full-precision table) is touched only
+    by the exact rerank's narrow streaming pass."""
+    import pyarrow.compute as pc
+    import pyarrow.dataset as pads
+
+    from ray.data.datasource.partitioning import Partitioning
+
+    qn = _norm_rows(np.asarray(queries, dtype=np.float64))
+    probes = np.argsort(-(qn @ centroids.T), axis=1)[:, :nprobe]
+    needed = sorted({int(b) for row in probes for b in row})
+    dset = pads.dataset(
+        path,
+        partitioning=pads.partitioning(
+            pa.schema([("bucket", pa.int32())]), flavor="hive"
+        ),
+    )
+    frags = dset.get_fragments(filter=pc.field("bucket").isin(needed))
+    files = sorted(f.path for f in frags)
+    ds = ray.data.read_parquet(
+        files,
+        filesystem=dset.filesystem,
+        partitioning=Partitioning("hive", base_dir=path, field_types={"bucket": int}),
+    )
+    inv = _invert_probes(probes, len(centroids))
+    r_top = rerank if rerank is not None else 4 * k
+    ref = ray.put((np.asarray(query_ids), qn, inv, centroids, codebooks))
+
+    def local_adc(t: pa.Table) -> pa.Table:
+        qids_, qn_, inv_, C_, books_ = ray.get(ref)
+        vid = t[id_col].to_numpy(zero_copy_only=False).astype(np.int64)
+        bk = t["bucket"].to_numpy(zero_copy_only=False).astype(np.int64)
+        code_col = t["code"]
+        if isinstance(code_col, pa.ChunkedArray):
+            code_col = code_col.combine_chunks()
+        m = books_.shape[0]
+        codes = np.asarray(
+            code_col.values.to_numpy(zero_copy_only=False), dtype=np.uint8
+        ).reshape(len(vid), m)
+        return _adc_shortlist_batch(vid, bk, codes, qids_, qn_, inv_, C_, books_, r_top)
+
+    cand = ds.map_batches(local_adc, batch_format="pyarrow")
+    shortlist = _merge_topk(cand, r_top)
+    return _exact_rerank(vectors, shortlist, query_ids, qn, k, id_col, emb_col)
 
 
 # ---------------------------------------------------------------------------

@@ -689,6 +689,31 @@ def q_ann_ivf(sf_dir: str):
     return out.select_columns(["q_id", "vec_id", "rank"])
 
 
+def q_ann_ivfpq(sf_dir: str):
+    """IVF-PQ ANN through the full codes path — coarse assign, m-byte
+    PQ encode, ADC shortlist, exact rerank — in its EXACT configuration
+    (nprobe = nlist, rerank >= corpus => the shortlist covers
+    everything and the rerank is exact-cosine; oracle-checked against
+    the brute-force SQL, the q_ann_ivf exhaustive-probe trick). The
+    pruned tier (nprobe < nlist, rerank ~ 4k) is the memory-scale path
+    — codes are 32x smaller than the raw vectors — with recall,
+    compression, and partition-pruned reads pytest-asserted
+    (tests/test_ann_multimodal.py)."""
+    from .ops.ann import _stack, ivfpq_topk
+
+    import pyarrow.parquet as pq
+    import pyarrow.compute as pc
+
+    t = pq.read_table(f"{sf_dir}/embeddings.parquet")
+    qt = t.filter(pc.less(t["vec_id"], 5))
+    Q = _stack(qt["embedding"])
+    qids = qt["vec_id"].to_numpy(zero_copy_only=False).astype(np.int64)
+    vecs = ray.data.read_parquet(f"{sf_dir}/embeddings.parquet", columns=["vec_id", "embedding"])
+    n = t.num_rows
+    out = ivfpq_topk(vecs, Q, qids, k=10, nlist=8, m=8, nbits=6, nprobe=8, rerank=n)
+    return out.select_columns(["q_id", "vec_id", "rank"])
+
+
 def q_minima(sf_dir: str):
     """O5 flood seed minima over the mean-z raster (oracle-checked),
     distributed assembly + halo exchange."""

@@ -247,3 +247,115 @@ def test_embedding_near_dup_lsh(ray_session):
                 want.add((min(ids[a], ids[b]), max(ids[a], ids[b])))
     assert got == want
     assert all((i, 100 + i) in got for i in range(10))
+
+
+def test_ivfpq_exact_configuration_equals_brute_force(ray_session):
+    """nprobe = nlist + rerank >= corpus: the shortlist covers every
+    id and the rerank is exact-cosine, so IVF-PQ reproduces the
+    brute-force ranks exactly (the registered ann_ivfpq config)."""
+    from geotools_ray.ops.ann import brute_force_topk, ivfpq_topk
+
+    ds = _vectors(ray_session, n=500)
+    rng = np.random.RandomState(7)
+    Q = rng.standard_normal((4, 32))
+    qids = np.arange(4)
+    exact = brute_force_topk(ds, Q, qids, k=10).to_pandas()
+    full = ivfpq_topk(
+        ds, Q, qids, k=10, nlist=8, m=8, nbits=5, nprobe=8, rerank=500
+    ).to_pandas()
+    cols = ["q_id", "vec_id", "rank"]
+    pd.testing.assert_frame_equal(
+        exact[cols].sort_values(cols).reset_index(drop=True),
+        full[cols].sort_values(cols).reset_index(drop=True),
+    )
+
+
+def test_ivfpq_pruned_recall(ray_session):
+    """The memory-scale tier (pruned probes, small rerank) keeps high
+    recall on clustered data."""
+    from geotools_ray.ops.ann import brute_force_topk, ivfpq_topk
+
+    ds = _vectors(ray_session, n=800)
+    rng = np.random.RandomState(2)
+    Q = rng.standard_normal((10, 32))
+    qids = np.arange(10)
+    exact = brute_force_topk(ds, Q, qids, k=10).to_pandas()
+    approx = ivfpq_topk(
+        ds, Q, qids, k=10, nlist=16, m=8, nbits=6, nprobe=6, rerank=60
+    ).to_pandas()
+    recalls = []
+    for q in range(10):
+        e = set(exact[exact["q_id"] == q]["vec_id"])
+        a = set(approx[approx["q_id"] == q]["vec_id"])
+        recalls.append(len(e & a) / len(e))
+    assert np.mean(recalls) >= 0.8
+
+
+def test_ivfpq_index_compression_and_pruning(ray_session, tmp_path):
+    """The stored index carries m uint8 code bytes per vector (not the
+    raw dim x float), reads only the probed buckets' partitions, and
+    searching it matches the single-pass ivfpq_topk."""
+    import pyarrow.dataset as pads
+
+    from geotools_ray.ops.ann import (
+        _norm_rows, build_ivfpq_index, ivfpq_topk, ivfpq_topk_index,
+    )
+
+    ds = _vectors(ray_session, n=800)
+    path = str(tmp_path / "ivfpq")
+    m = 8
+    C, books = build_ivfpq_index(ds, nlist=16, path=path, m=m, nbits=6)
+    assert books.shape == (m, 64, 32 // m)
+
+    idx = pads.dataset(path, partitioning="hive")
+    t = idx.to_table()
+    assert t.num_rows == 800
+    # compression: the code column is a fixed-size list of m uint8
+    code_t = t.schema.field("code").type
+    import pyarrow as pa
+
+    assert pa.types.is_fixed_size_list(code_t) and code_t.list_size == m
+    assert pa.types.is_uint8(code_t.value_type)
+
+    rng = np.random.RandomState(2)
+    Q = rng.standard_normal((6, 32))
+    qids = np.arange(6)
+    nprobe = 5
+    got = ivfpq_topk_index(
+        path, C, books, ds, Q, qids, k=10, nprobe=nprobe, rerank=60
+    ).to_pandas()
+    want = ivfpq_topk(
+        ds, Q, qids, k=10, nlist=16, m=m, nbits=6, nprobe=nprobe, rerank=60,
+        centroids=C, codebooks=books,
+    ).to_pandas()
+    cols = ["q_id", "vec_id", "rank"]
+    pd.testing.assert_frame_equal(
+        got[cols].sort_values(cols).reset_index(drop=True),
+        want[cols].sort_values(cols).reset_index(drop=True),
+    )
+
+    # storage pruning: the probed buckets are a strict subset
+    qn = _norm_rows(Q[:2])
+    probes = np.argsort(-(qn @ C.T), axis=1)[:, :3]
+    needed = sorted({int(b) for row in probes for b in row})
+    assert len(needed) < 16
+    probed = idx.count_rows(filter=pads.field("bucket").isin(needed))
+    assert probed < 800
+
+
+def test_ivfpq_determinism(ray_session):
+    """Same input, two runs -> identical output (hash-sample training,
+    linspace init, fixed Lloyd iterations — no RNG state anywhere)."""
+    from geotools_ray.ops.ann import ivfpq_topk
+
+    ds = _vectors(ray_session, n=400)
+    rng = np.random.RandomState(5)
+    Q = rng.standard_normal((3, 32))
+    qids = np.arange(3)
+    a = ivfpq_topk(ds, Q, qids, k=5, nlist=8, m=4, nbits=5, nprobe=3, rerank=30).to_pandas()
+    b = ivfpq_topk(ds, Q, qids, k=5, nlist=8, m=4, nbits=5, nprobe=3, rerank=30).to_pandas()
+    cols = ["q_id", "vec_id", "rank"]
+    pd.testing.assert_frame_equal(
+        a[cols].sort_values(cols).reset_index(drop=True),
+        b[cols].sort_values(cols).reset_index(drop=True),
+    )
