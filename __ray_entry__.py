@@ -261,6 +261,8 @@ def queries() -> dict[str, Callable[[str], Any]]:
         "srtm_lakes": QO.q_srtm_lakes,
         # IVF-PQ memory-scale ANN (exact configuration — see docstring)
         "ann_ivfpq": QO.q_ann_ivfpq,
+        # exact heavy hitters via Misra-Gries sketch-then-verify
+        "heavy_hitters": QT.q_heavy_hitters,
     }
     for k, v in img.items():
         qs.setdefault(k, v)
@@ -328,6 +330,7 @@ def oracle_sql() -> dict[str, str]:
         # IVF with nprobe=nlist probes every bucket -> exact top-k
         "ann_ivf": QT.SQL_ANN,
         "ann_ivfpq": QT.SQL_ANN,
+        "heavy_hitters": QT.SQL_HEAVY_HITTERS,
         # img_* queries: non-SQL-expressible (synthetic binary input) ->
         # rows-only driver check; pixel/caption invariants live in tests/
     }

@@ -405,3 +405,27 @@ WITH e AS (
   FROM events WINDOW w AS (PARTITION BY user_id ORDER BY ts, event_id))
 SELECT user_id, sum(new_sess)::BIGINT AS n_sessions, count(*) AS n_events
 FROM e GROUP BY user_id"""
+
+
+def q_heavy_hitters(sf_dir: str, threshold_frac: float = 0.008):
+    """EXACT heavy hitters over events.user_id via sketch-then-verify
+    (ops/sketch.py): a mergeable Misra-Gries pass yields a candidate
+    superset (deterministic — a key at the threshold cannot be
+    missed, unlike a sampled probe), then one narrow verify pass
+    counts only the candidates exactly and applies
+    count >= ceil(threshold_frac * n). The shuffle moves
+    O(batches x candidates) partial rows, never a per-key count table
+    — the 100-TB shape for 'which keys are hot' (and the non-sampling
+    feeder for salted_grouped_map's hot_hashes)."""
+    from .ops.sketch import heavy_hitters_exact
+
+    ds = ray.data.read_parquet(f"{sf_dir}/events.parquet", columns=["user_id"])
+    return heavy_hitters_exact(ds, ["user_id"], threshold_frac)
+
+
+# the ceil threshold is computed in DOUBLE on both sides (python
+# math.ceil(0.008 * n) / duckdb CEIL(0.008 * n)) so the cut lands on
+# the identical integer
+SQL_HEAVY_HITTERS = """
+SELECT user_id, count(*) AS cnt FROM events GROUP BY user_id
+HAVING count(*) >= CAST(CEIL(0.008 * (SELECT count(*) FROM events)) AS BIGINT)"""
