@@ -263,6 +263,8 @@ def queries() -> dict[str, Callable[[str], Any]]:
         "ann_ivfpq": QO.q_ann_ivfpq,
         # exact heavy hitters via Misra-Gries sketch-then-verify
         "heavy_hitters": QT.q_heavy_hitters,
+        # exact global quantiles, two passes, no global sort
+        "global_quantiles": QT.q_global_quantiles,
     }
     for k, v in img.items():
         qs.setdefault(k, v)
@@ -331,6 +333,7 @@ def oracle_sql() -> dict[str, str]:
         "ann_ivf": QT.SQL_ANN,
         "ann_ivfpq": QT.SQL_ANN,
         "heavy_hitters": QT.SQL_HEAVY_HITTERS,
+        "global_quantiles": QT.SQL_GLOBAL_QUANTILES,
         # img_* queries: non-SQL-expressible (synthetic binary input) ->
         # rows-only driver check; pixel/caption invariants live in tests/
     }

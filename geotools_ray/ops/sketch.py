@@ -236,6 +236,171 @@ def heavy_hitter_hashes(
     return np.unique(kh[keep])
 
 
+# ---------------------------------------------------------------------------
+# exact global quantiles, two passes, no global sort
+
+
+def _compress_weighted(v: np.ndarray, w: np.ndarray, B: int) -> tuple[np.ndarray, np.ndarray]:
+    """Sorted-merge + recompress a weighted point summary to <= B
+    points; each kept point absorbs its preceding segment's weight, so
+    interpolated ranks err by at most ceil(W/B) + max single weight."""
+    order = np.argsort(v, kind="stable")
+    v, w = v[order], w[order]
+    if len(v) <= B:
+        return v, w
+    cw = np.cumsum(w)
+    W = cw[-1]
+    targets = np.arange(1, B + 1) * (W / B)
+    idx = np.unique(np.minimum(np.searchsorted(cw, targets, side="left"), len(v) - 1))
+    nw = np.diff(np.concatenate([[0], cw[idx]]))
+    return v[idx], nw
+
+
+def exact_quantiles(
+    ds: ray.data.Dataset,
+    col: str,
+    qs: list[float],
+    B: int = 4096,
+    num_parts: int | None = None,
+) -> pa.Table:
+    """EXACT nearest-rank-up quantiles (value at rank ceil(q*n) in
+    sorted order — the engine's A7 convention) in TWO streaming passes,
+    never a global sort:
+
+      1. a mergeable weighted-point summary (per-batch sorted stride
+         points with exact in-batch ranks, grouped recompression to B
+         points) brackets each target rank to +-err values;
+      2. one verify pass counts rows strictly below each bracket and
+         collapses the bracket window to distinct (value, count) rows
+         — the exact k-th value reads off the window's cumulative
+         counts. If a bracket missed (summary error beyond the slack),
+         the pass retries with a 4x bracket — the exact counts make
+         the result self-certifying, the sketch only sizes the window.
+
+    At 10^12 rows a global ds.sort is the single most expensive
+    all-to-all in the engine; this moves O(batches * B) summary points
+    plus a ~(n/B)-row window. -> pa.table({q, value})."""
+    import math
+
+    import zlib
+
+    P = num_parts or 16
+
+    def partial(t: pa.Table) -> pa.Table:
+        x = np.asarray(t[col].to_numpy(zero_copy_only=False), dtype=np.float64)
+        nb = len(x)
+        if not nb:
+            return pa.table({"g": pa.array([], pa.int64()),
+                             "v": pa.array([], pa.float64()),
+                             "w": pa.array([], pa.int64())})
+        xs = np.sort(x)
+        s = max(1, nb // B)
+        idx = np.arange(s - 1, nb, s)
+        if idx[-1] != nb - 1:
+            idx = np.append(idx, nb - 1)
+        w = np.diff(np.concatenate([[0], idx + 1]))
+        g = zlib.crc32(xs[idx].tobytes()) % P
+        return pa.table(
+            {"g": np.full(len(idx), g, dtype=np.int64), "v": xs[idx], "w": w}
+        )
+
+    def merge(t: pa.Table) -> pa.Table:
+        v, w = _compress_weighted(
+            t["v"].to_numpy(zero_copy_only=False),
+            t["w"].to_numpy(zero_copy_only=False).astype(np.int64),
+            B,
+        )
+        g = t["g"][0].as_py() if len(t) else 0
+        return pa.table({"g": np.full(len(v), g, dtype=np.int64), "v": v, "w": w})
+
+    summary = grouped_map(
+        ds.map_batches(partial, batch_format="pyarrow"),
+        ["g"], merge, num_parts=min(P, 16), batch_format="pyarrow",
+    ).to_pandas()
+    if not len(summary):
+        return pa.table({"q": pa.array(qs, pa.float64()),
+                         "value": pa.array([None] * len(qs), pa.float64())})
+    sv = summary["v"].to_numpy()
+    sw = summary["w"].to_numpy().astype(np.int64)
+    order = np.argsort(sv, kind="stable")
+    sv, sw = sv[order], sw[order]
+    cw = np.cumsum(sw)
+    n = int(cw[-1])
+    ranks = [min(max(1, math.ceil(q * n)), n) for q in qs]
+    # summary rank slack: per-batch stride (<= n/B summed), one
+    # recompression level (<= n/B + max point weight), + safety
+    err = int(3 * n / B) + int(sw.max()) + 8
+
+    values: dict[int, float] = {}
+    todo = list(range(len(qs)))
+    while todo:
+        brackets = []
+        for qi in todo:
+            k = ranks[qi]
+            lo_i = np.searchsorted(cw, max(1, k - err), side="left")
+            hi_i = np.searchsorted(cw, min(n, k + err), side="left")
+            lo = sv[min(lo_i, len(sv) - 1)]
+            hi = sv[min(hi_i, len(sv) - 1)]
+            if k - err < 1:
+                lo = -np.inf
+            if k + err > n:
+                hi = np.inf
+            brackets.append((qi, lo, hi))
+        bref = ray.put(brackets)
+
+        def verify(t: pa.Table) -> pa.Table:
+            import ray as _ray
+
+            brs = _ray.get(bref)
+            x = np.asarray(t[col].to_numpy(zero_copy_only=False), dtype=np.float64)
+            out_b, out_v, out_c, out_below = [], [], [], []
+            for bi, (qi, lo, hi) in enumerate(brs):
+                below = int((x < lo).sum())
+                m = (x >= lo) & (x <= hi)
+                uv, uc = np.unique(x[m], return_counts=True)
+                out_b.append(np.full(len(uv) + 1, bi, dtype=np.int64))
+                out_v.append(np.concatenate([[-np.inf], uv]))
+                out_c.append(np.concatenate([[0], uc]).astype(np.int64))
+                out_below.append(
+                    np.concatenate([[below], np.zeros(len(uv), dtype=np.int64)])
+                )
+            return pa.table(
+                {"b": np.concatenate(out_b), "v": np.concatenate(out_v),
+                 "c": np.concatenate(out_c), "below": np.concatenate(out_below)}
+            )
+
+        def fold(t: pa.Table) -> pa.Table:
+            import pandas as pd
+
+            df = t.to_pandas()
+            out = df.groupby(["b", "v"], as_index=False)[["c", "below"]].sum()
+            return pa.Table.from_pandas(out, preserve_index=False)
+
+        win = grouped_map(
+            ds.map_batches(verify, batch_format="pyarrow"),
+            ["b", "v"], fold, num_parts=min(P, 16), batch_format="pyarrow",
+        ).to_pandas()
+        missed = []
+        for bi, (qi, lo, hi) in enumerate(brackets):
+            g = win[win["b"] == bi].sort_values("v")
+            below = int(g["below"].sum())
+            k = ranks[qi]
+            body = g[np.isfinite(g["v"].to_numpy())]
+            cum = below + body["c"].to_numpy().cumsum()
+            hit = np.nonzero(cum >= k)[0]
+            if k <= below or not len(hit):
+                missed.append(qi)  # bracket missed: widen and retry
+            else:
+                values[qi] = float(body["v"].to_numpy()[hit[0]])
+        todo = missed
+        err *= 4
+
+    return pa.table(
+        {"q": pa.array(list(qs), pa.float64()),
+         "value": pa.array([values[i] for i in range(len(qs))], pa.float64())}
+    )
+
+
 def heavy_hitters_exact(
     ds: ray.data.Dataset,
     keys: list[str],

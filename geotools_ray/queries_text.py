@@ -429,3 +429,28 @@ def q_heavy_hitters(sf_dir: str, threshold_frac: float = 0.008):
 SQL_HEAVY_HITTERS = """
 SELECT user_id, count(*) AS cnt FROM events GROUP BY user_id
 HAVING count(*) >= CAST(CEIL(0.008 * (SELECT count(*) FROM events)) AS BIGINT)"""
+
+
+def q_global_quantiles(sf_dir: str):
+    """Exact global nearest-rank-up quantiles of events.value WITHOUT
+    a global sort (ops/sketch.exact_quantiles): a mergeable weighted-
+    point summary brackets each target rank, then one verify pass
+    counts below-bracket rows exactly and reads the k-th value off the
+    collapsed (value, count) window — self-certifying (the sketch only
+    sizes the window), two streaming passes total. At 10^12 rows this
+    replaces the engine's single most expensive all-to-all (ds.sort)
+    for order statistics."""
+    from .ops.sketch import exact_quantiles
+
+    ds = ray.data.read_parquet(f"{sf_dir}/events.parquet", columns=["value"])
+    return exact_quantiles(ds, "value", [0.25, 0.5, 0.75, 0.99])
+
+
+# nearest-rank-up: the value at row_number ceil(q*n) in value order —
+# identical double-precision ceil on both sides
+SQL_GLOBAL_QUANTILES = """
+WITH r AS (SELECT value AS v, row_number() OVER (ORDER BY value) AS rn FROM events),
+     n AS (SELECT count(*) AS n FROM events)
+SELECT q, (SELECT min(v) FROM r
+           WHERE rn >= CAST(CEIL(q * (SELECT n FROM n)) AS BIGINT)) AS value
+FROM (VALUES (0.25), (0.5), (0.75), (0.99)) AS t(q)"""

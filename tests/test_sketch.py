@@ -132,3 +132,56 @@ def test_mg_feeds_salted_grouped_map(ray_session):
     ).to_pandas().sort_values("k").reset_index(drop=True)
     want = grouped_map(ds, ["k"], plain).to_pandas().sort_values("k").reset_index(drop=True)
     pd.testing.assert_frame_equal(salted[["k", "v"]], want[["k", "v"]])
+
+
+def _nearest_rank_up(x, q):
+    import math
+
+    xs = np.sort(x)
+    return xs[min(max(1, math.ceil(q * len(xs))), len(xs)) - 1]
+
+
+def test_exact_quantiles_matches_sorted_oracle(ray_session):
+    from geotools_ray.ops.sketch import exact_quantiles
+
+    rng = np.random.RandomState(4)
+    x = np.concatenate(
+        [rng.standard_normal(30_000) * 10, np.full(2_000, 3.5)]  # tie flood
+    )
+    rng.shuffle(x)
+    import ray.data
+
+    ds = ray.data.from_arrow(pa.table({"value": x})).repartition(8)
+    qs = [0.01, 0.25, 0.5, 0.75, 0.99]
+    out = exact_quantiles(ds, "value", qs).to_pandas()
+    for q, v in zip(out["q"], out["value"]):
+        assert v == _nearest_rank_up(x, q), (q, v, _nearest_rank_up(x, q))
+
+
+def test_exact_quantiles_small_and_skewed(ray_session):
+    """Tiny input (every rank inside the bracket slack) and a summary
+    that must widen/retry still certify exactly."""
+    from geotools_ray.ops.sketch import exact_quantiles
+
+    import ray.data
+
+    x = np.array([5.0, 1.0, 9.0, 1.0, 7.0])
+    ds = ray.data.from_arrow(pa.table({"value": x}))
+    out = exact_quantiles(ds, "value", [0.5, 1.0], B=2).to_pandas()
+    assert out["value"].tolist() == [_nearest_rank_up(x, 0.5), 9.0]
+
+
+def test_exact_quantiles_partition_invariance(ray_session):
+    from geotools_ray.ops.sketch import exact_quantiles
+
+    import ray.data
+
+    rng = np.random.RandomState(6)
+    x = rng.exponential(3.0, 20_000)
+    a = exact_quantiles(
+        ray.data.from_arrow(pa.table({"value": x})).repartition(2), "value", [0.9]
+    ).to_pandas()["value"][0]
+    b = exact_quantiles(
+        ray.data.from_arrow(pa.table({"value": x})).repartition(16), "value", [0.9]
+    ).to_pandas()["value"][0]
+    assert a == b == _nearest_rank_up(x, 0.9)
