@@ -129,7 +129,7 @@ def approx_ndistinct(
                          "regs": pa.array([acc.tobytes()], pa.binary())})
 
     parts = grouped_map(
-        ds.map_batches(partial, batch_format="pyarrow"),
+        ds.map_batches(partial, batch_format="pyarrow", batch_size=None),
         ["g"], merge, num_parts=min(P, 16), batch_format="pyarrow",
     ).take_all()
     acc = np.zeros(m, dtype=np.uint8)
@@ -217,7 +217,7 @@ def heavy_hitter_hashes(
         return pa.table({"kh": uniq.view(np.int64), "cnt": sums, "n": out_n})
 
     parts = grouped_map(
-        ds.map_batches(partial, batch_format="pyarrow"),
+        ds.map_batches(partial, batch_format="pyarrow", batch_size=None),
         ["kh"], merge, num_parts=min(P, 16), batch_format="pyarrow",
     ).take_all()
     if not parts:
@@ -314,7 +314,7 @@ def exact_quantiles(
         return pa.table({"g": np.full(len(v), g, dtype=np.int64), "v": v, "w": w})
 
     summary = grouped_map(
-        ds.map_batches(partial, batch_format="pyarrow"),
+        ds.map_batches(partial, batch_format="pyarrow", batch_size=None),
         ["g"], merge, num_parts=min(P, 16), batch_format="pyarrow",
     ).to_pandas()
     if not len(summary):
@@ -377,7 +377,7 @@ def exact_quantiles(
             return pa.Table.from_pandas(out, preserve_index=False)
 
         win = grouped_map(
-            ds.map_batches(verify, batch_format="pyarrow"),
+            ds.map_batches(verify, batch_format="pyarrow", batch_size=None),
             ["b", "v"], fold, num_parts=min(P, 16), batch_format="pyarrow",
         ).to_pandas()
         missed = []
@@ -450,5 +450,5 @@ def heavy_hitters_exact(
         out = out[out["pn"] >= thresh].rename(columns={"pn": "cnt"})
         return out.reset_index(drop=True)
 
-    partials = ds.map_batches(filt_partial, batch_format="pyarrow")
+    partials = ds.map_batches(filt_partial, batch_format="pyarrow", batch_size=None)
     return grouped_map(partials, keys, final, num_parts=num_parts)
