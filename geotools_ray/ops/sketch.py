@@ -279,7 +279,10 @@ def exact_quantiles(
 
     At 10^12 rows a global ds.sort is the single most expensive
     all-to-all in the engine; this moves O(batches * B) summary points
-    plus a ~(n/B)-row window. -> pa.table({q, value})."""
+    plus a ~(n/B)-row window. -> pa.table({q, value}).
+
+    Contract: `col` must be NaN-free (NaN has no total order — numpy
+    sorts it last, SQL engines vary); filter upstream if needed."""
     import math
 
     import zlib
