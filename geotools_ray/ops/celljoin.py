@@ -191,6 +191,32 @@ def knn_cell_ring(
     return queries.map_batches(per_batch, batch_format="pyarrow")
 
 
+def distinct_cells(
+    ds: ray.data.Dataset,
+    key_fn,
+    num_parts: int = 8,
+) -> np.ndarray:
+    """Distributed distinct of a cell-key derivation: per-batch unique
+    -> grouped per-partition unique -> driver concat (disjoint by the
+    hash partitioning). The result is bounded by POPULATED cells, not
+    rows — the broadcastable side of a sparse join."""
+    from ..stages.grouped import grouped_map
+
+    def per_batch(t: pa.Table) -> pa.Table:
+        return pa.table({"cell": np.unique(key_fn(t))})
+
+    def per_part(t: pa.Table) -> pa.Table:
+        return pa.table(
+            {"cell": np.unique(t["cell"].to_numpy(zero_copy_only=False))}
+        )
+
+    parts = grouped_map(
+        ds.map_batches(per_batch, batch_format="pyarrow", batch_size=None),
+        ["cell"], per_part, num_parts=num_parts, batch_format="pyarrow",
+    ).to_pandas()
+    return np.sort(parts["cell"].to_numpy().astype(np.int64))
+
+
 def range_join_cells(
     left: ray.data.Dataset,
     right: ray.data.Dataset,
@@ -199,12 +225,22 @@ def range_join_cells(
     left_cols: tuple[str, ...] = ("l_orderkey", "l_linenumber"),
     right_cols: tuple[str, ...] = ("s_suppkey",),
     num_parts: int | None = None,
+    prefilter_left: bool = True,
 ) -> ray.data.Dataset:
     """Large-large range join: both sides bucketed by cell at
     res = radius; each RIGHT (smaller) row is replicated to its cell's
     3x3 ring so every candidate pair co-locates in one partition — the
     big side is keyed ONCE (shuffle volume: |L| + 9|R|, not 9|L|);
-    exact d2 refine inside. One shuffle per side; no broadcast."""
+    exact d2 refine inside. One shuffle per side; no broadcast of ROWS.
+
+    prefilter_left (pure optimization — output provably unchanged, the
+    oracle and the with/without parity test pin it): the right side's
+    REPLICATED reach-cell set is distinct-reduced distributed (bounded
+    by populated cells, not rows) and broadcast once; left rows whose
+    cell holds no possible right partner are dropped BEFORE they are
+    keyed into the shuffle. On a sparse right side at design scale
+    this removes most of the big side's shuffle volume — the
+    'prune at the read' rule applied to the exchange."""
     from ..stages.grouped import grouped_map
 
     res = radius
@@ -243,16 +279,15 @@ def range_join_cells(
             cols[col] = _pad(len(x), rtypes.get(col))
         return pa.table(cols)
 
-    def key_right(t: pa.Table) -> pa.Table:
-        x = t["rx"].to_numpy(zero_copy_only=False)
-        y = t["ry"].to_numpy(zero_copy_only=False)
+    def _replicas(x: np.ndarray, y: np.ndarray):
+        """Each right row's slack-padded reach cells (normally the 3x3
+        ring). The fixed +/-1 ring had a 1-ulp hole: a row half-an-ulp
+        below a cell edge with a partner at fl(distance) == radius
+        exactly spans TWO cell steps, and the pair would silently
+        vanish while the exact d2 <= r2 refine (and the SQL oracle)
+        keep it. -> (cc, rr, source row idx), clipped below row/col 0
+        (r = -1 would alias (c-1, 2^32-1) under the packed key)."""
         n = len(x)
-        # replicate each right row to every cell its slack-padded
-        # reach interval touches (normally the 3x3 ring). The fixed
-        # +/-1 ring had a 1-ulp hole: a row half-an-ulp below a cell
-        # edge with a partner at fl(distance) == radius exactly spans
-        # TWO cell steps, and the pair would silently vanish while the
-        # exact d2 <= r2 refine (and the SQL oracle) keep it.
         eps = np.finfo(np.float64).eps
         amax = max(
             float(np.max(np.abs(x), initial=0.0)),
@@ -271,10 +306,13 @@ def range_join_cells(
         k = np.arange(int(counts.sum()), dtype=np.int64) - np.repeat(cum, counts)
         cc = c0[idx] + (k % ncols_w[idx])
         rr = r0[idx] + (k // ncols_w[idx])
-        # clip replicas below row/col 0: r = -1 would alias
-        # (c-1, 2^32-1) under the packed key
         ok = (rr >= 0) & (cc >= 0)
-        cc, rr, idx = cc[ok], rr[ok], idx[ok]
+        return cc[ok], rr[ok], idx[ok]
+
+    def key_right(t: pa.Table) -> pa.Table:
+        x = t["rx"].to_numpy(zero_copy_only=False)
+        y = t["ry"].to_numpy(zero_copy_only=False)
+        cc, rr, idx = _replicas(x, y)
         cols = {"cell": _pack(cc, rr), "x": x[idx], "y": y[idx],
                 "side": np.ones(len(idx), dtype=np.int8)}
         for col in left_cols:
@@ -283,9 +321,29 @@ def range_join_cells(
             cols[col] = t[col].to_numpy(zero_copy_only=False)[idx]
         return pa.table(cols)
 
-    both = left.map_batches(key_left, batch_format="pyarrow").union(
-        right.map_batches(key_right, batch_format="pyarrow")
-    )
+    keyed_left = left.map_batches(key_left, batch_format="pyarrow")
+    if prefilter_left:
+        def reach_cells(t: pa.Table) -> np.ndarray:
+            cc, rr, _ = _replicas(
+                t["rx"].to_numpy(zero_copy_only=False),
+                t["ry"].to_numpy(zero_copy_only=False),
+            )
+            return _pack(cc, rr)
+
+        rcells = distinct_cells(right, reach_cells)
+        rref = ray.put(rcells)
+
+        def keep_matchable(t: pa.Table) -> pa.Table:
+            rc = ray.get(rref)
+            if not len(rc):
+                return t.slice(0, 0)
+            cell = t["cell"].to_numpy(zero_copy_only=False)
+            pos = np.minimum(np.searchsorted(rc, cell), len(rc) - 1)
+            return t.filter(pa.array(rc[pos] == cell))
+
+        keyed_left = keyed_left.map_batches(keep_matchable, batch_format="pyarrow")
+
+    both = keyed_left.union(right.map_batches(key_right, batch_format="pyarrow"))
 
     def join_part(df: pd.DataFrame) -> pd.DataFrame:
         outs = []

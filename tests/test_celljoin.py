@@ -259,3 +259,53 @@ def test_knn_full_coverage_beyond_fixed_ring_cap(ray_session):
             ray.data.from_arrow(smp), sidx, k=3, max_ring=10,
             num_query_blocks=None,
         ).to_pandas()
+
+
+def test_range_join_cells_prefilter_parity_and_prunes(ray_session):
+    """prefilter_left is a pure optimization: identical output on a
+    SPARSE right side (all samples in one corner, most left cells
+    unmatched), and the right reach-cell set is tiny vs the grid."""
+    import pyarrow as pa
+    import ray.data
+
+    from geotools_ray.kernels.grid import Bounds
+    from geotools_ray.ops.celljoin import distinct_cells, range_join_cells
+
+    pts = _points(ray_session, n=3000, seed=8)
+    rng = np.random.RandomState(9)
+    m = 10
+    right = ray.data.from_arrow(
+        pa.table(
+            {
+                "s_suppkey": np.arange(m, dtype=np.int64),
+                "rx": rng.uniform(0, 8, m),  # one corner of the 100x100 domain
+                "ry": rng.uniform(0, 8, m),
+            }
+        )
+    )
+    kw = dict(radius=2.0, bounds=Bounds(0, 0, 100, 100))
+    cols = ["l_orderkey", "l_linenumber", "s_suppkey"]
+    a = (
+        range_join_cells(pts, right, prefilter_left=True, **kw)
+        .to_pandas().sort_values(cols).reset_index(drop=True)
+    )
+    b = (
+        range_join_cells(pts, right, prefilter_left=False, **kw)
+        .to_pandas().sort_values(cols).reset_index(drop=True)
+    )
+    assert len(a) == len(b) and len(a) > 0
+    pd.testing.assert_frame_equal(a[cols], b[cols])
+
+    # the broadcastable set is bounded by populated reach cells: the
+    # corner fixture covers << the 50x50 cell grid
+    def reach(t):
+        from geotools_ray.ops.celljoin import _pack
+
+        x = t["rx"].to_numpy(zero_copy_only=False)
+        y = t["ry"].to_numpy(zero_copy_only=False)
+        c = np.floor(x / 2.0).astype(np.int64)
+        r = np.floor(y / 2.0).astype(np.int64)
+        return _pack(c, r)
+
+    cells = distinct_cells(right, reach)
+    assert 0 < len(cells) <= 25  # 8x8 corner at res 2 -> <= 5x5 cells
