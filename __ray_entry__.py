@@ -265,6 +265,9 @@ def queries() -> dict[str, Callable[[str], Any]]:
         "heavy_hitters": QT.q_heavy_hitters,
         # exact global quantiles, two passes, no global sort
         "global_quantiles": QT.q_global_quantiles,
+        # distributed keyed as-of join (ops/asof.py; DuckDB ASOF oracle)
+        "asof_join": QT.q_asof_join,
+        "asof_rollup": QT.q_asof_rollup,
     }
     for k, v in img.items():
         qs.setdefault(k, v)
@@ -334,6 +337,8 @@ def oracle_sql() -> dict[str, str]:
         "ann_ivfpq": QT.SQL_ANN,
         "heavy_hitters": QT.SQL_HEAVY_HITTERS,
         "global_quantiles": QT.SQL_GLOBAL_QUANTILES,
+        "asof_join": QT.SQL_ASOF_JOIN,
+        "asof_rollup": QT.SQL_ASOF_ROLLUP,
         # img_* queries: non-SQL-expressible (synthetic binary input) ->
         # rows-only driver check; pixel/caption invariants live in tests/
     }

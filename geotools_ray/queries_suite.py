@@ -51,6 +51,12 @@ _SUBS = [
     ("global_quantiles", "q_global_quantiles", "SQL_GLOBAL_QUANTILES",
      ["q", "value"]),
     ("ann_ivfpq", "q_ann_ivfpq", "SQL_ANN", ["q_id", "vec_id", "rank"]),
+    # fourth-session addition: keyed as-of join rollup (backward /
+    # tolerance / forward directions, LEFT-join nulls) — 150 rows,
+    # all-numeric
+    ("asof_rollup", "q_asof_rollup", "SQL_ASOF_ROLLUP",
+     ["user_id", "n_views", "n_matched", "sum_rv", "sum_gap_us",
+      "n_tol", "n_fwd", "sum_fwd_gap_us"]),
 ]
 
 

@@ -454,3 +454,213 @@ WITH r AS (SELECT value AS v, row_number() OVER (ORDER BY value) AS rn FROM even
 SELECT q, (SELECT min(v) FROM r
            WHERE rn >= CAST(CEIL(q * (SELECT n FROM n)) AS BIGINT)) AS value
 FROM (VALUES (0.25), (0.5), (0.75), (0.99)) AS t(q)"""
+
+
+# ---------------------------------------------------------------------------
+# events: distributed keyed as-of join (ops/asof.py — the custom
+# operator Ray Data lacks; DuckDB ASOF JOIN is the oracle)
+
+_ASOF_TOL_US = 86_400_000_000  # 24 h
+
+
+def _asof_sides(sf_dir: str):
+    """left = view events (event_id, user_id, ts_us); right = click
+    events pre-deduped to unique (user_id, ts_us) by max(value) — the
+    well-definedness contract from ops/asof.py's docstring. Timestamps
+    go int64-micros at the read so every downstream difference is
+    exact integer arithmetic (epoch micros are NOT float64-exact)."""
+    from .stages.grouped import grouped_map
+
+    def keep(which: str, cols: dict):
+        def fn(t: pa.Table) -> pa.Table:
+            t = t.filter(pc.equal(t["event_type"], which))
+            out = {}
+            for name, src in cols.items():
+                col = t[src]
+                if src == "ts":
+                    col = col.cast(pa.timestamp("us")).cast(pa.int64())
+                out[name] = col
+            return pa.table(out)
+
+        return fn
+
+    left = ray.data.read_parquet(
+        f"{sf_dir}/events.parquet",
+        columns=["event_id", "user_id", "ts", "event_type"],
+    ).map_batches(
+        keep("view", {"event_id": "event_id", "user_id": "user_id", "ts_us": "ts"}),
+        batch_format="pyarrow",
+    )
+    clicks = ray.data.read_parquet(
+        f"{sf_dir}/events.parquet",
+        columns=["user_id", "ts", "event_type", "value"],
+    ).map_batches(
+        keep("click", {"user_id": "user_id", "ts_us": "ts", "value": "value"}),
+        batch_format="pyarrow",
+    )
+
+    def dedupe(df: pd.DataFrame) -> pd.DataFrame:
+        g = (
+            df.groupby(["user_id", "ts_us"], sort=False)["value"]
+            .max()
+            .reset_index()
+        )
+        return g.rename(columns={"value": "r_value"})
+
+    right = grouped_map(clicks, ["user_id"], dedupe)
+    return left, right
+
+
+def _asof_events(sf_dir: str, direction: str = "backward", tolerance=None):
+    """-> (event_id, user_id, ts_us, matched int8, gap_us, r_value) —
+    gap/r_value pre-masked to 0 on unmatched rows IN ARROW so the
+    pandas conversion downstream never NaN-floats an int64 micro
+    timestamp."""
+    from .ops.asof import asof_join
+
+    left, right = _asof_sides(sf_dir)
+    out = asof_join(
+        left,
+        right,
+        key="user_id",
+        on="ts_us",
+        right_cols=["r_value"],
+        direction=direction,
+        tolerance=tolerance,
+        r_on="r_ts_us",
+    )
+
+    sign = -1 if direction == "forward" else 1
+
+    def fin(t: pa.Table) -> pa.Table:
+        ok = pc.is_valid(t["r_ts_us"])
+        gap = pc.if_else(
+            ok,
+            pc.multiply(pc.subtract(t["ts_us"], t["r_ts_us"]), pa.scalar(sign)),
+            pa.scalar(0, pa.int64()),
+        )
+        rv = pc.if_else(ok, t["r_value"], pa.scalar(0.0))
+        return pa.table(
+            {
+                "event_id": t["event_id"],
+                "user_id": t["user_id"],
+                "ts_us": t["ts_us"],
+                "r_ts_us": pc.if_else(ok, t["r_ts_us"], pa.scalar(0, pa.int64())),
+                "matched": pc.cast(ok, pa.int8()),
+                "gap_us": gap,
+                "r_value": rv,
+            }
+        )
+
+    return out.map_batches(fin, batch_format="pyarrow")
+
+
+def q_asof_join(sf_dir: str):
+    """For every 'view' event, the user's most recent at-or-before
+    'click' (backward as-of; matched rows only — LEFT-join nulls,
+    tolerance and direction are driver-checked via asof_rollup)."""
+    ds = _asof_events(sf_dir)
+
+    def fin(t: pa.Table) -> pa.Table:
+        t = t.filter(pc.equal(t["matched"], pa.scalar(1, pa.int8())))
+        return pa.table(
+            {
+                "event_id": t["event_id"],
+                "user_id": t["user_id"],
+                "ts_us": t["ts_us"],
+                "r_ts_us": t["r_ts_us"],
+                "r_value": pa.array(
+                    _round_away(
+                        t["r_value"].to_numpy(zero_copy_only=False), R6
+                    )
+                ),
+            }
+        )
+
+    return ds.map_batches(fin, batch_format="pyarrow")
+
+
+SQL_ASOF_JOIN = """
+WITH r AS (SELECT user_id, ts, max(value) AS rv FROM events
+           WHERE event_type = 'click' GROUP BY 1, 2),
+     l AS (SELECT event_id, user_id, ts FROM events WHERE event_type = 'view')
+SELECT l.event_id, l.user_id, epoch_us(l.ts) AS ts_us,
+       epoch_us(r.ts) AS r_ts_us, round(r.rv, 6) AS r_value
+FROM l ASOF JOIN r ON l.user_id = r.user_id AND l.ts >= r.ts"""
+
+
+def q_asof_rollup(sf_dir: str):
+    """Per-user rollup of three as-of joins — backward, backward with
+    a 24 h tolerance, forward — exercising LEFT-join nulls, tolerance
+    and direction in one compact all-numeric surface (packed into the
+    driver-checked small_suite slot). One extra union shuffle folds
+    the three join outputs into a single grouped aggregate."""
+    from .stages.grouped import grouped_map
+
+    def tag(ds, w: int):
+        def fn(t: pa.Table) -> pa.Table:
+            return t.append_column(
+                "which", pa.array(np.full(len(t), w, dtype=np.int8))
+            )
+
+        return ds.map_batches(fn, batch_format="pyarrow")
+
+    u = (
+        tag(_asof_events(sf_dir), 0)
+        .union(tag(_asof_events(sf_dir, tolerance=_ASOF_TOL_US), 1))
+        .union(tag(_asof_events(sf_dir, direction="forward"), 2))
+    )
+
+    def roll(df: pd.DataFrame) -> pd.DataFrame:
+        w = df["which"].to_numpy()
+        m = df["matched"].to_numpy().astype(np.int64)
+        b = (w == 0).astype(np.int64)
+        g = pd.DataFrame(
+            {
+                "user_id": df["user_id"].to_numpy(),
+                "n_views": b,
+                "n_matched": b * m,
+                "sum_rv": np.where(w == 0, df["r_value"].to_numpy(), 0.0) * m,
+                "sum_gap_us": np.where(w == 0, df["gap_us"].to_numpy(), 0) * m,
+                "n_tol": (w == 1).astype(np.int64) * m,
+                "n_fwd": (w == 2).astype(np.int64) * m,
+                "sum_fwd_gap_us": np.where(w == 2, df["gap_us"].to_numpy(), 0)
+                * m,
+            }
+        )
+        out = g.groupby("user_id", sort=False).sum().reset_index()
+        out["sum_rv"] = _round_away(out["sum_rv"].to_numpy(), R6)
+        return out
+
+    return grouped_map(u, ["user_id"], roll)
+
+
+SQL_ASOF_ROLLUP = f"""
+WITH r AS (SELECT user_id, ts, max(value) AS rv FROM events
+           WHERE event_type = 'click' GROUP BY 1, 2),
+     l AS (SELECT event_id, user_id, ts FROM events WHERE event_type = 'view'),
+     b AS (SELECT l.user_id, epoch_us(l.ts) AS t, epoch_us(r.ts) AS rt, r.rv
+           FROM l ASOF LEFT JOIN r
+           ON l.user_id = r.user_id AND l.ts >= r.ts),
+     f AS (SELECT l.user_id, epoch_us(l.ts) AS t, epoch_us(r.ts) AS rt
+           FROM l ASOF LEFT JOIN r
+           ON l.user_id = r.user_id AND l.ts <= r.ts),
+     -- integer sums CAST to BIGINT: duckdb's HUGEINT sum comes back
+     -- float64 through .df(), and the canon's round(x, 6) is lossy
+     -- above ~1e10 (x*1e6 exceeds float64's integer range) — both
+     -- sides must take the exact int64 path
+     ab AS (SELECT user_id, count(*) AS n_views, count(rt) AS n_matched,
+                   round(sum(CASE WHEN rt IS NOT NULL THEN rv ELSE 0 END), 6)
+                     AS sum_rv,
+                   CAST(sum(CASE WHEN rt IS NOT NULL THEN t - rt ELSE 0 END)
+                     AS BIGINT) AS sum_gap_us,
+                   CAST(sum(CASE WHEN t - rt <= {_ASOF_TOL_US} THEN 1 ELSE 0
+                     END) AS BIGINT) AS n_tol
+            FROM b GROUP BY 1),
+     af AS (SELECT user_id, count(rt) AS n_fwd,
+                   CAST(sum(CASE WHEN rt IS NOT NULL THEN rt - t ELSE 0 END)
+                     AS BIGINT) AS sum_fwd_gap_us
+            FROM f GROUP BY 1)
+SELECT ab.user_id, n_views, n_matched, sum_rv, sum_gap_us, n_tol,
+       n_fwd, sum_fwd_gap_us
+FROM ab JOIN af ON ab.user_id = af.user_id"""
