@@ -12,6 +12,10 @@ sort-shuffle — a side-tagged, schema-aligned union feeds a single
 grouped_map — so each partition holds every row of its keys and the
 match is local and vectorized (one pd.merge_asof over the whole
 partition with `by=key`; Python dispatch per partition, not per key).
+Several (direction, tolerance) variants of the SAME join resolve in
+that one shuffle (`asof_join_multi`): the partition sorts each side
+once and runs one cheap local merge per spec — N variants cost one
+exchange, not N.
 PARTITIONING ASSUMPTION (north_rule): all rows of one key fit in a
 worker's heap — the same contract as every grouped_map in this repo;
 pre-aggregate or salt upstream if a single key is hot.
@@ -25,13 +29,17 @@ indices, so matched values and their dtypes survive bit-exact and
 unmatched rows become arrow nulls (schema-stable across all-matched /
 none-matched partitions).
 
-Determinism: when several right rows share (key, on), the winner is
-the LAST under a stable sort by (on, *tie_cols). Pass tie_cols (an id
-column) or pre-dedupe right to unique (key, on) — otherwise the
-winner depends on block arrival order.
+Determinism: equal (key, on) right rows are reduced to ONE before the
+join — the LAST under a stable sort by (on, *tie_cols) — because
+merge_asof's positional tie rule is direction-dependent. Pass tie_cols
+(an id column, or a value column to keep its per-(key,on) max) or
+pre-dedupe right to unique (key, on) — otherwise the winner depends on
+block arrival order.
 """
 
 from __future__ import annotations
+
+from typing import Callable
 
 import numpy as np
 import pandas as pd
@@ -71,10 +79,49 @@ def asof_join(
     """-> left's columns (with `on` as int64; micros for timestamps)
     + `r_on` (matched right `on`, nullable int64) + `right_cols`
     (nullable). One shuffle; see module docstring for the contract."""
-    if direction not in _DIRECTIONS:
-        raise ValueError(f"direction must be one of {_DIRECTIONS}")
-    if tolerance is not None and tolerance < 0:
-        raise ValueError("tolerance must be >= 0")
+    return asof_join_multi(
+        left,
+        right,
+        key=key,
+        on=on,
+        right_cols=right_cols,
+        specs=[
+            {"direction": direction, "tolerance": tolerance, "r_on": r_on}
+        ],
+        tie_cols=tie_cols,
+        num_parts=num_parts,
+    )
+
+
+def asof_join_multi(
+    left: ray.data.Dataset,
+    right: ray.data.Dataset,
+    *,
+    key: str,
+    on: str,
+    right_cols: list[str],
+    specs: list[dict],
+    tie_cols: list[str] | None = None,
+    num_parts: int | None = None,
+    finalize: Callable[[pa.Table], pa.Table] | None = None,
+) -> ray.data.Dataset:
+    """Resolve several as-of variants of the same (left, right, key,
+    on) in ONE shuffle. Each spec is {"direction", "tolerance",
+    "r_on", "right_cols"?}: the output carries, per spec, its matched
+    right `on` under the spec's `r_on` name plus the spec's
+    `right_cols` (default: the top-level `right_cols`), named `c` for
+    the first spec and `c__{r_on}` for later ones so names stay
+    unique. `finalize`, when given, runs per PARTITION on
+    the joined arrow table (whole keys — the grouped_map contract), so
+    keyed rollups of the join fuse into the same exchange."""
+    for s in specs:
+        if s.get("direction", "backward") not in _DIRECTIONS:
+            raise ValueError(f"direction must be one of {_DIRECTIONS}")
+        tol = s.get("tolerance")
+        if tol is not None and tol < 0:
+            raise ValueError("tolerance must be >= 0")
+    if len({s.get("r_on", "r_on") for s in specs}) != len(specs):
+        raise ValueError("specs' r_on names must be distinct")
     tie_cols = [c for c in (tie_cols or []) if c != on]
 
     ls, rs = left.schema(), right.schema()
@@ -82,11 +129,31 @@ def asof_join(
     rpa = pa.schema(list(zip(rs.names, rs.types)))
     left_out = list(lpa.names)  # emitted in input order
     lpay = [n for n in left_out if n not in (key, on)]
-    rpay = list(dict.fromkeys(list(right_cols) + tie_cols))
+
+    # per-spec gathered right columns and their output names
+    spec_rcols: list[list[tuple[str, str]]] = []  # [(src, out_name)]
+    out_rnames: list[str] = []
+    for i, s in enumerate(specs):
+        r_on_name = s.get("r_on", "r_on")
+        cols = s.get("right_cols", right_cols)
+        named = [
+            (c, c if i == 0 else f"{c}__{r_on_name}") for c in cols
+        ]
+        spec_rcols.append(named)
+        out_rnames.append(r_on_name)
+        out_rnames.extend(n for _, n in named)
+    if len(set(out_rnames)) != len(out_rnames):
+        raise ValueError(f"colliding output right-column names: {out_rnames}")
+
+    rpay = list(
+        dict.fromkeys(
+            [c for named in spec_rcols for c, _ in named] + tie_cols
+        )
+    )
     missing = [c for c in rpay if c not in rpa.names]
     if missing:
         raise KeyError(f"right_cols/tie_cols not in right schema: {missing}")
-    clash = (set(rpay) | {r_on}) & set(left_out)
+    clash = set(out_rnames) & set(left_out)
     if clash:
         raise ValueError(
             f"right column names collide with left's: {sorted(clash)}"
@@ -132,17 +199,22 @@ def asof_join(
         right.map_batches(tag_right, batch_format="pyarrow")
     )
 
-    out_rcols = [r_on] + [c for c in right_cols]
+    def _join_schema() -> list[tuple[str, pa.DataType]]:
+        out = []
+        for c in left_out:
+            out.append((c, pa.int64() if c == on else lpa.field(c).type))
+        for i, s in enumerate(specs):
+            out.append((s.get("r_on", "r_on"), pa.int64()))
+            for src, name in spec_rcols[i]:
+                out.append((name, _rtype(src)))
+        return out
+
+    def _emit(tb: pa.Table) -> pa.Table:
+        return finalize(tb) if finalize is not None else tb
 
     def _empty_out() -> pa.Table:
-        cols = {}
-        for c in left_out:
-            t = pa.int64() if c == on else lpa.field(c).type
-            cols[c] = pa.nulls(0, t)
-        cols[r_on] = pa.nulls(0, pa.int64())
-        for c in right_cols:
-            cols[c] = pa.nulls(0, _rtype(c))
-        return pa.table(cols)
+        cols = {n: pa.nulls(0, t) for n, t in _join_schema()}
+        return _emit(pa.table(cols))
 
     def per_part(t: pa.Table) -> pa.Table:
         t = t.combine_chunks()
@@ -152,6 +224,10 @@ def asof_join(
         if nl == 0:
             return _empty_out()
         r_tb = t.filter(pa.array(side == 0))
+
+        cols: dict[str, pa.Array | pa.ChunkedArray] = {}
+        for c in left_out:
+            cols[c] = l_tb["_on" if c == on else c]
 
         if len(r_tb):
             # Stable (on, *tie) sort, then dedupe to ONE row per
@@ -179,6 +255,7 @@ def asof_join(
             if not keep.all():
                 r_tb = r_tb.filter(pa.array(keep.to_numpy()))
 
+            # sort each side ONCE; each spec is one local merge
             l2 = pd.DataFrame(
                 {
                     key: l_tb[key].to_numpy(zero_copy_only=False),
@@ -193,36 +270,33 @@ def asof_join(
                     "_ridx": np.arange(len(r_tb), dtype=np.int64),
                 }
             )
-            m = pd.merge_asof(
-                l2,
-                r2,
-                on="_on",
-                by=key,
-                direction=direction,
-                tolerance=tolerance,
-                allow_exact_matches=True,
-            )
-            ridx_f = np.empty(nl, dtype=np.float64)
-            ridx_f[m["_lidx"].to_numpy()] = m["_ridx"].to_numpy()
-            ok = ~np.isnan(ridx_f)
-            idx = pa.array(
-                np.where(ok, ridx_f, 0).astype(np.int64), mask=~ok
-            )
+            r_on_arr = r_tb["_on"].combine_chunks()
+            for i, s in enumerate(specs):
+                m = pd.merge_asof(
+                    l2,
+                    r2,
+                    on="_on",
+                    by=key,
+                    direction=s.get("direction", "backward"),
+                    tolerance=s.get("tolerance"),
+                    allow_exact_matches=True,
+                )
+                ridx_f = np.empty(nl, dtype=np.float64)
+                ridx_f[m["_lidx"].to_numpy()] = m["_ridx"].to_numpy()
+                ok = ~np.isnan(ridx_f)
+                idx = pa.array(
+                    np.where(ok, ridx_f, 0).astype(np.int64), mask=~ok
+                )
+                cols[s.get("r_on", "r_on")] = r_on_arr.take(idx)
+                for src, name in spec_rcols[i]:
+                    cols[name] = r_tb[src].combine_chunks().take(idx)
         else:
-            idx = pa.nulls(nl, pa.int64())
-
-        cols = {}
-        for c in left_out:
-            cols[c] = l_tb["_on" if c == on else c]
-        if len(r_tb):
-            cols[r_on] = r_tb["_on"].combine_chunks().take(idx)
-            for c in right_cols:
-                cols[c] = r_tb[c].combine_chunks().take(idx)
-        else:
-            cols[r_on] = pa.nulls(nl, pa.int64())
-            for c in right_cols:
-                cols[c] = pa.nulls(nl, _rtype(c))
-        return pa.table({c: cols[c] for c in left_out + out_rcols})
+            for i, s in enumerate(specs):
+                cols[s.get("r_on", "r_on")] = pa.nulls(nl, pa.int64())
+                for src, name in spec_rcols[i]:
+                    cols[name] = pa.nulls(nl, _rtype(src))
+        names = [n for n, _ in _join_schema()]
+        return _emit(pa.table({n: cols[n] for n in names}))
 
     return grouped_map(
         u, [key], per_part, num_parts=num_parts, batch_format="pyarrow"

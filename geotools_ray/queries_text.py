@@ -464,12 +464,13 @@ _ASOF_TOL_US = 86_400_000_000  # 24 h
 
 
 def _asof_sides(sf_dir: str):
-    """left = view events (event_id, user_id, ts_us); right = click
-    events pre-deduped to unique (user_id, ts_us) by max(value) — the
-    well-definedness contract from ops/asof.py's docstring. Timestamps
-    go int64-micros at the read so every downstream difference is
-    exact integer arithmetic (epoch micros are NOT float64-exact)."""
-    from .stages.grouped import grouped_map
+    """left = view events (event_id, user_id, ts_us); right = raw
+    click events as (user_id, ts_us, r_value). Dedupe of equal
+    (user_id, ts_us) clicks to max(value) — the oracle's GROUP BY —
+    happens INSIDE the op via tie_cols=['r_value'] (largest tie wins),
+    so the right side needs no shuffle of its own. Timestamps go
+    int64-micros at the read so every downstream difference is exact
+    integer arithmetic (epoch micros are NOT float64-exact)."""
 
     def keep(which: str, cols: dict):
         def fn(t: pa.Table) -> pa.Table:
@@ -491,78 +492,35 @@ def _asof_sides(sf_dir: str):
         keep("view", {"event_id": "event_id", "user_id": "user_id", "ts_us": "ts"}),
         batch_format="pyarrow",
     )
-    clicks = ray.data.read_parquet(
+    right = ray.data.read_parquet(
         f"{sf_dir}/events.parquet",
         columns=["user_id", "ts", "event_type", "value"],
     ).map_batches(
-        keep("click", {"user_id": "user_id", "ts_us": "ts", "value": "value"}),
+        keep("click", {"user_id": "user_id", "ts_us": "ts", "r_value": "value"}),
         batch_format="pyarrow",
     )
-
-    def dedupe(df: pd.DataFrame) -> pd.DataFrame:
-        g = (
-            df.groupby(["user_id", "ts_us"], sort=False)["value"]
-            .max()
-            .reset_index()
-        )
-        return g.rename(columns={"value": "r_value"})
-
-    right = grouped_map(clicks, ["user_id"], dedupe)
     return left, right
-
-
-def _asof_events(sf_dir: str, direction: str = "backward", tolerance=None):
-    """-> (event_id, user_id, ts_us, matched int8, gap_us, r_value) —
-    gap/r_value pre-masked to 0 on unmatched rows IN ARROW so the
-    pandas conversion downstream never NaN-floats an int64 micro
-    timestamp."""
-    from .ops.asof import asof_join
-
-    left, right = _asof_sides(sf_dir)
-    out = asof_join(
-        left,
-        right,
-        key="user_id",
-        on="ts_us",
-        right_cols=["r_value"],
-        direction=direction,
-        tolerance=tolerance,
-        r_on="r_ts_us",
-    )
-
-    sign = -1 if direction == "forward" else 1
-
-    def fin(t: pa.Table) -> pa.Table:
-        ok = pc.is_valid(t["r_ts_us"])
-        gap = pc.if_else(
-            ok,
-            pc.multiply(pc.subtract(t["ts_us"], t["r_ts_us"]), pa.scalar(sign)),
-            pa.scalar(0, pa.int64()),
-        )
-        rv = pc.if_else(ok, t["r_value"], pa.scalar(0.0))
-        return pa.table(
-            {
-                "event_id": t["event_id"],
-                "user_id": t["user_id"],
-                "ts_us": t["ts_us"],
-                "r_ts_us": pc.if_else(ok, t["r_ts_us"], pa.scalar(0, pa.int64())),
-                "matched": pc.cast(ok, pa.int8()),
-                "gap_us": gap,
-                "r_value": rv,
-            }
-        )
-
-    return out.map_batches(fin, batch_format="pyarrow")
 
 
 def q_asof_join(sf_dir: str):
     """For every 'view' event, the user's most recent at-or-before
     'click' (backward as-of; matched rows only — LEFT-join nulls,
     tolerance and direction are driver-checked via asof_rollup)."""
-    ds = _asof_events(sf_dir)
+    from .ops.asof import asof_join
+
+    left, right = _asof_sides(sf_dir)
+    ds = asof_join(
+        left,
+        right,
+        key="user_id",
+        on="ts_us",
+        right_cols=["r_value"],
+        tie_cols=["r_value"],
+        r_on="r_ts_us",
+    )
 
     def fin(t: pa.Table) -> pa.Table:
-        t = t.filter(pc.equal(t["matched"], pa.scalar(1, pa.int8())))
+        t = t.filter(pc.is_valid(t["r_ts_us"]))
         return pa.table(
             {
                 "event_id": t["event_id"],
@@ -590,49 +548,70 @@ FROM l ASOF JOIN r ON l.user_id = r.user_id AND l.ts >= r.ts"""
 
 
 def q_asof_rollup(sf_dir: str):
-    """Per-user rollup of three as-of joins — backward, backward with
-    a 24 h tolerance, forward — exercising LEFT-join nulls, tolerance
-    and direction in one compact all-numeric surface (packed into the
-    driver-checked small_suite slot). One extra union shuffle folds
-    the three join outputs into a single grouped aggregate."""
-    from .stages.grouped import grouped_map
+    """Per-user rollup of three as-of variants — backward, backward
+    with a 24 h tolerance, forward — exercising LEFT-join nulls,
+    tolerance and direction in one compact all-numeric surface (packed
+    into the driver-checked small_suite slot). All three variants plus
+    the per-user aggregate resolve in asof_join_multi's SINGLE shuffle:
+    each partition sorts once, runs three local merges, and rolls its
+    (whole) users up in the fused finalize."""
+    from .ops.asof import asof_join_multi
 
-    def tag(ds, w: int):
-        def fn(t: pa.Table) -> pa.Table:
-            return t.append_column(
-                "which", pa.array(np.full(len(t), w, dtype=np.int8))
-            )
+    left, right = _asof_sides(sf_dir)
 
-        return ds.map_batches(fn, batch_format="pyarrow")
+    def roll(t: pa.Table) -> pa.Table:
+        # null-mask int64 `on` gaps IN ARROW: a pandas float64 detour
+        # would round micro-timestamps (not float64-exact)
+        def fill(col, dtype=pa.int64(), zero=0):
+            ok = pc.is_valid(col)
+            return ok, pc.if_else(ok, col, pa.scalar(zero, dtype))
 
-    u = (
-        tag(_asof_events(sf_dir), 0)
-        .union(tag(_asof_events(sf_dir, tolerance=_ASOF_TOL_US), 1))
-        .union(tag(_asof_events(sf_dir, direction="forward"), 2))
-    )
-
-    def roll(df: pd.DataFrame) -> pd.DataFrame:
-        w = df["which"].to_numpy()
-        m = df["matched"].to_numpy().astype(np.int64)
-        b = (w == 0).astype(np.int64)
+        ts = t["ts_us"].to_numpy(zero_copy_only=False)
+        okb, rb = fill(t["r_b"])
+        okt, _ = fill(t["r_t"])
+        okf, rf = fill(t["r_f"])
+        mb = okb.to_numpy(zero_copy_only=False).astype(np.int64)
+        mf = okf.to_numpy(zero_copy_only=False).astype(np.int64)
+        _, rv = fill(t["r_value"], pa.float64(), 0.0)
         g = pd.DataFrame(
             {
-                "user_id": df["user_id"].to_numpy(),
-                "n_views": b,
-                "n_matched": b * m,
-                "sum_rv": np.where(w == 0, df["r_value"].to_numpy(), 0.0) * m,
-                "sum_gap_us": np.where(w == 0, df["gap_us"].to_numpy(), 0) * m,
-                "n_tol": (w == 1).astype(np.int64) * m,
-                "n_fwd": (w == 2).astype(np.int64) * m,
-                "sum_fwd_gap_us": np.where(w == 2, df["gap_us"].to_numpy(), 0)
-                * m,
+                "user_id": t["user_id"].to_numpy(zero_copy_only=False),
+                "n_views": np.ones(len(t), dtype=np.int64),
+                "n_matched": mb,
+                "sum_rv": rv.to_numpy(zero_copy_only=False) * mb,
+                "sum_gap_us": (
+                    ts - rb.to_numpy(zero_copy_only=False)
+                ) * mb,
+                "n_tol": okt.to_numpy(zero_copy_only=False).astype(np.int64),
+                "n_fwd": mf,
+                "sum_fwd_gap_us": (
+                    rf.to_numpy(zero_copy_only=False) - ts
+                ) * mf,
             }
         )
         out = g.groupby("user_id", sort=False).sum().reset_index()
         out["sum_rv"] = _round_away(out["sum_rv"].to_numpy(), R6)
-        return out
+        return pa.Table.from_pandas(out, preserve_index=False)
 
-    return grouped_map(u, ["user_id"], roll)
+    return asof_join_multi(
+        left,
+        right,
+        key="user_id",
+        on="ts_us",
+        right_cols=["r_value"],
+        specs=[
+            {"direction": "backward", "r_on": "r_b"},
+            {
+                "direction": "backward",
+                "tolerance": _ASOF_TOL_US,
+                "r_on": "r_t",
+                "right_cols": [],
+            },
+            {"direction": "forward", "r_on": "r_f", "right_cols": []},
+        ],
+        tie_cols=["r_value"],
+        finalize=roll,
+    )
 
 
 SQL_ASOF_ROLLUP = f"""
