@@ -233,3 +233,79 @@ def test_asof_validation_errors(ray_session):
         asof_join(l, r, key="k", on="on", right_cols=["nope"])
     with pytest.raises(ValueError, match="collide"):
         asof_join(l, r, key="k", on="on", right_cols=["v"], r_on="val")
+
+
+def test_asof_multi_matches_single_spec_joins(ray_session):
+    """asof_join_multi's one-shuffle variants equal per-spec
+    asof_join runs, and finalize sees whole keys per partition."""
+    import ray.data
+
+    from geotools_ray.ops.asof import asof_join_multi
+
+    l, r = _mk(seed=31)
+    specs = [
+        {"direction": "backward", "r_on": "r_b"},
+        {"direction": "backward", "tolerance": 40, "r_on": "r_t",
+         "right_cols": []},
+        {"direction": "forward", "r_on": "r_f", "right_cols": []},
+        {"direction": "nearest", "r_on": "r_n", "right_cols": []},
+    ]
+    multi = (
+        asof_join_multi(
+            ray.data.from_pandas(l), ray.data.from_pandas(r),
+            key="k", on="on", right_cols=["val"], specs=specs,
+            tie_cols=["tie"], num_parts=7,
+        )
+        .to_pandas().sort_values("lid").reset_index(drop=True)
+    )
+    for spec in specs:
+        single = _run(
+            l, r, num_parts=7,
+            direction=spec["direction"], tolerance=spec.get("tolerance"),
+        )
+        got = multi[spec["r_on"]]
+        pd.testing.assert_series_equal(
+            got, single["r_on"], check_names=False, check_dtype=False
+        )
+    # spec-0 payload column carries the backward match's value
+    pd.testing.assert_series_equal(
+        multi["val"], _run(l, r, num_parts=7)["val"],
+        check_names=False, check_dtype=False,
+    )
+
+    # finalize runs per partition on whole keys: per-key row counts
+    # summed across partitions must equal a global count
+    def fin(t: pa.Table) -> pa.Table:
+        df = pd.DataFrame({"k": t["k"].to_numpy(zero_copy_only=False)})
+        out = df.groupby("k").size().reset_index(name="n")
+        return pa.Table.from_pandas(out, preserve_index=False)
+
+    rolled = (
+        asof_join_multi(
+            ray.data.from_pandas(l), ray.data.from_pandas(r),
+            key="k", on="on", right_cols=["val"], specs=specs,
+            tie_cols=["tie"], num_parts=7, finalize=fin,
+        )
+        .to_pandas()
+    )
+    # whole-key contract: each key appears in exactly one partition
+    assert rolled["k"].is_unique
+    want = l.groupby("k").size()
+    got = rolled.set_index("k")["n"]
+    assert got.sort_index().tolist() == want.sort_index().tolist()
+
+
+def test_asof_multi_duplicate_r_on_rejected(ray_session):
+    import ray.data
+
+    from geotools_ray.ops.asof import asof_join_multi
+
+    l = ray.data.from_pandas(pd.DataFrame({"k": [1], "on": [1]}))
+    r = ray.data.from_pandas(
+        pd.DataFrame({"k": [1], "on": [1], "v": [0.0]})
+    )
+    with pytest.raises(ValueError, match="distinct"):
+        asof_join_multi(
+            l, r, key="k", on="on", right_cols=["v"],
+            specs=[{"direction": "backward"}, {"direction": "forward"}],
+        )
