@@ -63,13 +63,39 @@ def _image_queries() -> dict[str, Callable[[str], Any]]:
     def _cached(kind: str, n: int, gen):
         """Bench-sweep table cache (GRAFT_CACHE_POINTS=1): the
         synthetic img/audio/video fixtures are driver-side generation
-        cost, not engine work — share one table per (kind, n)."""
-        if os.environ.get("GRAFT_CACHE_POINTS") == "1":
-            key = (kind, n)
-            if key not in _IMG_TABLE_CACHE:
-                _IMG_TABLE_CACHE[key] = gen()
-            return ray.data.from_arrow(_IMG_TABLE_CACHE[key])
-        return ray.data.from_arrow(gen())
+        cost, not engine work — share one table per (kind, n) in
+        process, and persist it as parquet under /tmp so repeat
+        sweeps skip generation entirely. Disk layout follows bench.py's
+        crash-safe pattern: content files + a _DONE marker written
+        last; anything without the marker is rebuilt from an empty
+        dir (a crashed partial write must never merge with a fresh
+        one)."""
+        if os.environ.get("GRAFT_CACHE_POINTS") != "1":
+            return ray.data.from_arrow(gen())
+        key = (kind, n)
+        if key not in _IMG_TABLE_CACHE:
+            import shutil
+
+            import pyarrow.parquet as pq
+
+            d = f"/tmp/geotools_ray_bench/fix_{kind}_n{n}_v1"
+            done = os.path.join(d, "_DONE")
+            if not os.path.exists(done):
+                if os.path.isdir(d):
+                    shutil.rmtree(d)
+                os.makedirs(d, exist_ok=True)
+                tb = gen()
+                pq.write_table(
+                    tb, os.path.join(d, "part0.parquet"), compression="none"
+                )
+                with open(done, "w"):
+                    pass
+                _IMG_TABLE_CACHE[key] = tb
+            else:
+                _IMG_TABLE_CACHE[key] = pq.read_table(
+                    os.path.join(d, "part0.parquet")
+                )
+        return ray.data.from_arrow(_IMG_TABLE_CACHE[key])
 
     def _table(sf_dir: str):
         # deterministic size keyed to the sf tier so the driver's runs
