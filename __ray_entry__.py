@@ -294,6 +294,8 @@ def queries() -> dict[str, Callable[[str], Any]]:
         # distributed keyed as-of join (ops/asof.py; DuckDB ASOF oracle)
         "asof_join": QT.q_asof_join,
         "asof_rollup": QT.q_asof_rollup,
+        # keyed ordered-window analytics (ops/window.py; SQL window fns)
+        "window_rank": QT.q_window_rank,
     }
     for k, v in img.items():
         qs.setdefault(k, v)
@@ -365,6 +367,7 @@ def oracle_sql() -> dict[str, str]:
         "global_quantiles": QT.SQL_GLOBAL_QUANTILES,
         "asof_join": QT.SQL_ASOF_JOIN,
         "asof_rollup": QT.SQL_ASOF_ROLLUP,
+        "window_rank": QT.SQL_WINDOW_RANK,
         # img_* queries: non-SQL-expressible (synthetic binary input) ->
         # rows-only driver check; pixel/caption invariants live in tests/
     }

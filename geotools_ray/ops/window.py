@@ -1,0 +1,158 @@
+"""Keyed ordered-window analytics — per-key row_number / lag / lead /
+running aggregates, a window-function operator Ray Data lacks.
+
+Semantics (analog: SQL `OVER (PARTITION BY key ORDER BY order)`): each
+key's rows are totally ordered by (order, *tie_cols) and every row gets
+its rank, the previous/next row's ordering value, and running
+(cumulative, inclusive) aggregates of a value column. `tie_cols` must
+make the sort total (an id column) — otherwise rank/lag between
+tied rows depends on block arrival order, exactly like an
+underspecified SQL ORDER BY.
+
+Distribution: ONE hash shuffle by key (grouped_map) — each partition
+holds every row of its keys, sorts once with a grouped lexsort, and
+computes all requested windows with numpy segment operations (no
+Python per key, no pandas shift). int64 exactness: lag/lead of the
+ordering column and their gaps are pure int64 numpy arithmetic —
+pandas' shift() would round micro-timestamps through float64 NaN
+padding, so it is never used here.
+
+PARTITIONING ASSUMPTION (north_rule): all rows of one key fit in a
+worker's heap — the grouped_map contract; salt hot keys upstream.
+
+Supported window columns (pick via `outputs`):
+  row_number   1-based rank within key under (order, *tie_cols)
+  lag_<on>     previous row's `on` (0 + lag_valid=0 on the first row)
+  lead_<on>    next row's `on` (0 + lead_valid=0 on the last row)
+  gap          on - lag_on (0 on the first row of a key)
+  run_sum_<v>  inclusive running sum of value_col
+  run_min_<v>  inclusive running min of value_col
+  run_max_<v>  inclusive running max of value_col
+  run_count    inclusive running count (== row_number; kept for SQL
+               COUNT(*) OVER parity in mixed selections)
+Unmatched/first-row slots are ZERO-filled with companion validity
+flags instead of nulls, so every output column keeps its exact input
+dtype (a nullable int64 micro-timestamp would float64-round through
+pandas downstream).
+"""
+
+from __future__ import annotations
+
+import numpy as np
+import pandas as pd
+import pyarrow as pa
+import ray.data
+
+from ..stages.grouped import grouped_map
+
+_RUNS = ("sum", "min", "max")
+
+
+def keyed_window(
+    ds: ray.data.Dataset,
+    *,
+    key: str,
+    on: str,
+    tie_cols: list[str] | None = None,
+    value_col: str | None = None,
+    outputs: tuple[str, ...] = ("row_number", "lag", "gap", "run_sum"),
+    keep_cols: list[str] | None = None,
+    num_parts: int | None = None,
+) -> ray.data.Dataset:
+    """-> (key, on, *tie_cols, *keep_cols, requested window columns).
+    One shuffle; see module docstring for naming and zero-fill rules."""
+    tie_cols = list(tie_cols or [])
+    keep_cols = list(keep_cols or [])
+    want = set(outputs)
+    runs = {o for o in want if o.startswith("run_") and o != "run_count"}
+    bad = want - {"row_number", "lag", "lead", "gap", "run_count"} - {
+        f"run_{r}" for r in _RUNS
+    }
+    if bad:
+        raise ValueError(f"unknown window outputs: {sorted(bad)}")
+    if runs and value_col is None:
+        raise ValueError(f"outputs {sorted(runs)} need value_col")
+
+    sort_cols = [key, on] + tie_cols
+    carry = list(
+        dict.fromkeys(
+            sort_cols
+            + ([value_col] if value_col else [])
+            + keep_cols
+        )
+    )
+
+    def per_part(t: pa.Table) -> pa.Table:
+        t = t.combine_chunks()
+        n = len(t)
+        arrs = {
+            c: t[c].to_numpy(zero_copy_only=False) for c in carry
+        }
+        # grouped total order: lexsort by (tie..., on, key) — numpy
+        # lexsort keys go least-significant first
+        order = np.lexsort(
+            tuple(arrs[c] for c in reversed(sort_cols))
+        )
+        s = {c: arrs[c][order] for c in carry}
+        k = s[key]
+        first = np.empty(n, dtype=bool)
+        if n:
+            first[0] = True
+            first[1:] = k[1:] != k[:-1]
+        last = np.empty(n, dtype=bool)
+        if n:
+            last[-1] = True
+            last[:-1] = first[1:]
+        # segment starts, broadcast per row
+        start_idx = np.nonzero(first)[0]
+        seg_id = np.cumsum(first) - 1 if n else np.empty(0, dtype=np.int64)
+        seg_start = start_idx[seg_id] if n else np.empty(0, dtype=np.int64)
+
+        cols: dict = {c: s[c] for c in carry}
+        idx = np.arange(n, dtype=np.int64)
+        rn = idx - seg_start + 1
+        if "row_number" in want:
+            cols["row_number"] = rn
+        if "run_count" in want:
+            cols["run_count"] = rn.copy()
+        o = s[on]
+        if "lag" in want or "gap" in want:
+            lag = np.empty_like(o)
+            if n:
+                lag[1:] = o[:-1]
+                lag[0] = 0
+            lag[first] = 0
+            if "lag" in want:
+                cols[f"lag_{on}"] = lag
+                cols["lag_valid"] = (~first).astype(np.int8)
+            if "gap" in want:
+                gap = o - lag
+                gap[first] = 0
+                cols["gap"] = gap
+        if "lead" in want:
+            lead = np.empty_like(o)
+            if n:
+                lead[:-1] = o[1:]
+                lead[-1] = 0
+            lead[last] = 0
+            cols[f"lead_{on}"] = lead
+            cols["lead_valid"] = (~last).astype(np.int8)
+        if runs:
+            # pandas' cython grouped cumulatives: C-vectorized,
+            # per-segment LEFT-TO-RIGHT accumulation (the same
+            # summation order a SQL running SUM implies), no Python
+            # per key
+            g = pd.Series(s[value_col]).groupby(seg_id)
+            if "run_sum" in want:
+                cols[f"run_sum_{value_col}"] = g.cumsum().to_numpy()
+            if "run_min" in want:
+                cols[f"run_min_{value_col}"] = g.cummin().to_numpy()
+            if "run_max" in want:
+                cols[f"run_max_{value_col}"] = g.cummax().to_numpy()
+        return pa.table(
+            {c: pa.array(cols[c]) for c in cols}
+        )
+
+    return grouped_map(
+        ds, [key], per_part, num_parts=num_parts, batch_format="pyarrow"
+    )

@@ -57,6 +57,12 @@ _SUBS = [
     ("asof_rollup", "q_asof_rollup", "SQL_ASOF_ROLLUP",
      ["user_id", "n_views", "n_matched", "sum_rv", "sum_gap_us",
       "n_tol", "n_fwd", "sum_fwd_gap_us"]),
+    # keyed ordered-window analytics — all-numeric; epoch-micro
+    # values (~1.7e15) are < 2^53 so the DOUBLE melt stays exact and
+    # both sides take the identical float canon path
+    ("window_rank", "q_window_rank", "SQL_WINDOW_RANK",
+     ["user_id", "event_id", "rn", "gap_us", "run_sum", "run_min",
+      "run_max"]),
 ]
 
 

@@ -643,3 +643,80 @@ WITH r AS (SELECT user_id, ts, max(value) AS rv FROM events
 SELECT ab.user_id, n_views, n_matched, sum_rv, sum_gap_us, n_tol,
        n_fwd, sum_fwd_gap_us
 FROM ab JOIN af ON ab.user_id = af.user_id"""
+
+
+# ---------------------------------------------------------------------------
+# events: keyed ordered-window analytics (ops/window.py — SQL window
+# functions OVER (PARTITION BY user ORDER BY ts) as one grouped shuffle)
+
+
+def q_window_rank(sf_dir: str):
+    """Per-user ordered event analytics: rank, previous-event gap, and
+    running value sum/min/max — every SQL window family (row_number,
+    lag, cumulative aggregates) in one keyed_window shuffle.
+    Timestamps go int64-micros at the read (exact integer gaps);
+    (ts, event_id) is the total order, matching the oracle's ORDER BY."""
+    from .ops.window import keyed_window
+
+    def prep(t: pa.Table) -> pa.Table:
+        return pa.table(
+            {
+                "user_id": t["user_id"],
+                "event_id": t["event_id"],
+                "ts_us": t["ts"].cast(pa.timestamp("us")).cast(pa.int64()),
+                "value": t["value"],
+            }
+        )
+
+    ds = ray.data.read_parquet(
+        f"{sf_dir}/events.parquet",
+        columns=["event_id", "user_id", "ts", "value"],
+    ).map_batches(prep, batch_format="pyarrow")
+
+    out = keyed_window(
+        ds,
+        key="user_id",
+        on="ts_us",
+        tie_cols=["event_id"],
+        value_col="value",
+        outputs=("row_number", "gap", "run_sum", "run_min", "run_max"),
+    )
+
+    def fin(t: pa.Table) -> pa.Table:
+        return pa.table(
+            {
+                "user_id": t["user_id"],
+                "event_id": t["event_id"],
+                "rn": t["row_number"],
+                "gap_us": t["gap"],
+                "run_sum": pa.array(
+                    _round_away(
+                        t["run_sum_value"].to_numpy(zero_copy_only=False), R6
+                    )
+                ),
+                "run_min": pa.array(
+                    _round_away(
+                        t["run_min_value"].to_numpy(zero_copy_only=False), R6
+                    )
+                ),
+                "run_max": pa.array(
+                    _round_away(
+                        t["run_max_value"].to_numpy(zero_copy_only=False), R6
+                    )
+                ),
+            }
+        )
+
+    return out.map_batches(fin, batch_format="pyarrow")
+
+
+SQL_WINDOW_RANK = """
+SELECT user_id, event_id,
+       row_number() OVER w AS rn,
+       COALESCE(epoch_us(ts) - lag(epoch_us(ts)) OVER w, 0) AS gap_us,
+       round(sum(value) OVER w, 6) AS run_sum,
+       round(min(value) OVER w, 6) AS run_min,
+       round(max(value) OVER w, 6) AS run_max
+FROM events
+WINDOW w AS (PARTITION BY user_id ORDER BY ts, event_id
+             ROWS BETWEEN UNBOUNDED PRECEDING AND CURRENT ROW)"""

@@ -1,0 +1,137 @@
+"""ops/window.py — keyed ordered-window analytics vs a pandas
+straight-line oracle (per-key sort + shift/expanding)."""
+
+import numpy as np
+import pandas as pd
+import pyarrow as pa
+import pytest
+
+from geotools_ray.ops.window import keyed_window
+
+
+def _mk(seed, n=400, keys=9):
+    rng = np.random.default_rng(seed)
+    df = pd.DataFrame(
+        {
+            "k": rng.integers(0, keys, n).astype(np.int64),
+            "on": rng.integers(0, 500, n).astype(np.int64),  # dup-heavy
+            "eid": np.arange(n, dtype=np.int64),
+            "v": rng.normal(size=n),
+        }
+    )
+    return df
+
+
+def _brute(df):
+    """Per key: sort by (on, eid), then rank / lag / lead / gap /
+    running sum/min/max via plain pandas per-group ops."""
+    s = df.sort_values(["k", "on", "eid"], kind="mergesort").copy()
+    g = s.groupby("k", sort=False)
+    s["row_number"] = g.cumcount() + 1
+    lag = g["on"].shift(1)
+    lead = g["on"].shift(-1)
+    s["lag_on"] = lag.fillna(0).astype(np.int64)
+    s["lag_valid"] = (~lag.isna()).astype(np.int8)
+    s["lead_on"] = lead.fillna(0).astype(np.int64)
+    s["lead_valid"] = (~lead.isna()).astype(np.int8)
+    s["gap"] = (s["on"] - s["lag_on"]).where(s["lag_valid"] == 1, 0)
+    s["run_sum_v"] = g["v"].cumsum()
+    s["run_min_v"] = g["v"].cummin()
+    s["run_max_v"] = g["v"].cummax()
+    return s.sort_values("eid").reset_index(drop=True)
+
+
+def _run(df, num_parts=5, outputs=None):
+    import ray.data
+
+    out = keyed_window(
+        ray.data.from_pandas(df),
+        key="k",
+        on="on",
+        tie_cols=["eid"],
+        value_col="v",
+        outputs=outputs
+        or ("row_number", "lag", "lead", "gap", "run_sum", "run_min", "run_max"),
+        num_parts=num_parts,
+    ).to_pandas()
+    return out.sort_values("eid").reset_index(drop=True)
+
+
+def test_window_matches_bruteforce(ray_session):
+    df = _mk(seed=5)
+    got = _run(df)
+    want = _brute(df)
+    for c in [
+        "row_number", "lag_on", "lag_valid", "lead_on", "lead_valid",
+        "gap", "run_sum_v", "run_min_v", "run_max_v",
+    ]:
+        np.testing.assert_allclose(
+            got[c].to_numpy(), want[c].to_numpy(), rtol=0, atol=0,
+            err_msg=c,
+        )
+
+
+def test_window_partition_invariance(ray_session):
+    df = _mk(seed=17)
+    a = _run(df, num_parts=1)
+    b = _run(df, num_parts=11)
+    pd.testing.assert_frame_equal(
+        a[sorted(a.columns)], b[sorted(b.columns)], check_dtype=False
+    )
+
+
+def test_window_int64_gap_beyond_float53(ray_session):
+    """Micro-timestamp gaps survive exactly: lag/gap are pure int64
+    numpy (no pandas shift -> float64 NaN detour)."""
+    import ray.data
+
+    base = np.int64(1 << 60)
+    df = pd.DataFrame(
+        {
+            "k": np.zeros(3, dtype=np.int64),
+            "on": base + np.array([1, 6, 12], dtype=np.int64),
+            "eid": np.arange(3, dtype=np.int64),
+            "v": np.ones(3),
+        }
+    )
+    out = (
+        keyed_window(
+            ray.data.from_pandas(df), key="k", on="on", tie_cols=["eid"],
+            value_col="v", outputs=("lag", "gap"), num_parts=2,
+        )
+        .to_pandas().sort_values("eid")
+    )
+    assert out["on"].tolist() == list(df["on"])
+    assert out["gap"].tolist() == [0, 5, 6]
+    assert out["lag_on"].tolist() == [0, int(base + 1), int(base + 6)]
+    assert out["lag_valid"].tolist() == [0, 1, 1]
+
+
+def test_window_single_row_keys_and_empty(ray_session):
+    import ray.data
+
+    df = pd.DataFrame(
+        {
+            "k": np.array([1, 2, 3], dtype=np.int64),
+            "on": np.array([5, 5, 5], dtype=np.int64),
+            "eid": np.arange(3, dtype=np.int64),
+            "v": np.array([1.0, 2.0, 3.0]),
+        }
+    )
+    out = _run(df, num_parts=4)
+    assert out["row_number"].tolist() == [1, 1, 1]
+    assert out["gap"].tolist() == [0, 0, 0]
+    assert out["lead_valid"].tolist() == [0, 0, 0]
+    assert out["run_sum_v"].tolist() == [1.0, 2.0, 3.0]
+
+
+def test_window_validation(ray_session):
+    import ray.data
+
+    ds = ray.data.from_pandas(
+        pd.DataFrame({"k": [1], "on": [1], "v": [0.0]})
+    )
+    with pytest.raises(ValueError, match="unknown window outputs"):
+        keyed_window(ds, key="k", on="on", outputs=("rank",))
+    with pytest.raises(ValueError, match="value_col"):
+        keyed_window(ds, key="k", on="on", outputs=("run_sum",))
