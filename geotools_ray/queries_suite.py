@@ -57,6 +57,10 @@ _SUBS = [
     ("asof_rollup", "q_asof_rollup", "SQL_ASOF_ROLLUP",
      ["user_id", "n_views", "n_matched", "sum_rv", "sum_gap_us",
       "n_tol", "n_fwd", "sum_fwd_gap_us"]),
+    # matched-rows surface of the backward as-of join (epoch-micro
+    # ts values < 2^53 stay DOUBLE-exact in the melt)
+    ("asof_join", "q_asof_join", "SQL_ASOF_JOIN",
+     ["event_id", "user_id", "ts_us", "r_ts_us", "r_value"]),
     # keyed ordered-window analytics — all-numeric; epoch-micro
     # values (~1.7e15) are < 2^53 so the DOUBLE melt stays exact and
     # both sides take the identical float canon path
