@@ -309,3 +309,41 @@ def test_asof_multi_duplicate_r_on_rejected(ray_session):
             l, r, key="k", on="on", right_cols=["v"],
             specs=[{"direction": "backward"}, {"direction": "forward"}],
         )
+
+
+def test_asof_multi_finalize_right_only_partition(ray_session):
+    """A partition holding only right-side keys hits the nl==0 path:
+    finalize must receive a schema-stable EMPTY join table (not crash,
+    not emit rows for keys with no left rows)."""
+    import ray.data
+
+    from geotools_ray.ops.asof import asof_join_multi
+
+    l = pd.DataFrame(
+        {"k": np.array([1], dtype=np.int64),
+         "on": np.array([10], dtype=np.int64),
+         "lid": np.array([0], dtype=np.int64)}
+    )
+    # many right-only keys so SOME partition holds no left rows
+    r = pd.DataFrame(
+        {"k": np.arange(2, 40, dtype=np.int64),
+         "on": np.full(38, 5, dtype=np.int64),
+         "val": np.ones(38)}
+    )
+
+    def fin(t: pa.Table) -> pa.Table:
+        df = pd.DataFrame(
+            {"k": t["k"].to_numpy(zero_copy_only=False),
+             "n": np.ones(len(t), dtype=np.int64)}
+        )
+        out = df.groupby("k", sort=False).sum().reset_index()
+        return pa.Table.from_pandas(out, preserve_index=False)
+
+    got = asof_join_multi(
+        ray.data.from_pandas(l), ray.data.from_pandas(r),
+        key="k", on="on", right_cols=["val"],
+        specs=[{"direction": "backward", "r_on": "r_b"}],
+        num_parts=8, finalize=fin,
+    ).to_pandas()
+    assert got["k"].tolist() == [1]
+    assert got["n"].tolist() == [1]
