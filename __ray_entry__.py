@@ -81,15 +81,25 @@ def _image_queries() -> dict[str, Callable[[str], Any]]:
             d = f"/tmp/geotools_ray_bench/fix_{kind}_n{n}_v1"
             done = os.path.join(d, "_DONE")
             if not os.path.exists(done):
-                if os.path.isdir(d):
-                    shutil.rmtree(d)
-                os.makedirs(d, exist_ok=True)
+                # concurrent-safe publish: build in a pid-unique temp
+                # dir (marker included), then one atomic rename — two
+                # sweeps racing on a cold box can't rmtree each
+                # other's partial write or read a half-written file
+                # behind a valid marker
                 tb = gen()
+                tmp = f"{d}.tmp.{os.getpid()}"
+                os.makedirs(tmp, exist_ok=True)
                 pq.write_table(
-                    tb, os.path.join(d, "part0.parquet"), compression="none"
+                    tb, os.path.join(tmp, "part0.parquet"), compression="none"
                 )
-                with open(done, "w"):
+                with open(os.path.join(tmp, "_DONE"), "w"):
                     pass
+                if os.path.isdir(d) and not os.path.exists(done):
+                    shutil.rmtree(d)  # legacy partial dir blocks rename
+                try:
+                    os.rename(tmp, d)
+                except OSError:
+                    shutil.rmtree(tmp)  # another process won the race
                 _IMG_TABLE_CACHE[key] = tb
             else:
                 _IMG_TABLE_CACHE[key] = pq.read_table(

@@ -52,7 +52,15 @@ _DIRECTIONS = ("backward", "forward", "nearest")
 
 
 def _on_to_int64(col: pa.ChunkedArray | pa.Array) -> pa.Array:
-    """Ordering column -> int64 (timestamps become epoch micros)."""
+    """Ordering column -> int64 (timestamps become epoch micros).
+    Nulls are rejected: a null ordering value would NaN-float the
+    int64 `_on` numpy column inside merge_asof (silent micro-timestamp
+    rounding / MergeError with no hint that a null ts is the cause)."""
+    if col.null_count:
+        raise ValueError(
+            "asof/window ordering column contains nulls — filter or "
+            "fill them upstream (a null has no position in the order)"
+        )
     if pa.types.is_timestamp(col.type):
         if col.type.unit != "us":
             col = col.cast(pa.timestamp("us"))
@@ -153,7 +161,11 @@ def asof_join_multi(
     missing = [c for c in rpay if c not in rpa.names]
     if missing:
         raise KeyError(f"right_cols/tie_cols not in right schema: {missing}")
-    clash = set(out_rnames) & set(left_out)
+    # EVERY gathered right column (including tie_cols) rides the
+    # union under its own name — a name shared with a left column or
+    # the key would silently null-pad the left side's copy in
+    # tag_left, corrupting left payloads
+    clash = (set(out_rnames) | set(rpay)) & set(left_out)
     if clash:
         raise ValueError(
             f"right column names collide with left's: {sorted(clash)}"
@@ -168,9 +180,17 @@ def asof_join_multi(
     def _rtype(c: str) -> pa.DataType:
         return rpa.field(c).type
 
+    def _check_key(t: pa.Table):
+        if t[key].null_count:
+            raise ValueError(
+                f"asof key column {key!r} contains nulls — a null key "
+                "has no partition; filter or fill upstream"
+            )
+
     # ---- side-tagged, schema-aligned union (key, _on, _side, payloads)
     def tag_left(t: pa.Table) -> pa.Table:
         n = len(t)
+        _check_key(t)
         cols = {
             key: t[key],
             "_on": _on_to_int64(t[on].combine_chunks()),
@@ -184,6 +204,7 @@ def asof_join_multi(
 
     def tag_right(t: pa.Table) -> pa.Table:
         n = len(t)
+        _check_key(t)
         cols = {
             key: t[key],
             "_on": _on_to_int64(t[on].combine_chunks()),
@@ -241,8 +262,11 @@ def asof_join_multi(
                 {"_on": r_tb["_on"].to_numpy()}
                 | {c: r_tb[c].to_numpy(zero_copy_only=False) for c in tie_cols}
             )
+            # na_position='first': a null tie value must LOSE the
+            # (key, on) dedupe — SQL max() ignores NULLs, so the
+            # largest non-null wins and all-null groups yield null
             order = rdf.sort_values(
-                ["_on"] + tie_cols, kind="mergesort"
+                ["_on"] + tie_cols, kind="mergesort", na_position="first"
             ).index.to_numpy()
             r_tb = r_tb.take(pa.array(order))
             kdup = pd.DataFrame(

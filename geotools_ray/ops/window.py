@@ -34,6 +34,12 @@ Unmatched/first-row slots are ZERO-filled with companion validity
 flags instead of nulls, so every output column keeps its exact input
 dtype (a nullable int64 micro-timestamp would float64-round through
 pandas downstream).
+
+Null/dtype contract: the computation columns (key, on, tie_cols,
+value_col) must be null-free — nulls raise (a null has no window
+position, and the numpy view would float64-degrade int64 values); a
+timestamp `on` is emitted as epoch-micro int64 (the asof contract);
+`keep_cols` may be nullable — they ride arrow `take` untouched.
 """
 
 from __future__ import annotations
@@ -85,15 +91,34 @@ def keyed_window(
     def per_part(t: pa.Table) -> pa.Table:
         t = t.combine_chunks()
         n = len(t)
-        arrs = {
-            c: t[c].to_numpy(zero_copy_only=False) for c in carry
-        }
+        # reject nulls in every computation column: a single null
+        # turns the int64 numpy view into float64+NaN and silently
+        # rounds micro-timestamps — the exact hazard this module's
+        # docstring promises to prevent. (Nullable KEEP columns pass
+        # through arrow untouched, so they stay exact.)
+        for c in sort_cols + ([value_col] if value_col else []):
+            if t[c].null_count:
+                raise ValueError(
+                    f"keyed_window column {c!r} contains nulls — "
+                    "filter or fill upstream (nulls have no window "
+                    "position and would float64-degrade int64 values)"
+                )
+        comp = sort_cols + ([value_col] if value_col else [])
+        arrs = {c: t[c].to_numpy(zero_copy_only=False) for c in comp}
+        # timestamp `on` -> epoch-micro int64 (the asof contract):
+        # datetime64 lag zero-fill would read as 1970-01-01 and gaps
+        # would come back duration-typed
+        oc = t[on]
+        if pa.types.is_timestamp(oc.type):
+            arrs[on] = (
+                oc.cast(pa.timestamp("us")).cast(pa.int64()).to_numpy()
+            )
         # grouped total order: lexsort by (tie..., on, key) — numpy
         # lexsort keys go least-significant first
         order = np.lexsort(
             tuple(arrs[c] for c in reversed(sort_cols))
         )
-        s = {c: arrs[c][order] for c in carry}
+        s = {c: arrs[c][order] for c in comp}
         k = s[key]
         first = np.empty(n, dtype=bool)
         if n:
@@ -108,7 +133,13 @@ def keyed_window(
         seg_id = np.cumsum(first) - 1 if n else np.empty(0, dtype=np.int64)
         seg_start = start_idx[seg_id] if n else np.empty(0, dtype=np.int64)
 
-        cols: dict = {c: s[c] for c in carry}
+        # computation columns emit the (possibly int64-normalized)
+        # numpy views; every OTHER carried column rides arrow `take`,
+        # so nullable keep columns keep their exact dtype and nulls
+        oidx = pa.array(order)
+        cols: dict = {
+            c: s[c] if c in s else t[c].take(oidx) for c in carry
+        }
         idx = np.arange(n, dtype=np.int64)
         rn = idx - seg_start + 1
         if "row_number" in want:
@@ -150,7 +181,10 @@ def keyed_window(
             if "run_max" in want:
                 cols[f"run_max_{value_col}"] = g.cummax().to_numpy()
         return pa.table(
-            {c: pa.array(cols[c]) for c in cols}
+            {
+                c: v if isinstance(v, (pa.Array, pa.ChunkedArray)) else pa.array(v)
+                for c, v in cols.items()
+            }
         )
 
     return grouped_map(

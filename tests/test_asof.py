@@ -347,3 +347,70 @@ def test_asof_multi_finalize_right_only_partition(ray_session):
     ).to_pandas()
     assert got["k"].tolist() == [1]
     assert got["n"].tolist() == [1]
+
+
+def test_asof_tie_col_name_clash_rejected(ray_session):
+    """A tie/gathered right column sharing a LEFT column's name would
+    silently null-pad the left copy in the union — must raise."""
+    import ray.data
+
+    l = ray.data.from_pandas(
+        pd.DataFrame({"k": [1], "on": [1], "val": [111.0]})
+    )
+    r = ray.data.from_pandas(
+        pd.DataFrame({"k": [1], "on": [1], "val": [5.0], "v2": [1.0]})
+    )
+    with pytest.raises(ValueError, match="collide"):
+        asof_join(l, r, key="k", on="on", right_cols=["v2"],
+                  tie_cols=["val"])
+
+
+def test_asof_null_tie_loses_dedupe(ray_session):
+    """A null tie value among duplicate (key, on) right rows loses the
+    dedupe (SQL max() ignores NULLs); an all-null group yields null."""
+    import ray.data
+
+    l = pd.DataFrame(
+        {"k": np.array([0, 1], dtype=np.int64),
+         "on": np.array([10, 10], dtype=np.int64),
+         "lid": np.array([0, 1], dtype=np.int64)}
+    )
+    r = pd.DataFrame(
+        {"k": np.array([0, 0, 1, 1], dtype=np.int64),
+         "on": np.array([5, 5, 5, 5], dtype=np.int64),
+         "val": np.array([3.0, np.nan, np.nan, np.nan])}
+    )
+    out = asof_join(
+        ray.data.from_pandas(l), ray.data.from_pandas(r),
+        key="k", on="on", right_cols=["val"], tie_cols=["val"],
+        num_parts=3,
+    ).to_pandas().sort_values("lid").reset_index(drop=True)
+    assert out["val"].iloc[0] == 3.0  # non-null max wins
+    assert pd.isna(out["val"].iloc[1])  # all-null group stays null
+
+
+def test_asof_null_on_or_key_rejected(ray_session):
+    import ray.data
+
+    l_null_on = ray.data.from_arrow(
+        pa.table({"k": pa.array([1, 2], pa.int64()),
+                  "on": pa.array([1, None], pa.int64()),
+                  "lid": pa.array([0, 1], pa.int64())})
+    )
+    r = ray.data.from_pandas(
+        pd.DataFrame({"k": np.array([1], dtype=np.int64),
+                      "on": np.array([1], dtype=np.int64),
+                      "val": [1.0]})
+    )
+    with pytest.raises(Exception, match="nulls"):
+        asof_join(l_null_on, r, key="k", on="on",
+                  right_cols=["val"]).materialize()
+
+    l_null_key = ray.data.from_arrow(
+        pa.table({"k": pa.array([1, None], pa.int64()),
+                  "on": pa.array([1, 2], pa.int64()),
+                  "lid": pa.array([0, 1], pa.int64())})
+    )
+    with pytest.raises(Exception, match="null"):
+        asof_join(l_null_key, r, key="k", on="on",
+                  right_cols=["val"]).materialize()

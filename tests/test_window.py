@@ -135,3 +135,55 @@ def test_window_validation(ray_session):
         keyed_window(ds, key="k", on="on", outputs=("rank",))
     with pytest.raises(ValueError, match="value_col"):
         keyed_window(ds, key="k", on="on", outputs=("run_sum",))
+
+
+def test_window_nulls_rejected_and_timestamp_on(ray_session):
+    import ray.data
+
+    # timestamp `on` -> epoch-micro int64 output (asof contract)
+    t = pa.table(
+        {"k": pa.array([0, 0], pa.int64()),
+         "on": pa.array([1_000_000, 3_000_000], pa.timestamp("us")),
+         "eid": pa.array([0, 1], pa.int64()),
+         "v": pa.array([1.0, 2.0])}
+    )
+    out = (
+        keyed_window(
+            ray.data.from_arrow(t), key="k", on="on", tie_cols=["eid"],
+            value_col="v", outputs=("gap",), num_parts=2,
+        )
+        .to_pandas().sort_values("eid")
+    )
+    assert out["on"].tolist() == [1_000_000, 3_000_000]
+    assert out["gap"].tolist() == [0, 2_000_000]
+
+    # nulls in a computation column raise; nullable KEEP columns pass
+    t2 = pa.table(
+        {"k": pa.array([0, 0], pa.int64()),
+         "on": pa.array([1, None], pa.int64()),
+         "eid": pa.array([0, 1], pa.int64()),
+         "v": pa.array([1.0, 2.0])}
+    )
+    with pytest.raises(Exception, match="nulls"):
+        keyed_window(
+            ray.data.from_arrow(t2), key="k", on="on", tie_cols=["eid"],
+            value_col="v", outputs=("gap",),
+        ).materialize()
+
+    t3 = pa.table(
+        {"k": pa.array([0, 0], pa.int64()),
+         "on": pa.array([1, 2], pa.int64()),
+         "eid": pa.array([0, 1], pa.int64()),
+         "v": pa.array([1.0, 2.0]),
+         "keep": pa.array([None, 7], pa.int64())}
+    )
+    out3 = (
+        keyed_window(
+            ray.data.from_arrow(t3), key="k", on="on", tie_cols=["eid"],
+            value_col="v", outputs=("row_number",), keep_cols=["keep"],
+            num_parts=2,
+        )
+        .to_pandas().sort_values("eid")
+    )
+    # nullable keep column survives as nullable (arrow take path)
+    assert pd.isna(out3["keep"].iloc[0]) and out3["keep"].iloc[1] == 7
