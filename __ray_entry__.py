@@ -309,6 +309,8 @@ def queries() -> dict[str, Callable[[str], Any]]:
         "asof_rollup": QS.wrap_sub("q_asof_rollup"),
         # keyed ordered-window analytics (ops/window.py; SQL window fns)
         "window_rank": QS.wrap_sub("q_window_rank"),
+        # per-group top-N via window rank over negated value
+        "topk_per_user": QS.wrap_sub("q_topk_per_user"),
     }
     for k, v in img.items():
         qs.setdefault(k, v)
@@ -381,6 +383,7 @@ def oracle_sql() -> dict[str, str]:
         "asof_join": QT.SQL_ASOF_JOIN,
         "asof_rollup": QT.SQL_ASOF_ROLLUP,
         "window_rank": QT.SQL_WINDOW_RANK,
+        "topk_per_user": QT.SQL_TOPK_PER_USER,
         # img_* queries: non-SQL-expressible (synthetic binary input) ->
         # rows-only driver check; pixel/caption invariants live in tests/
     }

@@ -77,6 +77,9 @@ _SUBS = [
      ["user_id", "event_id", "rn", "gap_us", "run_sum", "run_min",
       "run_max"],
      ("user_id", 10, 0)),
+    # per-group top-N (<= 3 rows per user)
+    ("topk_per_user", "q_topk_per_user", "SQL_TOPK_PER_USER",
+     ["user_id", "event_id", "value", "rn"]),
 ]
 
 

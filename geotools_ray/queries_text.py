@@ -720,3 +720,60 @@ SELECT user_id, event_id,
 FROM events
 WINDOW w AS (PARTITION BY user_id ORDER BY ts, event_id
              ROWS BETWEEN UNBOUNDED PRECEDING AND CURRENT ROW)"""
+
+
+def q_topk_per_user(sf_dir: str, k: int = 3):
+    """Top-k events by value per user — the per-group top-N primitive
+    (best captions per image / top docs per domain), expressed as
+    keyed_window rank over on = -value (float negation is exact, so
+    ascending -value IS descending value) with event_id as the total
+    tie-break; one grouped shuffle, no global sort."""
+    from .ops.window import keyed_window
+
+    def prep(t: pa.Table) -> pa.Table:
+        return pa.table(
+            {
+                "user_id": t["user_id"],
+                "event_id": t["event_id"],
+                "neg_value": pc.negate(t["value"]),
+                "value": t["value"],
+            }
+        )
+
+    ds = ray.data.read_parquet(
+        f"{sf_dir}/events.parquet",
+        columns=["event_id", "user_id", "value"],
+    ).map_batches(prep, batch_format="pyarrow")
+
+    out = keyed_window(
+        ds,
+        key="user_id",
+        on="neg_value",
+        tie_cols=["event_id"],
+        outputs=("row_number",),
+        keep_cols=["value"],
+    )
+
+    def fin(t: pa.Table) -> pa.Table:
+        t = t.filter(pc.less_equal(t["row_number"], pa.scalar(k, pa.int64())))
+        return pa.table(
+            {
+                "user_id": t["user_id"],
+                "event_id": t["event_id"],
+                "value": pa.array(
+                    _round_away(t["value"].to_numpy(zero_copy_only=False), R6)
+                ),
+                "rn": t["row_number"],
+            }
+        )
+
+    return out.map_batches(fin, batch_format="pyarrow")
+
+
+SQL_TOPK_PER_USER = """
+SELECT user_id, event_id, round(value, 6) AS value, rn
+FROM (SELECT user_id, event_id, value,
+             row_number() OVER (PARTITION BY user_id
+                                ORDER BY value DESC, event_id) AS rn
+      FROM events)
+WHERE rn <= 3"""
