@@ -311,6 +311,8 @@ def queries() -> dict[str, Callable[[str], Any]]:
         "window_rank": QS.wrap_sub("q_window_rank"),
         # per-group top-N via window rank over negated value
         "topk_per_user": QS.wrap_sub("q_topk_per_user"),
+        # trailing RANGE-window aggregates (searchsorted + reduceat)
+        "window_trailing": QS.wrap_sub("q_window_trailing"),
     }
     for k, v in img.items():
         qs.setdefault(k, v)
@@ -384,6 +386,7 @@ def oracle_sql() -> dict[str, str]:
         "asof_rollup": QT.SQL_ASOF_ROLLUP,
         "window_rank": QT.SQL_WINDOW_RANK,
         "topk_per_user": QT.SQL_TOPK_PER_USER,
+        "window_trailing": QT.SQL_WINDOW_TRAILING,
         # img_* queries: non-SQL-expressible (synthetic binary input) ->
         # rows-only driver check; pixel/caption invariants live in tests/
     }

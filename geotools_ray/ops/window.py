@@ -64,20 +64,47 @@ def keyed_window(
     outputs: tuple[str, ...] = ("row_number", "lag", "gap", "run_sum"),
     keep_cols: list[str] | None = None,
     num_parts: int | None = None,
+    trail_window: int | None = None,
 ) -> ray.data.Dataset:
     """-> (key, on, *tie_cols, *keep_cols, requested window columns).
-    One shuffle; see module docstring for naming and zero-fill rules."""
+    One shuffle; see module docstring for naming and zero-fill rules.
+
+    Trailing RANGE-window aggregates (SQL `... OVER (PARTITION BY key
+    ORDER BY on RANGE BETWEEN trail_window PRECEDING AND CURRENT
+    ROW)`): outputs trail_count / trail_sum_<v> / trail_min_<v> /
+    trail_max_<v> aggregate every row of the key whose `on` lies in
+    [on_i - trail_window, on_i]. Each window start is one vectorized
+    searchsorted (segments made globally monotonic by an
+    overflow-checked per-segment offset) and every aggregate is one
+    np.ufunc.reduceat over (start, end) index pairs — each window
+    summed independently left-to-right (no prefix-difference
+    cancellation), Python dispatch per partition, not per row/key.
+    Peer semantics match SQL RANGE mode exactly: the frame ends at the
+    LAST row whose `on` equals the current row's (all peers included,
+    even ones after the current row in tie order), so trail outputs
+    are value-determined — identical for tied rows and independent of
+    tie order."""
     tie_cols = list(tie_cols or [])
     keep_cols = list(keep_cols or [])
     want = set(outputs)
     runs = {o for o in want if o.startswith("run_") and o != "run_count"}
-    bad = want - {"row_number", "lag", "lead", "gap", "run_count"} - {
-        f"run_{r}" for r in _RUNS
-    }
+    trails = {o for o in want if o.startswith("trail_")}
+    bad = (
+        want
+        - {"row_number", "lag", "lead", "gap", "run_count", "trail_count"}
+        - {f"run_{r}" for r in _RUNS}
+        - {f"trail_{r}" for r in _RUNS}
+    )
     if bad:
         raise ValueError(f"unknown window outputs: {sorted(bad)}")
     if runs and value_col is None:
         raise ValueError(f"outputs {sorted(runs)} need value_col")
+    if (trails - {"trail_count"}) and value_col is None:
+        raise ValueError(f"outputs {sorted(trails)} need value_col")
+    if trails and trail_window is None:
+        raise ValueError(f"outputs {sorted(trails)} need trail_window")
+    if trail_window is not None and trail_window < 0:
+        raise ValueError("trail_window must be >= 0")
 
     sort_cols = [key, on] + tie_cols
     carry = list(
@@ -180,6 +207,49 @@ def keyed_window(
                 cols[f"run_min_{value_col}"] = g.cummin().to_numpy()
             if "run_max" in want:
                 cols[f"run_max_{value_col}"] = g.cummax().to_numpy()
+        if trails and n:
+            o = s[on]
+            W = np.int64(trail_window)
+            base = o[seg_start]  # per-row segment first `on`
+            rel = o - base
+            spans = rel[np.append(start_idx[1:], n) - 1]  # per segment
+            M = np.int64(int(spans.max()) + int(W) + 1)
+            if int(M) * len(start_idx) < (1 << 62):
+                om = rel + seg_id * M
+                starts = np.searchsorted(om, om - W, side="left")
+                ends = np.searchsorted(om, om, side="right")
+            else:  # offset overflow (astronomical spans): per segment
+                starts = np.empty(n, dtype=np.int64)
+                ends = np.empty(n, dtype=np.int64)
+                for st, en in zip(start_idx, np.append(start_idx[1:], n)):
+                    seg = o[st:en]
+                    starts[st:en] = st + np.searchsorted(seg, seg - W, "left")
+                    ends[st:en] = st + np.searchsorted(seg, seg, "right")
+            if "trail_count" in want:
+                cols["trail_count"] = ends - starts
+            tr_red = trails - {"trail_count"}
+            if tr_red:
+                v = s[value_col]
+                # reduceat over interleaved (start, end) pairs: each
+                # window aggregates independently left-to-right (even
+                # outputs are the windows; odd outputs discarded).
+                # Windows are never empty (they contain the row
+                # itself), so the reduceat s==e quirk can't fire.
+                pairs = np.empty(2 * n, dtype=np.int64)
+                pairs[0::2] = starts
+                pairs[1::2] = ends
+                # reduceat requires the LAST index < len(v); ends can
+                # be n — append a sentinel and slice it off
+                vx = np.append(v, v[:1])
+                for red, ufunc in (
+                    ("sum", np.add),
+                    ("min", np.minimum),
+                    ("max", np.maximum),
+                ):
+                    if f"trail_{red}" not in tr_red:
+                        continue
+                    out_all = ufunc.reduceat(vx, pairs)
+                    cols[f"trail_{red}_{value_col}"] = out_all[0::2]
         return pa.table(
             {
                 c: v if isinstance(v, (pa.Array, pa.ChunkedArray)) else pa.array(v)

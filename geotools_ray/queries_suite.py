@@ -80,6 +80,12 @@ _SUBS = [
     # per-group top-N (<= 3 rows per user)
     ("topk_per_user", "q_topk_per_user", "SQL_TOPK_PER_USER",
      ["user_id", "event_id", "value", "rn"]),
+    # trailing RANGE-window aggregates — O(events) surface, same
+    # deterministic key predicate as window_rank
+    ("window_trailing", "q_window_trailing", "SQL_WINDOW_TRAILING",
+     ["user_id", "event_id", "trail_count", "trail_sum", "trail_min",
+      "trail_max"],
+     ("user_id", 10, 0)),
 ]
 
 

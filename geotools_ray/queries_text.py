@@ -777,3 +777,70 @@ FROM (SELECT user_id, event_id, value,
                                 ORDER BY value DESC, event_id) AS rn
       FROM events)
 WHERE rn <= 3"""
+
+
+_TRAIL_US = 3_600_000_000  # 1 h
+
+
+def q_window_trailing(sf_dir: str):
+    """Trailing 1 h RANGE-window aggregates per user (count / sum /
+    min / max of value over [ts - 1h, ts]) — the streaming-window
+    feature primitive, one grouped shuffle, windows resolved by
+    vectorized searchsorted + reduceat (ops/window.py). Peer rows
+    (equal ts) share identical outputs per SQL RANGE semantics."""
+    from .ops.window import keyed_window
+
+    def prep(t: pa.Table) -> pa.Table:
+        return pa.table(
+            {
+                "user_id": t["user_id"],
+                "event_id": t["event_id"],
+                "ts_us": t["ts"].cast(pa.timestamp("us")).cast(pa.int64()),
+                "value": t["value"],
+            }
+        )
+
+    ds = ray.data.read_parquet(
+        f"{sf_dir}/events.parquet",
+        columns=["event_id", "user_id", "ts", "value"],
+    ).map_batches(prep, batch_format="pyarrow")
+
+    out = keyed_window(
+        ds,
+        key="user_id",
+        on="ts_us",
+        tie_cols=["event_id"],
+        value_col="value",
+        outputs=("trail_count", "trail_sum", "trail_min", "trail_max"),
+        trail_window=_TRAIL_US,
+    )
+
+    def fin(t: pa.Table) -> pa.Table:
+        def r6(c):
+            return pa.array(
+                _round_away(t[c].to_numpy(zero_copy_only=False), R6)
+            )
+
+        return pa.table(
+            {
+                "user_id": t["user_id"],
+                "event_id": t["event_id"],
+                "trail_count": t["trail_count"],
+                "trail_sum": r6("trail_sum_value"),
+                "trail_min": r6("trail_min_value"),
+                "trail_max": r6("trail_max_value"),
+            }
+        )
+
+    return out.map_batches(fin, batch_format="pyarrow")
+
+
+SQL_WINDOW_TRAILING = f"""
+SELECT user_id, event_id,
+       count(*) OVER w AS trail_count,
+       round(sum(value) OVER w, 6) AS trail_sum,
+       round(min(value) OVER w, 6) AS trail_min,
+       round(max(value) OVER w, 6) AS trail_max
+FROM events
+WINDOW w AS (PARTITION BY user_id ORDER BY epoch_us(ts)
+             RANGE BETWEEN {_TRAIL_US} PRECEDING AND CURRENT ROW)"""

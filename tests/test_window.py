@@ -187,3 +187,89 @@ def test_window_nulls_rejected_and_timestamp_on(ray_session):
     )
     # nullable keep column survives as nullable (arrow take path)
     assert pd.isna(out3["keep"].iloc[0]) and out3["keep"].iloc[1] == 7
+
+
+def _brute_trailing(df, W):
+    """Per row: aggregate every row of its key with on in
+    [on_i - W, on_i] (SQL RANGE peers included)."""
+    cnt, sm, mn, mx = [], [], [], []
+    for _, row in df.iterrows():
+        m = (
+            (df["k"] == row["k"])
+            & (df["on"] >= row["on"] - W)
+            & (df["on"] <= row["on"])
+        )
+        v = df.loc[m, "v"]
+        cnt.append(int(m.sum()))
+        sm.append(float(v.sum()))
+        mn.append(float(v.min()))
+        mx.append(float(v.max()))
+    return cnt, sm, mn, mx
+
+
+def test_window_trailing_matches_bruteforce(ray_session):
+    import ray.data
+
+    df = _mk(seed=41, n=300, keys=5)  # dup-heavy `on` -> peers hit
+    W = 60
+    out = (
+        keyed_window(
+            ray.data.from_pandas(df), key="k", on="on", tie_cols=["eid"],
+            value_col="v",
+            outputs=("trail_count", "trail_sum", "trail_min", "trail_max"),
+            trail_window=W, num_parts=7,
+        )
+        .to_pandas().sort_values("eid").reset_index(drop=True)
+    )
+    cnt, sm, mn, mx = _brute_trailing(df, W)
+    assert out["trail_count"].tolist() == cnt
+    np.testing.assert_allclose(out["trail_sum_v"].to_numpy(), sm, atol=1e-9)
+    np.testing.assert_allclose(out["trail_min_v"].to_numpy(), mn, atol=0)
+    np.testing.assert_allclose(out["trail_max_v"].to_numpy(), mx, atol=0)
+    # peers (equal on within a key) share identical trail outputs
+    dup = df.groupby(["k", "on"]).size()
+    kk, oo = next(iter(dup[dup > 1].index))
+    peer_rows = out[(out["k"] == kk) & (out["on"] == oo)]
+    assert peer_rows["trail_count"].nunique() == 1
+    assert peer_rows["trail_sum_v"].nunique() == 1
+
+
+def test_window_trailing_overflow_fallback(ray_session):
+    """Astronomical spans route through the per-segment fallback and
+    agree with the vectorized path's semantics."""
+    import ray.data
+
+    # span so large that (span + W + 1) * n_segs >= 2^62
+    df = pd.DataFrame(
+        {
+            "k": np.repeat(np.arange(8, dtype=np.int64), 3),
+            "on": np.tile(np.array([0, 5, 1 << 60], dtype=np.int64), 8),
+            "eid": np.arange(24, dtype=np.int64),
+            "v": np.ones(24),
+        }
+    )
+    out = (
+        keyed_window(
+            ray.data.from_pandas(df), key="k", on="on", tie_cols=["eid"],
+            value_col="v", outputs=("trail_count",), trail_window=10,
+            num_parts=2,
+        )
+        .to_pandas().sort_values("eid").reset_index(drop=True)
+    )
+    # windows: on=0 -> 1; on=5 -> 2 (0 and 5); on=2^60 -> 1
+    want = np.tile([1, 2, 1], 8)
+    assert out["trail_count"].tolist() == list(want)
+
+
+def test_window_trailing_validation(ray_session):
+    import ray.data
+
+    ds = ray.data.from_pandas(
+        pd.DataFrame({"k": [1], "on": [1], "v": [0.0]})
+    )
+    with pytest.raises(ValueError, match="trail_window"):
+        keyed_window(ds, key="k", on="on", value_col="v",
+                     outputs=("trail_sum",))
+    with pytest.raises(ValueError, match="value_col"):
+        keyed_window(ds, key="k", on="on", outputs=("trail_sum",),
+                     trail_window=5)
