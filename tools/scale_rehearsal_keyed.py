@@ -125,31 +125,44 @@ def main() -> None:
             flush=True,
         )
 
-        t0 = time.time()
-        out = keyed_window(
-            ray.data.from_arrow(full),
-            key="k",
-            on="on",
-            tie_cols=["eid"],
-            value_col="v",
-            outputs=("row_number", "gap", "run_sum", "run_min", "run_max"),
-        )
-        rows = out.count()
-        dt = time.time() - t0
-        print(
-            "REHEARSAL "
-            + json.dumps(
-                {
-                    "op": "keyed_window",
-                    "scale": s,
-                    "rows_in": n,
-                    "rows_out": rows,
-                    "sec": round(dt, 3),
-                    "us_per_row": round(dt / n * 1e6, 3),
-                }
+        for op, kw in (
+            (
+                "keyed_window",
+                {"outputs": ("row_number", "gap", "run_sum", "run_min",
+                             "run_max")},
             ),
-            flush=True,
-        )
+            (
+                "keyed_window_trailing",
+                {"outputs": ("trail_count", "trail_sum", "trail_min",
+                             "trail_max"),
+                 "trail_window": 50_000_000_000},
+            ),
+        ):
+            t0 = time.time()
+            out = keyed_window(
+                ray.data.from_arrow(full),
+                key="k",
+                on="on",
+                tie_cols=["eid"],
+                value_col="v",
+                **kw,
+            )
+            rows = out.count()
+            dt = time.time() - t0
+            print(
+                "REHEARSAL "
+                + json.dumps(
+                    {
+                        "op": op,
+                        "scale": s,
+                        "rows_in": n,
+                        "rows_out": rows,
+                        "sec": round(dt, 3),
+                        "us_per_row": round(dt / n * 1e6, 3),
+                    }
+                ),
+                flush=True,
+            )
 
     ray.shutdown()
 
