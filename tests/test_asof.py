@@ -414,3 +414,50 @@ def test_asof_null_on_or_key_rejected(ray_session):
     with pytest.raises(Exception, match="null"):
         asof_join(l_null_key, r, key="k", on="on",
                   right_cols=["val"]).materialize()
+
+
+# ---------------------------------------------------------------------------
+# hypothesis property sweep (bounded: each example runs through Ray)
+
+from hypothesis import given, settings
+from hypothesis import strategies as st
+
+
+@settings(max_examples=12, deadline=None)
+@given(
+    seed=st.integers(0, 10_000),
+    n_l=st.integers(1, 40),
+    n_r=st.integers(0, 30),
+    keys=st.integers(1, 5),
+    span=st.integers(1, 50),  # tiny span -> heavy (key, on) dup ties
+    direction=st.sampled_from(["backward", "forward", "nearest"]),
+    tolerance=st.sampled_from([None, 0, 7]),
+)
+def test_asof_property_vs_brute(
+    ray_session, seed, n_l, n_r, keys, span, direction, tolerance
+):
+    rng = np.random.default_rng(seed)
+    l = pd.DataFrame(
+        {
+            "k": rng.integers(0, keys, n_l).astype(np.int64),
+            "on": rng.integers(0, span, n_l).astype(np.int64),
+            "lid": np.arange(n_l, dtype=np.int64),
+        }
+    )
+    r = pd.DataFrame(
+        {
+            "k": rng.integers(0, keys, n_r).astype(np.int64),
+            "on": rng.integers(0, span, n_r).astype(np.int64),
+            "val": rng.normal(size=n_r),
+            "tie": np.arange(n_r, dtype=np.int64),
+        }
+    )
+    got = _run(l, r, num_parts=3, direction=direction, tolerance=tolerance)
+    want_on, want_val = _brute(l, r, direction, tolerance)
+    assert len(got) == len(l)
+    for i in range(len(l)):
+        if want_on[i] is None:
+            assert pd.isna(got["r_on"].iloc[i])
+        else:
+            assert int(got["r_on"].iloc[i]) == int(want_on[i])
+            assert got["val"].iloc[i] == want_val[i]

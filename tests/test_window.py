@@ -273,3 +273,74 @@ def test_window_trailing_validation(ray_session):
     with pytest.raises(ValueError, match="value_col"):
         keyed_window(ds, key="k", on="on", outputs=("trail_sum",),
                      trail_window=5)
+
+
+# ---------------------------------------------------------------------------
+# hypothesis property sweeps (bounded: each example runs the full op
+# through Ray)
+
+from hypothesis import given, settings
+from hypothesis import strategies as st
+
+
+@settings(max_examples=12, deadline=None)
+@given(
+    seed=st.integers(0, 10_000),
+    n=st.integers(1, 60),
+    keys=st.integers(1, 6),
+    span=st.integers(1, 40),  # tiny span -> heavy on-ties
+)
+def test_window_property_vs_brute(ray_session, seed, n, keys, span):
+    rng = np.random.default_rng(seed)
+    df = pd.DataFrame(
+        {
+            "k": rng.integers(0, keys, n).astype(np.int64),
+            "on": rng.integers(0, span, n).astype(np.int64),
+            "eid": np.arange(n, dtype=np.int64),
+            "v": rng.normal(size=n),
+        }
+    )
+    got = _run(df, num_parts=3)
+    want = _brute(df)
+    for c in ["row_number", "lag_on", "lag_valid", "lead_on",
+              "lead_valid", "gap", "run_sum_v", "run_min_v", "run_max_v"]:
+        np.testing.assert_allclose(
+            got[c].to_numpy(), want[c].to_numpy(), rtol=0, atol=1e-12,
+            err_msg=c,
+        )
+
+
+@settings(max_examples=10, deadline=None)
+@given(
+    seed=st.integers(0, 10_000),
+    n=st.integers(1, 50),
+    keys=st.integers(1, 5),
+    span=st.integers(1, 30),
+    w=st.integers(0, 35),
+)
+def test_window_trailing_property_vs_brute(ray_session, seed, n, keys, span, w):
+    import ray.data
+
+    rng = np.random.default_rng(seed)
+    df = pd.DataFrame(
+        {
+            "k": rng.integers(0, keys, n).astype(np.int64),
+            "on": rng.integers(0, span, n).astype(np.int64),
+            "eid": np.arange(n, dtype=np.int64),
+            "v": rng.normal(size=n),
+        }
+    )
+    out = (
+        keyed_window(
+            ray.data.from_pandas(df), key="k", on="on", tie_cols=["eid"],
+            value_col="v",
+            outputs=("trail_count", "trail_sum", "trail_min", "trail_max"),
+            trail_window=w, num_parts=3,
+        )
+        .to_pandas().sort_values("eid").reset_index(drop=True)
+    )
+    cnt, sm, mn, mx = _brute_trailing(df, w)
+    assert out["trail_count"].tolist() == cnt
+    np.testing.assert_allclose(out["trail_sum_v"].to_numpy(), sm, atol=1e-9)
+    np.testing.assert_allclose(out["trail_min_v"].to_numpy(), mn, atol=0)
+    np.testing.assert_allclose(out["trail_max_v"].to_numpy(), mx, atol=0)
