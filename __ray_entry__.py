@@ -313,6 +313,8 @@ def queries() -> dict[str, Callable[[str], Any]]:
         "topk_per_user": QS.wrap_sub("q_topk_per_user"),
         # trailing RANGE-window aggregates (searchsorted + reduceat)
         "window_trailing": QS.wrap_sub("q_window_trailing"),
+        # operator composition: session intervals -> as-of containment
+        "session_assign": QS.wrap_sub("q_session_assign"),
     }
     for k, v in img.items():
         qs.setdefault(k, v)
@@ -387,6 +389,7 @@ def oracle_sql() -> dict[str, str]:
         "window_rank": QT.SQL_WINDOW_RANK,
         "topk_per_user": QT.SQL_TOPK_PER_USER,
         "window_trailing": QT.SQL_WINDOW_TRAILING,
+        "session_assign": QT.SQL_SESSION_ASSIGN,
         # img_* queries: non-SQL-expressible (synthetic binary input) ->
         # rows-only driver check; pixel/caption invariants live in tests/
     }

@@ -86,6 +86,12 @@ _SUBS = [
      ["user_id", "event_id", "trail_count", "trail_sum", "trail_min",
       "trail_max"],
      ("user_id", 10, 0)),
+    # session-interval containment assignment (asof composition) —
+    # O(events) surface, key-predicate bounded
+    ("session_assign", "q_session_assign", "SQL_SESSION_ASSIGN",
+     ["user_id", "event_id", "sess_start", "sess_end", "sess_rank",
+      "sess_n"],
+     ("user_id", 10, 0)),
 ]
 
 

@@ -844,3 +844,118 @@ SELECT user_id, event_id,
 FROM events
 WINDOW w AS (PARTITION BY user_id ORDER BY epoch_us(ts)
              RANGE BETWEEN {_TRAIL_US} PRECEDING AND CURRENT ROW)"""
+
+
+def q_session_assign(sf_dir: str, gap_s: int = 600):
+    """Assign every event to its session interval — operator
+    COMPOSITION: gap-based session intervals (one grouped shuffle)
+    feed the keyed as-of join as the right side (backward on session
+    start), and since a user's sessions are non-overlapping and tile
+    their events, greatest-start-at-or-before IS interval
+    containment; the sess_end >= t filter is the defensive guard that
+    keeps engine semantics aligned with the oracle's BETWEEN join."""
+    from .ops.asof import asof_join
+    from .stages.grouped import grouped_map
+
+    gap_us = gap_s * 1_000_000
+
+    def prep(t: pa.Table) -> pa.Table:
+        return pa.table(
+            {
+                "user_id": t["user_id"],
+                "event_id": t["event_id"],
+                "ts_us": t["ts"].cast(pa.timestamp("us")).cast(pa.int64()),
+            }
+        )
+
+    ev = ray.data.read_parquet(
+        f"{sf_dir}/events.parquet", columns=["user_id", "ts", "event_id"]
+    ).map_batches(prep, batch_format="pyarrow")
+
+    def intervals(df: pd.DataFrame) -> pd.DataFrame:
+        if not len(df):
+            return pd.DataFrame(
+                {
+                    "user_id": pd.Series(dtype=np.int64),
+                    "ts_us": pd.Series(dtype=np.int64),
+                    "sess_end": pd.Series(dtype=np.int64),
+                    "sess_rank": pd.Series(dtype=np.int64),
+                    "sess_n": pd.Series(dtype=np.int64),
+                }
+            )
+        df = df.sort_values(["user_id", "ts_us", "event_id"])
+        uid = df["user_id"].to_numpy()
+        us = df["ts_us"].to_numpy()
+        brk = np.ones(len(df), dtype=np.int64)
+        brk[1:] = ((uid[1:] != uid[:-1]) | (np.diff(us) > gap_us)).astype(
+            np.int64
+        )
+        starts = np.flatnonzero(brk)
+        ends = np.append(starts[1:], len(df))
+        # per-user session ordinal: cumulative breaks minus the
+        # user's first session's cumulative position
+        sess_cum = np.cumsum(brk)
+        u_first = np.flatnonzero(
+            np.concatenate([[True], uid[1:] != uid[:-1]])
+        )
+        ufirst_cum = np.repeat(sess_cum[u_first] - 1, np.add.reduceat(brk, u_first))
+        return pd.DataFrame(
+            {
+                "user_id": uid[starts],
+                "ts_us": us[starts],  # session start = asof `on`
+                "sess_end": us[ends - 1],
+                "sess_rank": sess_cum[starts] - ufirst_cum,
+                "sess_n": (ends - starts).astype(np.int64),
+            }
+        )
+
+    iv = grouped_map(ev, ["user_id"], intervals)
+    out = asof_join(
+        ev,
+        iv,
+        key="user_id",
+        on="ts_us",
+        right_cols=["sess_end", "sess_rank", "sess_n"],
+        r_on="sess_start",
+    )
+
+    def fin(t: pa.Table) -> pa.Table:
+        ok = pc.and_(
+            pc.is_valid(t["sess_start"]),
+            pc.less_equal(t["ts_us"], t["sess_end"]),
+        )
+        t = t.filter(ok)
+        return pa.table(
+            {
+                "user_id": t["user_id"],
+                "event_id": t["event_id"],
+                "sess_start": t["sess_start"],
+                "sess_end": t["sess_end"],
+                "sess_rank": t["sess_rank"],
+                "sess_n": t["sess_n"],
+            }
+        )
+
+    return out.map_batches(fin, batch_format="pyarrow")
+
+
+SQL_SESSION_ASSIGN = """
+WITH e AS (
+  SELECT user_id, event_id, epoch_us(ts) AS t,
+    CASE WHEN lag(ts) OVER w IS NULL
+           OR date_diff('microsecond', lag(ts) OVER w, ts) > 600000000
+         THEN 1 ELSE 0 END AS new_sess
+  FROM events WINDOW w AS (PARTITION BY user_id ORDER BY ts, event_id)),
+ s AS (SELECT user_id, event_id, t,
+              sum(new_sess) OVER (PARTITION BY user_id ORDER BY t, event_id
+                                  ROWS UNBOUNDED PRECEDING) AS sess
+       FROM e),
+ iv AS (SELECT user_id, CAST(sess AS BIGINT) AS sess_rank,
+               min(t) AS sess_start, max(t) AS sess_end,
+               count(*) AS sess_n
+        FROM s GROUP BY 1, 2)
+SELECT ev.user_id, ev.event_id, iv.sess_start, iv.sess_end,
+       iv.sess_rank, iv.sess_n
+FROM (SELECT user_id, event_id, epoch_us(ts) AS t FROM events) ev
+JOIN iv ON ev.user_id = iv.user_id
+       AND ev.t BETWEEN iv.sess_start AND iv.sess_end"""
