@@ -213,9 +213,12 @@ def keyed_window(
             base = o[seg_start]  # per-row segment first `on`
             rel = o - base
             spans = rel[np.append(start_idx[1:], n) - 1]  # per segment
-            M = np.int64(int(spans.max()) + int(W) + 1)
-            if int(M) * len(start_idx) < (1 << 62):
-                om = rel + seg_id * M
+            # M stays a Python int until the safe branch is chosen: a
+            # span + W past int64 must route to the fallback, not
+            # OverflowError inside the np.int64 cast
+            M = int(spans.max()) + int(W) + 1
+            if M * len(start_idx) < (1 << 62):
+                om = rel + seg_id * np.int64(M)
                 starts = np.searchsorted(om, om - W, side="left")
                 ends = np.searchsorted(om, om, side="right")
             else:  # offset overflow (astronomical spans): per segment

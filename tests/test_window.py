@@ -260,6 +260,27 @@ def test_window_trailing_overflow_fallback(ray_session):
     want = np.tile([1, 2, 1], 8)
     assert out["trail_count"].tolist() == list(want)
 
+    # span + W past int64 itself: M must stay a Python int until the
+    # branch is chosen (an np.int64 cast of span+W+1 would raise
+    # OverflowError instead of routing to the per-segment fallback)
+    df2 = pd.DataFrame(
+        {
+            "k": np.zeros(2, dtype=np.int64),
+            "on": np.array([0, (1 << 63) - 2], dtype=np.int64),
+            "eid": np.arange(2, dtype=np.int64),
+            "v": np.ones(2),
+        }
+    )
+    out2 = (
+        keyed_window(
+            ray.data.from_pandas(df2), key="k", on="on", tie_cols=["eid"],
+            value_col="v", outputs=("trail_count",), trail_window=10,
+            num_parts=1,
+        )
+        .to_pandas().sort_values("eid").reset_index(drop=True)
+    )
+    assert out2["trail_count"].tolist() == [1, 1]
+
 
 def test_window_trailing_validation(ray_session):
     import ray.data
