@@ -315,6 +315,9 @@ def queries() -> dict[str, Callable[[str], Any]]:
         "window_trailing": QS.wrap_sub("q_window_trailing"),
         # operator composition: session intervals -> as-of containment
         "session_assign": QS.wrap_sub("q_session_assign"),
+        # bloom-pruned exact semi/anti equi-join (ops/bloom.py)
+        "bloom_semi": QS.wrap_sub("q_bloom_semi"),
+        "bloom_anti": QS.wrap_sub("q_bloom_anti"),
     }
     for k, v in img.items():
         qs.setdefault(k, v)
@@ -390,6 +393,8 @@ def oracle_sql() -> dict[str, str]:
         "topk_per_user": QT.SQL_TOPK_PER_USER,
         "window_trailing": QT.SQL_WINDOW_TRAILING,
         "session_assign": QT.SQL_SESSION_ASSIGN,
+        "bloom_semi": QT.SQL_BLOOM_SEMI,
+        "bloom_anti": QT.SQL_BLOOM_ANTI,
         # img_* queries: non-SQL-expressible (synthetic binary input) ->
         # rows-only driver check; pixel/caption invariants live in tests/
     }

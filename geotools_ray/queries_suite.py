@@ -92,6 +92,14 @@ _SUBS = [
      ["user_id", "event_id", "sess_start", "sess_end", "sess_rank",
       "sess_n"],
      ("user_id", 10, 0)),
+    # bloom-pruned exact semi/anti equi-join (ops/bloom.py) —
+    # O(orders) surfaces, key-predicate bounded like the above
+    ("bloom_semi", "q_bloom_semi", "SQL_BLOOM_SEMI",
+     ["o_orderkey", "o_custkey", "o_totalprice"],
+     ("o_orderkey", 10, 0)),
+    ("bloom_anti", "q_bloom_anti", "SQL_BLOOM_ANTI",
+     ["o_orderkey", "o_custkey", "o_totalprice"],
+     ("o_orderkey", 10, 0)),
 ]
 
 

@@ -959,3 +959,66 @@ SELECT ev.user_id, ev.event_id, iv.sess_start, iv.sess_end,
 FROM (SELECT user_id, event_id, epoch_us(ts) AS t FROM events) ev
 JOIN iv ON ev.user_id = iv.user_id
        AND ev.t BETWEEN iv.sess_start AND iv.sess_end"""
+
+
+# ---------------------------------------------------------------------------
+# bloom-pruned exact semi/anti equi-join (ops/bloom.py)
+
+def _bloom_sides(sf_dir: str):
+    """orders probe side vs a selective customer build side (one
+    market segment, positive balance — ~1/10 of customers), keyed by
+    custkey. The build side is renamed to the probe's key name (the
+    op hashes the same column list on both sides)."""
+    left = ray.data.read_parquet(
+        f"{sf_dir}/orders.parquet",
+        columns=["o_orderkey", "o_custkey", "o_totalprice"],
+    )
+
+    def prep_right(t: pa.Table) -> pa.Table:
+        keep = pc.and_(
+            pc.equal(t["c_mktsegment"], "BUILDING"),
+            pc.greater(t["c_acctbal"], 0.0),
+        )
+        return pa.table({"o_custkey": t.filter(keep)["c_custkey"]})
+
+    right = ray.data.read_parquet(
+        f"{sf_dir}/customer.parquet", columns=["c_custkey", "c_mktsegment", "c_acctbal"]
+    ).map_batches(prep_right, batch_format="pyarrow")
+    return left, right
+
+
+def q_bloom_semi(sf_dir: str):
+    """Orders of positive-balance BUILDING customers via the bloom-
+    pruned EXACT semi join: fixed-size filter built in one streaming
+    pass over the build side, broadcast once, bloom-True rows verified
+    by one hash-partitioned exact join (ops/bloom.py — output is
+    invariant to num_bits; false positives verified away, false
+    negatives impossible)."""
+    from .ops.bloom import bloom_semi_join
+
+    left, right = _bloom_sides(sf_dir)
+    return bloom_semi_join(left, right, ["o_custkey"], num_bits=1 << 20)
+
+
+def q_bloom_anti(sf_dir: str):
+    """Anti variant: bloom-False rows are PROVABLY non-matching and
+    bypass the exchange entirely (~9/10 of orders here); only the
+    bloom-True sliver pays the exact verify."""
+    from .ops.bloom import bloom_semi_join
+
+    left, right = _bloom_sides(sf_dir)
+    return bloom_semi_join(
+        left, right, ["o_custkey"], anti=True, num_bits=1 << 20
+    )
+
+
+_BLOOM_RIGHT = """SELECT c_custkey FROM customer
+WHERE c_mktsegment = 'BUILDING' AND c_acctbal > 0"""
+
+SQL_BLOOM_SEMI = f"""
+SELECT o_orderkey, o_custkey, o_totalprice FROM orders
+WHERE o_custkey IN ({_BLOOM_RIGHT})"""
+
+SQL_BLOOM_ANTI = f"""
+SELECT o_orderkey, o_custkey, o_totalprice FROM orders
+WHERE o_custkey NOT IN ({_BLOOM_RIGHT})"""
