@@ -318,6 +318,10 @@ def queries() -> dict[str, Callable[[str], Any]]:
         # bloom-pruned exact semi/anti equi-join (ops/bloom.py)
         "bloom_semi": QS.wrap_sub("q_bloom_semi"),
         "bloom_anti": QS.wrap_sub("q_bloom_anti"),
+        # interval-overlap join (ops/interval.py): bucketed exchange
+        # + broadcast long tier; keyed variant plants long intervals
+        "interval_join": QS.wrap_sub("q_interval_join"),
+        "interval_join_user": QS.wrap_sub("q_interval_join_user"),
     }
     for k, v in img.items():
         qs.setdefault(k, v)
@@ -395,6 +399,8 @@ def oracle_sql() -> dict[str, str]:
         "session_assign": QT.SQL_SESSION_ASSIGN,
         "bloom_semi": QT.SQL_BLOOM_SEMI,
         "bloom_anti": QT.SQL_BLOOM_ANTI,
+        "interval_join": QT.SQL_INTERVAL_JOIN,
+        "interval_join_user": QT.SQL_INTERVAL_JOIN_USER,
         # img_* queries: non-SQL-expressible (synthetic binary input) ->
         # rows-only driver check; pixel/caption invariants live in tests/
     }

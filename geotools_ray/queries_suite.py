@@ -100,6 +100,15 @@ _SUBS = [
     ("bloom_anti", "q_bloom_anti", "SQL_BLOOM_ANTI",
      ["o_orderkey", "o_custkey", "o_totalprice"],
      ("o_orderkey", 10, 0)),
+    # interval-overlap join (ops/interval.py) — all-numeric pair
+    # surfaces; the unkeyed one is O(pairs)-sized, bounded by the
+    # usual deterministic key predicate
+    ("interval_join", "q_interval_join", "SQL_INTERVAL_JOIN",
+     ["l_id", "r_id", "ov_us"],
+     ("l_id", 10, 0)),
+    ("interval_join_user", "q_interval_join_user",
+     "SQL_INTERVAL_JOIN_USER",
+     ["user_id", "l_id", "r_id", "ov_us"]),
 ]
 
 

@@ -1022,3 +1022,137 @@ WHERE o_custkey IN ({_BLOOM_RIGHT})"""
 SQL_BLOOM_ANTI = f"""
 SELECT o_orderkey, o_custkey, o_totalprice FROM orders
 WHERE o_custkey NOT IN ({_BLOOM_RIGHT})"""
+
+
+# ---------------------------------------------------------------------------
+# interval-overlap join (ops/interval.py) — intervals × intervals, the
+# general case beyond the as-of join's point-in-interval
+
+
+def _interval_sides(sf_dir: str, keyed: bool):
+    """Deterministic interval sets derived from events: each side is a
+    disjoint event slice whose window length is a pure function of
+    event_id (SQL-reproducible). The keyed variant plants ~1% LONG
+    intervals (27 h / 55 h) on each side so the broadcast tier runs in
+    the driver-checked path, not just in pytest."""
+    import pyarrow as pa
+    import ray.data
+
+    ev = ray.data.read_parquet(
+        f"{sf_dir}/events.parquet", columns=["event_id", "ts", "user_id"]
+    )
+
+    def mk(mod, rem, span_mod, span_base, pref, long_mod=None, long_add=0):
+        def f(t: pa.Table) -> pa.Table:
+            eid = t["event_id"].to_numpy()
+            keep = eid % mod == rem
+            t2 = t.filter(pa.array(keep))
+            eid = eid[keep]
+            s = t2["ts"].combine_chunks().cast(pa.timestamp("us")).cast(
+                pa.int64()).to_numpy()
+            span_s = eid % span_mod + span_base
+            if long_mod is not None:
+                span_s = span_s + np.where(eid % long_mod == rem, long_add, 0)
+            cols = {
+                f"{pref}_id": pa.array(eid),
+                f"{pref}_s": pa.array(s),
+                f"{pref}_e": pa.array(s + span_s * 1_000_000),
+            }
+            if keyed:
+                cols["user_id"] = t2["user_id"]
+            return pa.table(cols)
+
+        return f
+
+    if keyed:
+        left = ev.map_batches(
+            mk(2, 0, 3600, 300, "l", long_mod=97, long_add=100_000),
+            batch_format="pyarrow")
+        right = ev.map_batches(
+            mk(2, 1, 7200, 600, "r", long_mod=89, long_add=200_000),
+            batch_format="pyarrow")
+    else:
+        left = ev.map_batches(mk(3, 0, 900, 60, "l"), batch_format="pyarrow")
+        right = ev.map_batches(mk(5, 1, 1800, 60, "r"), batch_format="pyarrow")
+    return left, right
+
+
+def _ov_us(ds):
+    import pyarrow as pa
+
+    def fin(t: pa.Table) -> pa.Table:
+        ov = pa.array(
+            t["ov_end"].to_numpy(zero_copy_only=False)
+            - t["ov_start"].to_numpy(zero_copy_only=False))
+        return t.drop_columns(["ov_start", "ov_end"]).append_column(
+            "ov_us", ov)
+
+    return ds.map_batches(fin, batch_format="pyarrow")
+
+
+def q_interval_join(sf_dir: str):
+    """Unkeyed interval-overlap join (closed intervals): event windows
+    [ts, ts + f(event_id)] from two disjoint event slices; one
+    bucketed grouped exchange, pairs emitted exactly once by the
+    bucket holding max(start) (ops/interval.py)."""
+    from .ops.interval import interval_join
+
+    left, right = _interval_sides(sf_dir, keyed=False)
+    res = interval_join(
+        left, right,
+        l_start="l_s", l_end="l_e", r_start="r_s", r_end="r_e",
+        l_cols=["l_id"], r_cols=["r_id"],
+        bucket_width=3_600_000_000,  # 1 h buckets; spans <= ~31 min
+    )
+    return _ov_us(res)
+
+
+def q_interval_join_user(sf_dir: str):
+    """Keyed variant (same user only) with planted ~1% 27 h/55 h
+    intervals: long rows exceed long_span_buckets=24 and take the
+    broadcast tier (collected once, ray.put, probed vectorized per
+    batch); short×short stays in the bucketed exchange — all four
+    pair tiers run and union."""
+    from .ops.interval import interval_join
+
+    left, right = _interval_sides(sf_dir, keyed=True)
+    res = interval_join(
+        left, right,
+        l_start="l_s", l_end="l_e", r_start="r_s", r_end="r_e",
+        l_cols=["l_id"], r_cols=["r_id"], key="user_id",
+        bucket_width=3_600_000_000, long_span_buckets=24,
+    )
+    return _ov_us(res)
+
+
+_SQL_IV = """
+l AS (SELECT event_id AS l_id, epoch_us(ts) AS s,
+            epoch_us(ts) + (event_id % 900 + 60) * 1000000 AS e
+      FROM events WHERE event_id % 3 = 0),
+r AS (SELECT event_id AS r_id, epoch_us(ts) AS s,
+            epoch_us(ts) + (event_id % 1800 + 60) * 1000000 AS e
+      FROM events WHERE event_id % 5 = 1)"""
+
+SQL_INTERVAL_JOIN = f"""
+WITH {_SQL_IV}
+SELECT l.l_id, r.r_id, least(l.e, r.e) - greatest(l.s, r.s) AS ov_us
+FROM l, r WHERE l.s <= r.e AND r.s <= l.e"""
+
+_SQL_IVK = """
+l AS (SELECT user_id, event_id AS l_id, epoch_us(ts) AS s,
+            epoch_us(ts) + (event_id % 3600 + 300
+              + CASE WHEN event_id % 97 = 0 THEN 100000 ELSE 0 END)
+              * 1000000 AS e
+      FROM events WHERE event_id % 2 = 0),
+r AS (SELECT user_id, event_id AS r_id, epoch_us(ts) AS s,
+            epoch_us(ts) + (event_id % 7200 + 600
+              + CASE WHEN event_id % 89 = 1 THEN 200000 ELSE 0 END)
+              * 1000000 AS e
+      FROM events WHERE event_id % 2 = 1)"""
+
+SQL_INTERVAL_JOIN_USER = f"""
+WITH {_SQL_IVK}
+SELECT l.user_id, l.l_id, r.r_id,
+       least(l.e, r.e) - greatest(l.s, r.s) AS ov_us
+FROM l JOIN r ON l.user_id = r.user_id
+WHERE l.s <= r.e AND r.s <= l.e"""
