@@ -322,6 +322,7 @@ def queries() -> dict[str, Callable[[str], Any]]:
         # + broadcast long tier; keyed variant plants long intervals
         "interval_join": QS.wrap_sub("q_interval_join"),
         "interval_join_user": QS.wrap_sub("q_interval_join_user"),
+        "interval_flatten": QS.wrap_sub("q_interval_flatten"),
     }
     for k, v in img.items():
         qs.setdefault(k, v)
@@ -401,6 +402,7 @@ def oracle_sql() -> dict[str, str]:
         "bloom_anti": QT.SQL_BLOOM_ANTI,
         "interval_join": QT.SQL_INTERVAL_JOIN,
         "interval_join_user": QT.SQL_INTERVAL_JOIN_USER,
+        "interval_flatten": QT.SQL_INTERVAL_FLATTEN,
         # img_* queries: non-SQL-expressible (synthetic binary input) ->
         # rows-only driver check; pixel/caption invariants live in tests/
     }

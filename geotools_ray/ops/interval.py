@@ -503,3 +503,90 @@ def interval_join(
     if len(parts) > 1:
         out = out.union(*parts[1:])
     return out
+
+
+def interval_flatten(
+    ds: ray.data.Dataset,
+    *,
+    key: str,
+    start: str,
+    end: str,
+    gap: int = 0,
+    num_parts: int | None = None,
+) -> ray.data.Dataset:
+    """Per-key interval union (SQL gaps-and-islands): merge CLOSED
+    intervals that overlap or sit within `gap` of each other into
+    maximal islands. -> (key, ivl_start, ivl_end int64, n_merged) —
+    one island row per maximal merged run.
+
+    One hash-partitioned grouped exchange on `key`; per partition the
+    kernel is fully vectorized: lexsort by (key, start, end), per-key
+    running cummax of `end` (pandas' cython grouped cummax — no
+    Python per key), island breaks where start > prev_cummax + gap,
+    and per-island reduction via np.maximum.reduceat on the break
+    offsets. Touching endpoints (start == prev end, gap=0) MERGE —
+    closed intervals share the point. The flightline interval-union
+    (ops/flightline.py, U2) is the keyless special case of this
+    operator; reference analog: geotools' segment-merge pass
+    (src/flightline.cpp interval coalescing).
+    """
+    if gap < 0:
+        raise ValueError("gap must be >= 0")
+    sch = ds.schema()
+    spa = pa.schema(list(zip(sch.names, sch.types)))
+    for c in (key, start, end):
+        if c not in spa.names:
+            raise KeyError(f"column {c!r} not in schema")
+    ktype = spa.field(key).type
+    G = int(gap)
+
+    def _empty() -> pa.Table:
+        return pa.table({
+            key: pa.nulls(0, ktype),
+            "ivl_start": pa.array([], pa.int64()),
+            "ivl_end": pa.array([], pa.int64()),
+            "n_merged": pa.array([], pa.int64()),
+        })
+
+    def tag(t: pa.Table) -> pa.Table:
+        if t[key].null_count:
+            raise ValueError(
+                f"interval_flatten key column {key!r} contains nulls")
+        sv, ev = _norm_se(t, start, end)
+        return pa.table({key: t[key], "_s": pa.array(sv),
+                         "_e": pa.array(ev)})
+
+    def per_part(t: pa.Table) -> pa.Table:
+        t = t.combine_chunks()
+        n = len(t)
+        if n == 0:
+            return _empty()
+        kv = t[key].to_numpy(zero_copy_only=False)
+        sv = t["_s"].to_numpy()
+        ev = t["_e"].to_numpy()
+        order = np.lexsort((ev, sv, kv))
+        kv, sv, ev = kv[order], sv[order], ev[order]
+        kcode, _ = pd.factorize(kv, sort=False)
+        # per-key running max of end (cython grouped cummax)
+        cmax = pd.Series(ev).groupby(kcode).cummax().to_numpy()
+        brk = np.ones(n, dtype=bool)
+        if n > 1:
+            same_key = kcode[1:] == kcode[:-1]
+            # overflow-safe: prev_cmax + G could pass int64 for
+            # astronomical ends; compare via subtraction instead
+            brk[1:] = ~same_key | (sv[1:] - cmax[:-1] > G)
+        starts = np.flatnonzero(brk)
+        ends_excl = np.append(starts[1:], n)
+        ivl_end = np.maximum.reduceat(ev, starts)
+        out = pa.table({
+            key: pa.array(kv[starts]).cast(ktype),
+            "ivl_start": pa.array(sv[starts]),
+            "ivl_end": pa.array(ivl_end),
+            "n_merged": pa.array(ends_excl - starts),
+        })
+        return out
+
+    return grouped_map(
+        ds.map_batches(tag, batch_format="pyarrow"),
+        [key], per_part, num_parts=num_parts, batch_format="pyarrow",
+    )

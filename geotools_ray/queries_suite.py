@@ -109,6 +109,11 @@ _SUBS = [
     ("interval_join_user", "q_interval_join_user",
      "SQL_INTERVAL_JOIN_USER",
      ["user_id", "l_id", "r_id", "ov_us"]),
+    # per-key interval union (gaps-and-islands) — O(islands) surface,
+    # key-predicate bounded
+    ("interval_flatten", "q_interval_flatten", "SQL_INTERVAL_FLATTEN",
+     ["user_id", "ivl_start", "ivl_end", "n_merged"],
+     ("user_id", 10, 0)),
 ]
 
 

@@ -1156,3 +1156,49 @@ SELECT l.user_id, l.l_id, r.r_id,
        least(l.e, r.e) - greatest(l.s, r.s) AS ov_us
 FROM l JOIN r ON l.user_id = r.user_id
 WHERE l.s <= r.e AND r.s <= l.e"""
+
+
+def q_interval_flatten(sf_dir: str):
+    """Per-user interval union (gaps-and-islands): every event opens a
+    window [ts, ts + f(event_id)]; windows overlapping or within a
+    30-min gap merge into maximal islands — one grouped exchange,
+    cython grouped cummax + reduceat per partition
+    (ops/interval.interval_flatten)."""
+    import ray.data
+
+    from .ops.interval import interval_flatten
+
+    ev = ray.data.read_parquet(
+        f"{sf_dir}/events.parquet", columns=["event_id", "ts", "user_id"])
+
+    def mk(t: pa.Table) -> pa.Table:
+        eid = t["event_id"].to_numpy()
+        s = t["ts"].combine_chunks().cast(pa.timestamp("us")).cast(
+            pa.int64()).to_numpy()
+        return pa.table({
+            "user_id": t["user_id"],
+            "s": pa.array(s),
+            "e": pa.array(s + (eid % 36000 + 600) * 1_000_000),
+        })
+
+    iv = ev.map_batches(mk, batch_format="pyarrow")
+    return interval_flatten(
+        iv, key="user_id", start="s", end="e", gap=1_800_000_000)
+
+
+SQL_INTERVAL_FLATTEN = """
+WITH iv AS (SELECT user_id, epoch_us(ts) AS s,
+                   epoch_us(ts) + (event_id % 36000 + 600) * 1000000 AS e
+            FROM events),
+m AS (SELECT user_id, s, e,
+        CASE WHEN s - COALESCE(MAX(e) OVER (PARTITION BY user_id
+               ORDER BY s, e ROWS BETWEEN UNBOUNDED PRECEDING
+               AND 1 PRECEDING), s - 1800000001) > 1800000000
+             THEN 1 ELSE 0 END AS brk
+      FROM iv),
+g AS (SELECT *, SUM(brk) OVER (PARTITION BY user_id ORDER BY s, e
+          ROWS BETWEEN UNBOUNDED PRECEDING AND CURRENT ROW) AS island
+      FROM m)
+SELECT user_id, MIN(s) AS ivl_start, MAX(e) AS ivl_end,
+       COUNT(*) AS n_merged
+FROM g GROUP BY user_id, island"""

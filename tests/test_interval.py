@@ -173,3 +173,68 @@ def test_name_collision_rejected(ray_session):
         interval_join(lds, rds, l_start="ls", l_end="le",
                       r_start="rs", r_end="re",
                       l_cols=["lid"], r_cols=["lid"], bucket_width=10)
+
+
+# ---------------------------------------------------------------------------
+# interval_flatten (per-key gaps-and-islands union)
+
+
+def _brute_flatten(k, s, e, gap):
+    rows = sorted(zip(k, s, e))
+    out = []
+    for kk, ss, ee in rows:
+        if out and out[-1][0] == kk and ss <= out[-1][2] + gap:
+            out[-1][2] = max(out[-1][2], ee)
+            out[-1][3] += 1
+        else:
+            out.append([kk, ss, ee, 1])
+    return sorted((a, b, c, d) for a, b, c, d in out)
+
+
+@pytest.mark.parametrize("gap,parts", [(0, 3), (50, 7), (10_000, 2)])
+def test_flatten_bruteforce_parity(ray_session, gap, parts):
+    from geotools_ray.ops.interval import interval_flatten
+
+    rng = np.random.default_rng(5)
+    n = 600
+    k = rng.integers(0, 12, n)
+    s = rng.integers(0, 50_000, n)
+    e = s + rng.integers(0, 800, n)
+    ds = ray.data.from_arrow(
+        pa.table({"k": k, "s": s, "e": e})).repartition(5)
+    res = interval_flatten(
+        ds, key="k", start="s", end="e", gap=gap, num_parts=parts
+    ).to_pandas()
+    got = sorted(zip(res["k"], res["ivl_start"], res["ivl_end"],
+                     res["n_merged"]))
+    assert [tuple(map(int, r)) for r in got] == _brute_flatten(k, s, e, gap)
+
+
+def test_flatten_touching_merge_and_contained(ray_session):
+    from geotools_ray.ops.interval import interval_flatten
+
+    # touching at a point merges (closed); a contained interval must
+    # not split the island even when a short one follows a long one
+    tb = pa.table({
+        "k": pa.array([1, 1, 1, 1], pa.int64()),
+        "s": pa.array([0, 10, 12, 40], pa.int64()),
+        "e": pa.array([10, 30, 15, 50], pa.int64()),
+    })
+    res = interval_flatten(
+        ray.data.from_arrow(tb), key="k", start="s", end="e",
+        num_parts=2).to_pandas().sort_values("ivl_start")
+    assert list(map(tuple, res[["ivl_start", "ivl_end", "n_merged"]]
+                    .itertuples(index=False))) == [(0, 30, 3), (40, 50, 1)]
+
+
+def test_flatten_validation(ray_session):
+    from geotools_ray.ops.interval import interval_flatten
+
+    tb = pa.table({"k": pa.array([1]), "s": pa.array([5]),
+                   "e": pa.array([1])})
+    with pytest.raises(Exception, match="start > end"):
+        interval_flatten(ray.data.from_arrow(tb), key="k", start="s",
+                         end="e").to_pandas()
+    with pytest.raises(ValueError, match="gap"):
+        interval_flatten(ray.data.from_arrow(tb), key="k", start="s",
+                         end="e", gap=-1)
