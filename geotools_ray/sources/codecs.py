@@ -340,8 +340,17 @@ def _blocks(channel: np.ndarray) -> tuple[np.ndarray, int, int]:
     )
 
 
-def encode_jpeg(pixels: np.ndarray, quality: int = 90) -> bytes:
-    """(h, w, 3) or (h, w) uint8 -> baseline JFIF JPEG bytes (4:4:4)."""
+def encode_jpeg(
+    pixels: np.ndarray, quality: int = 90, restart_interval: int = 0
+) -> bytes:
+    """(h, w, 3) or (h, w) uint8 -> baseline JFIF JPEG bytes (4:4:4).
+
+    restart_interval > 0 emits a DRI segment and an RSTn marker every
+    `restart_interval` MCUs (T.81 B.2.4.4 / E.1.4): the entropy stream
+    byte-aligns (1-padded) before each marker and DC prediction resets
+    after it, which makes every restart segment independently
+    decodable — the property the wide SIMD-across-segments decoder
+    (sources/jpegwide.py) exploits for parallel entropy decode."""
     gray = pixels.ndim == 2
     h, w = pixels.shape[:2]
     ql, qc = _quality_tables(quality)
@@ -355,7 +364,11 @@ def encode_jpeg(pixels: np.ndarray, quality: int = 90) -> bytes:
     quantized = []
     for chan, qt in comps:
         blk, _, _ = _blocks(chan - 128.0)
-        coef = np.einsum("ij,njk,lk->nil", _T, blk, _T)
+        # batched matmul (T @ blk @ T^T) — same contraction as the
+        # einsum form but BLAS-stacked (~10x); the wide codec
+        # (jpegwide.py) uses the identical formulation so scalar and
+        # wide outputs stay bit-identical
+        coef = np.matmul(np.matmul(_T, blk), _T.T)
         quantized.append(np.round(coef / qt).astype(np.int32).reshape(-1, 64)[:, _ZZ])
 
     enc_dc = [_huff_encode_table(*_HT_DC_LUM), _huff_encode_table(*_HT_DC_CHR)]
@@ -366,10 +379,34 @@ def encode_jpeg(pixels: np.ndarray, quality: int = 90) -> bytes:
     # _BitWriter method call per symbol) and list-form blocks; bytes
     # drain in one pass at the end with vectorized 0xFF stuffing
     q_lists = [q.tolist() for q in quantized]
+
+    def _stuff(raw: bytearray) -> bytes:
+        # byte stuffing (T.81 F.1.2.3): 0xFF -> 0xFF 0x00, vectorized
+        arr = np.frombuffer(bytes(raw), dtype=np.uint8)
+        ff = np.nonzero(arr == 0xFF)[0]
+        if len(ff):
+            return np.insert(arr, ff + 1, 0).tobytes()
+        return bytes(raw)
+
     acc = 0
     nbits = 0
     buf = bytearray()
+    entropy = bytearray()
+    rst_count = 0
     for b in range(nblocks):  # interleaved MCU order == block order at 1x1
+        if restart_interval and b and b % restart_interval == 0:
+            # segment boundary: 1-pad to byte, stuff, emit RSTn, reset
+            # DC prediction (T.81 E.1.4)
+            pad = (8 - (nbits & 7)) & 7
+            acc = (acc << pad) | ((1 << pad) - 1)
+            nbits += pad
+            if nbits:
+                buf += acc.to_bytes(nbits // 8, "big")
+            entropy += _stuff(buf)
+            entropy += bytes((0xFF, 0xD0 + (rst_count & 7)))
+            rst_count += 1
+            acc, nbits, buf = 0, 0, bytearray()
+            prev_dc = [0] * len(comps)
         for ci in range(len(comps)):
             zz = q_lists[ci][b]
             tdc, tac = enc_dc[min(ci, 1)], enc_ac[min(ci, 1)]
@@ -420,11 +457,16 @@ def encode_jpeg(pixels: np.ndarray, quality: int = 90) -> bytes:
     nbits += pad
     if nbits:
         buf += acc.to_bytes(nbits // 8, "big")
-    # byte stuffing (T.81 F.1.2.3): 0xFF -> 0xFF 0x00, vectorized
-    arr = np.frombuffer(bytes(buf), dtype=np.uint8)
-    ff = np.nonzero(arr == 0xFF)[0]
-    if len(ff):
-        buf = bytearray(np.insert(arr, ff + 1, 0).tobytes())
+    entropy += _stuff(buf)
+    return jpeg_header_bytes(gray, ql, qc, h, w, restart_interval) + entropy + b"\xff\xd9"
+
+
+def jpeg_header_bytes(
+    gray: bool, ql: np.ndarray, qc: np.ndarray, h: int, w: int, restart_interval: int
+) -> bytes:
+    """All marker segments up to and including SOS — the single source
+    of truth shared by the scalar encoder and the wide stack encoder
+    (jpegwide.encode_jpeg_stack), so their outputs stay byte-identical."""
 
     def seg(marker: int, body: bytes) -> bytes:
         return struct.pack(">HH", marker, len(body) + 2) + body
@@ -434,6 +476,8 @@ def encode_jpeg(pixels: np.ndarray, quality: int = 90) -> bytes:
     out += seg(0xFFDB, b"\x00" + bytes(ql.reshape(64)[_ZZ].astype(np.uint8)))
     if not gray:
         out += seg(0xFFDB, b"\x01" + bytes(qc.reshape(64)[_ZZ].astype(np.uint8)))
+    if restart_interval:
+        out += seg(0xFFDD, struct.pack(">H", restart_interval))  # DRI
     ncomp = 1 if gray else 3
     sof = struct.pack(">BHHB", 8, h, w, ncomp)
     for ci in range(ncomp):
@@ -451,32 +495,41 @@ def encode_jpeg(pixels: np.ndarray, quality: int = 90) -> bytes:
         sos += bytes([ci + 1, (t << 4) | t])
     sos += b"\x00\x3f\x00"
     out += seg(0xFFDA, sos)
-    out += buf
-    out += b"\xff\xd9"  # EOI
     return bytes(out)
 
 
-class _BitReader:
-    """Entropy-segment byte holder with 0xFF00 unstuffing; the scan
-    loop in decode_jpeg reads self.data with inlined local-state bit
-    accumulators (profiled ~2x over per-symbol method calls)."""
-
-    def __init__(self, data: bytes):
-        arr = np.frombuffer(data, dtype=np.uint8)
-        # drop the 0x00 after each 0xFF (stuffing); RST markers are not
-        # emitted by this encoder and unsupported here
-        keep = np.ones(len(arr), dtype=bool)
-        ff = np.nonzero(arr[:-1] == 0xFF)[0]
-        keep[ff[arr[ff + 1] == 0x00] + 1] = False
-        self.data = arr[keep].tobytes()
-        self.n = len(self.data)
+def entropy_segments(data) -> list[np.ndarray]:
+    """Split a raw entropy-coded span into its restart segments, each
+    unstuffed (0xFF00 -> 0xFF) — vectorized marker scan. A stream with
+    no RST markers yields one segment. Accepts bytes or memoryview."""
+    arr = np.frombuffer(data, dtype=np.uint8)
+    if len(arr) == 0:
+        return [arr]
+    ff = np.nonzero(arr[:-1] == 0xFF)[0]
+    nxt = arr[ff + 1]
+    stuffed = ff[nxt == 0x00] + 1  # the inserted 0x00 bytes
+    rst = ff[(nxt >= 0xD0) & (nxt <= 0xD7)]  # RSTn marker starts
+    keep = np.ones(len(arr), dtype=bool)
+    keep[stuffed] = False
+    keep[rst] = False
+    keep[rst + 1] = False
+    if len(rst) == 0:
+        return [arr[keep]]
+    seg_id = np.zeros(len(arr), dtype=np.int32)
+    starts = rst + 2
+    seg_id[starts[starts < len(arr)]] = 1
+    seg_id = np.cumsum(seg_id)
+    clean, sid = arr[keep], seg_id[keep]
+    nseg = len(rst) + 1
+    cuts = np.searchsorted(sid, np.arange(1, nseg))
+    return np.split(clean, cuts)
 
 
 def decode_jpeg(data: bytes) -> np.ndarray:
     """Baseline JFIF JPEG -> (h, w, 3) or (h, w) uint8.
 
     Supports the subset this encoder emits plus any baseline file with
-    8-bit samples, 1x1 sampling (4:4:4), no restart markers, no
+    8-bit samples, 1x1 sampling (4:4:4), restart intervals or not, no
     progressive scans.
     """
     if data[:2] != b"\xff\xd8":
@@ -486,6 +539,7 @@ def decode_jpeg(data: bytes) -> np.ndarray:
     htabs: dict[tuple[int, int], tuple[list, list]] = {}
     comps: list[tuple[int, int, int]] = []  # (comp_id, qtab_id)
     h = w = 0
+    dri = 0
     scan = None
     while pos < len(data):
         if data[pos] != 0xFF:
@@ -532,8 +586,8 @@ def decode_jpeg(data: bytes) -> np.ndarray:
                 vals = list(body[bpos + 17 : bpos + 17 + nv])
                 htabs[(tc, th)] = _huff_decode_table(bits, vals)
                 bpos += 17 + nv
-        elif marker == 0xDD:
-            raise NotImplementedError("restart markers")
+        elif marker == 0xDD:  # DRI: restart interval in MCUs
+            (dri,) = struct.unpack(">H", body[:2])
         elif marker == 0xDA:  # SOS
             ns = body[0]
             scan = []
@@ -545,9 +599,9 @@ def decode_jpeg(data: bytes) -> np.ndarray:
         pos += ln
     if scan is None or not comps:
         raise ValueError("JPEG missing SOS/SOF")
-    # entropy-coded segment runs to EOI
+    # entropy-coded span runs to EOI; split on RST markers + unstuff
     end = data.rfind(b"\xff\xd9")
-    br = _BitReader(data[pos : end if end > pos else len(data)])
+    segments = entropy_segments(data[pos : end if end > pos else len(data)])
 
     H, W = (h + 7) & ~7, (w + 7) & ~7
     nby, nbx = H // 8, W // 8
@@ -555,89 +609,101 @@ def decode_jpeg(data: bytes) -> np.ndarray:
     ncomp = len(comps)
     dc_t = [htabs[(0, next(t for c, t, _ in scan if c == cid))] for cid, _ in comps]
     ac_t = [htabs[(1, next(a for c, _, a in scan if c == cid))] for cid, _ in comps]
-    prev_dc = [0] * ncomp
     # hot entropy loop: the bit-reader state lives in locals and the
     # coefficient blocks are plain python lists — both ~2x over
     # method-call + numpy-scalar-store variants (profiled)
     coefs_l = [[[0] * 64 for _ in range(nblocks)] for _ in range(ncomp)]
-    data_e, nd = br.data, br.n
-    acc, nacc, bp = 0, 0, 0
-    for b in range(nblocks):
-        for ci in range(ncomp):
-            zz = coefs_l[ci][b]
-            dsym, dlen = dc_t[ci]
-            asym, alen = ac_t[ci]
-            # DC
-            if nacc < 16:
-                while nacc <= 24:
-                    acc = (acc << 8) | (data_e[bp] if bp < nd else 0xFF)
-                    bp += 1
-                    nacc += 8
-            window = (acc >> (nacc - 16)) & 0xFFFF
-            ln = dlen[window]
-            if ln == 0:
-                raise ValueError("invalid Huffman code")
-            nacc -= ln
-            acc &= (1 << nacc) - 1
-            size = dsym[window]
-            if size:
-                if nacc < size:
-                    while nacc <= 24:
-                        acc = (acc << 8) | (data_e[bp] if bp < nd else 0xFF)
-                        bp += 1
-                        nacc += 8
-                nacc -= size
-                v = (acc >> nacc) & ((1 << size) - 1)
-                acc &= (1 << nacc) - 1
-                diff = v if v >= (1 << (size - 1)) else v - (1 << size) + 1
-                prev_dc[ci] += diff
-            zz[0] = prev_dc[ci]
-            # AC
-            k = 1
-            while k < 64:
-                if nacc < 16:
-                    while nacc <= 24:
-                        acc = (acc << 8) | (data_e[bp] if bp < nd else 0xFF)
-                        bp += 1
-                        nacc += 8
-                window = (acc >> (nacc - 16)) & 0xFFFF
-                ln = alen[window]
-                if ln == 0:
-                    raise ValueError("invalid Huffman code")
-                nacc -= ln
-                acc &= (1 << nacc) - 1
-                rs = asym[window]
-                s = rs & 15
-                if s == 0:
-                    if rs == 0xF0:
-                        k += 16
-                        continue
-                    break  # EOB
-                k += rs >> 4
-                if nacc < s:
-                    while nacc <= 24:
-                        acc = (acc << 8) | (data_e[bp] if bp < nd else 0xFF)
-                        bp += 1
-                        nacc += 8
-                nacc -= s
-                v = (acc >> nacc) & ((1 << s) - 1)
-                acc &= (1 << nacc) - 1
-                zz[k] = v if v >= (1 << (s - 1)) else v - (1 << s) + 1
-                k += 1
-    # truncation guard: refills past the real data fabricate 0xFF pad
-    # bytes (legal only for the final byte's 1-bit padding). Consumed
-    # bits = 8*bp - nacc; anything beyond the real stream means the
-    # entropy segment ran dry mid-decode — raise instead of returning
-    # plausible-looking garbage pixels.
-    if 8 * bp - nacc > 8 * nd:
-        raise ValueError("truncated JPEG entropy segment")
+    mcu_per_seg = dri if dri else nblocks
+    nseg_expected = max(1, -(-nblocks // mcu_per_seg))
+    if len(segments) != nseg_expected:
+        raise ValueError(
+            f"JPEG restart segments: found {len(segments)}, "
+            f"expected {nseg_expected} (DRI={dri}, MCUs={nblocks})"
+        )
+    b0 = 0
+    for segarr in segments:
+        data_e = segarr.tobytes()
+        nd = len(data_e)
+        acc, nacc, bp = 0, 0, 0
+        prev_dc = [0] * ncomp  # DC prediction resets at each RST
+        hi = min(b0 + mcu_per_seg, nblocks)
+        for b in range(b0, hi):
+            for ci in range(ncomp):
+                    zz = coefs_l[ci][b]
+                    dsym, dlen = dc_t[ci]
+                    asym, alen = ac_t[ci]
+                    # DC
+                    if nacc < 16:
+                        while nacc <= 24:
+                            acc = (acc << 8) | (data_e[bp] if bp < nd else 0xFF)
+                            bp += 1
+                            nacc += 8
+                    window = (acc >> (nacc - 16)) & 0xFFFF
+                    ln = dlen[window]
+                    if ln == 0:
+                        raise ValueError("invalid Huffman code")
+                    nacc -= ln
+                    acc &= (1 << nacc) - 1
+                    size = dsym[window]
+                    if size:
+                        if nacc < size:
+                            while nacc <= 24:
+                                acc = (acc << 8) | (data_e[bp] if bp < nd else 0xFF)
+                                bp += 1
+                                nacc += 8
+                        nacc -= size
+                        v = (acc >> nacc) & ((1 << size) - 1)
+                        acc &= (1 << nacc) - 1
+                        diff = v if v >= (1 << (size - 1)) else v - (1 << size) + 1
+                        prev_dc[ci] += diff
+                    zz[0] = prev_dc[ci]
+                    # AC
+                    k = 1
+                    while k < 64:
+                        if nacc < 16:
+                            while nacc <= 24:
+                                acc = (acc << 8) | (data_e[bp] if bp < nd else 0xFF)
+                                bp += 1
+                                nacc += 8
+                        window = (acc >> (nacc - 16)) & 0xFFFF
+                        ln = alen[window]
+                        if ln == 0:
+                            raise ValueError("invalid Huffman code")
+                        nacc -= ln
+                        acc &= (1 << nacc) - 1
+                        rs = asym[window]
+                        s = rs & 15
+                        if s == 0:
+                            if rs == 0xF0:
+                                k += 16
+                                continue
+                            break  # EOB
+                        k += rs >> 4
+                        if nacc < s:
+                            while nacc <= 24:
+                                acc = (acc << 8) | (data_e[bp] if bp < nd else 0xFF)
+                                bp += 1
+                                nacc += 8
+                        nacc -= s
+                        v = (acc >> nacc) & ((1 << s) - 1)
+                        acc &= (1 << nacc) - 1
+                        zz[k] = v if v >= (1 << (s - 1)) else v - (1 << s) + 1
+                        k += 1
+        # truncation guard: refills past the real data fabricate 0xFF
+        # pad bytes (legal only for the final byte's 1-bit padding).
+        # Consumed bits = 8*bp - nacc; anything beyond the real stream
+        # means this entropy segment ran dry mid-decode — raise instead
+        # of returning plausible-looking garbage pixels.
+        if 8 * bp - nacc > 8 * nd:
+            raise ValueError("truncated JPEG entropy segment")
+        b0 = hi
     coefs = [np.array(c, dtype=np.int32) for c in coefs_l]
     out = np.empty((h, w, ncomp), dtype=np.float64)
     for ci, (cid, tq) in enumerate(comps):
         dz = np.zeros((nblocks, 64), dtype=np.float64)
         dz[:, _ZZ] = coefs[ci] * qtabs[tq].reshape(64)[_ZZ]
         blk = dz.reshape(nblocks, 8, 8)
-        spat = np.einsum("ji,njk,kl->nil", _T, blk, _T) + 128.0
+        spat = np.matmul(np.matmul(_T.T, blk), _T) + 128.0
         chan = spat.reshape(nby, nbx, 8, 8).transpose(0, 2, 1, 3).reshape(H, W)
         out[..., ci] = chan[:h, :w]
     if ncomp == 1:
