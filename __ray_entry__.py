@@ -78,7 +78,10 @@ def _image_queries() -> dict[str, Callable[[str], Any]]:
 
             import pyarrow.parquet as pq
 
-            d = f"/tmp/geotools_ray_bench/fix_{kind}_n{n}_v1"
+            # v2: img fixtures carry real T.81 JPEG payloads over
+            # photo-like content (audio/video rows unchanged but share
+            # the version tag — regeneration is cheap at fixture sizes)
+            d = f"/tmp/geotools_ray_bench/fix_{kind}_n{n}_v2"
             done = os.path.join(d, "_DONE")
             if not os.path.exists(done):
                 # concurrent-safe publish: build in a pid-unique temp

@@ -32,11 +32,13 @@ NUM_CPUS = int(os.environ.get("RAY_GRAFT_CPUS", "32"))
 N_IMAGES = int(os.environ.get("GRAFT_BENCH_IMAGES", "2000000"))
 # v2: png rows are real spec-compliant PNG (sources/codecs.py)
 # v3: same rows, parquet written UNCOMPRESSED — the payloads are
-# deflated random pixels (incompressible), so the default snappy codec
-# only added a decompress+copy pass over the ~7 GB bytes column on
-# every timed read
-_CACHE_V2 = f"/tmp/geotools_ray_bench/images_n{N_IMAGES}_seed42_v2"
-CACHE = f"/tmp/geotools_ray_bench/images_n{N_IMAGES}_seed42_v3"
+# deflate/entropy-coded (incompressible), so the default snappy codec
+# only added a decompress+copy pass over the bytes column on every
+# timed read
+# v4: jpeg rows are REAL baseline T.81 JPEG (q92, restart interval 8,
+# wide-decodable) over photo-like synth_pixels content — no stand-in
+# payloads anywhere; 100% of the table decodes through spec codecs
+CACHE = f"/tmp/geotools_ray_bench/images_n{N_IMAGES}_seed42_v4"
 
 
 def ensure_image_cache():
@@ -45,18 +47,14 @@ def ensure_image_cache():
     done = os.path.join(CACHE, "_DONE")
     if os.path.exists(done):
         return
-    import pyarrow as pa
     import ray.data
 
-    from geotools_ray.sources.images import IMAGE_SCHEMA, make_image_row
+    from geotools_ray.sources.images import image_rows
 
     def gen(batch):
-        ids = batch["id"].tolist()
-        rows = []
-        for i in ids:
-            dup_of = i - 100 if (i % 100 == 99 and i >= 100) else None
-            rows.append(make_image_row(int(i), seed=42, dup_of=dup_of))
-        return pa.Table.from_pylist(rows, schema=IMAGE_SCHEMA)
+        # image_rows groups JPEG rows through the wide stack encoder
+        # (sources/jpegwide.py) — generation stays vectorized
+        return image_rows(batch["id"], 42, 100)
 
     # a crashed prior run leaves partial parquet files with no _DONE;
     # writing into the same dir would MERGE stale and fresh files
@@ -67,18 +65,11 @@ def ensure_image_cache():
 
         shutil.rmtree(CACHE)
     os.makedirs(CACHE, exist_ok=True)
-    if os.path.exists(os.path.join(_CACHE_V2, "_DONE")):
-        # a v2 (snappy) cache already holds the identical rows —
-        # transcode instead of re-encoding 2M images
-        ray.data.read_parquet(_CACHE_V2).write_parquet(
-            CACHE, compression="none"
-        )
-    else:
-        (
-            ray.data.range(N_IMAGES)
-            .map_batches(gen, batch_format="numpy", batch_size=2048)
-            .write_parquet(CACHE, compression="none")
-        )
+    (
+        ray.data.range(N_IMAGES)
+        .map_batches(gen, batch_format="numpy", batch_size=2048)
+        .write_parquet(CACHE, compression="none")
+    )
     with open(done, "w") as f:
         f.write("ok")
 

@@ -10,22 +10,28 @@ Codecs (see sources/codecs.py for the real implementations):
             rows, CRC'd chunks) — LOSSLESS, readable by any PNG tool.
             This is what the 2M-row flagship table stores for its png
             rows; decode stays batched (zlib + filter-byte strip).
-  - "jpeg": the table stores the GJPG deterministic stand-in (uniform
-            step-5 quantization + zlib, PSNR ~45 dB). A REAL baseline
-            JPEG codec (ITU-T T.81, JFIF, 4:4:4, standard Annex K
-            tables) exists in codecs.py and is what decode_image
-            dispatches to for genuine \\xff\\xd8 payloads — but its
-            pure-Python entropy loop runs ~35 ms/image, which at the
-            headline's 2M rows would swamp the pipeline, so the bulk
-            synthetic table keeps the vectorizable stand-in. The real
-            JPEG path is exercised by the img_codecs driver query and
-            tests/test_codecs.py, including the input_hint's
-            PSNR >= 40 dB invariant (held at quality>=98 even on the
-            generator's worst-case uniform-noise pixels).
+  - "jpeg": REAL baseline JPEG (ITU-T T.81, JFIF, 4:4:4, standard
+            Annex K tables) at JPEG_QUALITY with restart markers every
+            JPEG_RESTART MCUs. Restart segments are independently
+            decodable, which is what lets the bulk 2M-row table decode
+            through the wide SIMD-across-segments codec
+            (sources/jpegwide.py) instead of the ~35 ms/image scalar
+            entropy loop; encode_jpeg_stack gives the same speedup on
+            generation. The input_hint's PSNR >= 40 dB invariant holds
+            at q92 on the generator's photo-like content (min ~43 dB,
+            pytest-pinned) and at q>=98 even on uniform noise
+            (img_codecs / tests/test_codecs.py).
 
-decode_image dispatches on magic bytes: real PNG, real JPEG, GPNG
-(legacy fake png), GJPG. Everything Ray-side (schema, batch sizing,
-actor signatures, PSNR gate) is format-agnostic.
+Pixel content is photo-like (synth_pixels): a bilinear low-frequency
+field with one control point every FIELD_STEP pixels plus mild sensor
+noise. Real corpora are photographs, not white noise — uniform-noise
+payloads made lossy-codec cost ~10x the realistic case and could not
+hold 40 dB below q98.
+
+decode_image dispatches on magic bytes: real PNG, real JPEG, GPNG /
+GJPG (legacy fake payloads from old cached tables). Everything
+Ray-side (schema, batch sizing, actor signatures, PSNR gate) is
+format-agnostic.
 
 Geometry is DERIVED, not stored (SURVEY.md §7.2): a seeded RNG keyed
 by image_id yields the footprint centroid (lon, lat); extent comes
@@ -47,29 +53,28 @@ from . import codecs
 SIZES = (16, 32, 64)
 FMTS = ("png", "jpeg")
 GROUND_RES = 1e-4  # degrees per pixel for footprint extent
+JPEG_QUALITY = 92  # min PSNR ~43 dB on synth_pixels content (gate: 40)
+JPEG_RESTART = 8  # MCUs per restart segment (wide-decode parallelism)
+FIELD_STEP = 16  # control-point spacing of the low-frequency field
+NOISE_SIGMA = 1.0  # sensor-noise sigma added to the field
 
 _NOUNS = ["tree", "river", "mountain", "house", "car", "bridge", "field", "lake"]
 _PLACES = ["oslo", "quito", "lagos", "perth", "lima", "kyoto", "reno", "turin"]
 
 
 # ---------------------------------------------------------------------------
-# fake codecs
+# codecs (real spec implementations in sources/codecs.py)
 
 def encode_image(pixels: np.ndarray, fmt: str) -> bytes:
     """pixels: (h, w, 3) uint8 -> bytes (see module docstring for the
     per-format story)."""
-    h, w, _ = pixels.shape
     if fmt == "png":
         return codecs.encode_png(pixels)
     if fmt == "jpeg":
-        # lossy stand-in: uniform quantization with step 5 (max error
-        # 2.5/255 per channel -> PSNR ~45 dB, above the 40 dB gate but
-        # lossy). Real T.81 JPEG: codecs.encode_jpeg (too slow in pure
-        # python for the 2M-row bulk table).
-        q = (pixels.astype(np.uint16) + 2) // 5
-        payload = zlib.compress(q.astype(np.uint8).tobytes(), 1)
-        return b"GJPG" + w.to_bytes(4, "little") + h.to_bytes(4, "little") + payload
-    if fmt == "jpeg_real":
+        return codecs.encode_jpeg(
+            pixels, quality=JPEG_QUALITY, restart_interval=JPEG_RESTART
+        )
+    if fmt == "jpeg_real":  # legacy alias from the stand-in era
         return codecs.encode_jpeg(pixels, quality=98)
     raise NotImplementedError(f"codec {fmt!r} not available in this container")
 
@@ -139,21 +144,51 @@ def _rng_for(image_id: str, seed: int) -> np.random.RandomState:
     return np.random.RandomState((stable_hash64(image_id.encode(), seed) % (2**31)))
 
 
-def make_image_row(i: int, seed: int = 42, dup_of: int | None = None) -> dict:
-    """One deterministic row. dup_of: generate identical pixels to row
-    `dup_of` (the ~1% duplicate fixture for dedup)."""
+def synth_pixels(rng: np.random.RandomState, h: int, w: int) -> np.ndarray:
+    """Photo-like deterministic content: a random bilinear control
+    field with one control point every FIELD_STEP pixels (so spatial
+    frequency — and therefore codec cost — is size-invariant) plus
+    NOISE_SIGMA gaussian sensor noise. Draw order (ctrl, then noise)
+    is part of the table contract."""
+    gy, gx = h // FIELD_STEP + 2, w // FIELD_STEP + 2
+    ctrl = rng.uniform(0, 255, (gy, gx, 3))
+    yi = np.arange(h) / FIELD_STEP
+    xi = np.arange(w) / FIELD_STEP
+    y0 = np.floor(yi).astype(np.int64)
+    x0 = np.floor(xi).astype(np.int64)
+    fy = (yi - y0)[:, None, None]
+    fx = (xi - x0)[None, :, None]
+    c00 = ctrl[y0][:, x0]
+    c01 = ctrl[y0][:, x0 + 1]
+    c10 = ctrl[y0 + 1][:, x0]
+    c11 = ctrl[y0 + 1][:, x0 + 1]
+    img = (1 - fy) * ((1 - fx) * c00 + fx * c01) + fy * ((1 - fx) * c10 + fx * c11)
+    img = img + rng.normal(0, NOISE_SIGMA, (h, w, 3))
+    return img.clip(0, 255).astype(np.uint8)
+
+
+def _row_meta(i: int, seed: int, dup_of: int | None):
+    """(image_id, w, h, fmt, pixels, caption) for one row — the pixel
+    and size draws shared by the scalar and batched generators."""
     src = i if dup_of is None else dup_of
-    image_id = f"img{i:012d}"
     rng = _rng_for(f"img{src:012d}", seed)
     w = int(SIZES[rng.randint(len(SIZES))])
     h = int(SIZES[rng.randint(len(SIZES))])
     fmt = FMTS[src % len(FMTS)]
-    pixels = rng.randint(0, 256, size=(h, w, 3)).astype(np.uint8)
-    data = encode_image(pixels, fmt)
+    pixels = synth_pixels(rng, h, w)
     caption = (
         f"a photo of {_NOUNS[src % len(_NOUNS)]} near "
         f"{_PLACES[(src // len(_NOUNS)) % len(_PLACES)]}"
     )
+    return f"img{i:012d}", w, h, fmt, pixels, caption
+
+
+def make_image_row(i: int, seed: int = 42, dup_of: int | None = None) -> dict:
+    """One deterministic row (the scalar oracle for image_rows).
+    dup_of: generate identical pixels to row `dup_of` (the ~1%
+    duplicate fixture for dedup)."""
+    image_id, w, h, fmt, pixels, caption = _row_meta(i, seed, dup_of)
+    data = encode_image(pixels, fmt)
     ph = perceptual_hash(decode_image(data))
     return {
         "image_id": image_id,
@@ -204,15 +239,55 @@ def image_rows(ids, seed: int, dup_every: int) -> pa.Table:
     the ONE place the duplicate-fixture rule lives (every dup_every-th
     row is a pixel-exact duplicate of the row dup_every earlier). Row
     content depends only on the global index, so generation
-    parallelizes under any partitioning."""
-    rows = []
+    parallelizes under any partitioning.
+
+    Batched: JPEG rows group by (h, w) through the wide stack encoder
+    + wide decoder (jpegwide.py; byte/bit-identical to the scalar
+    codec, pytest-pinned vs make_image_row) so bulk-table generation
+    is not entropy-coding-bound. PNG is lossless, so its phash comes
+    straight from the source pixels."""
+    from . import jpegwide as jw
+
+    metas = []
     for i in ids:
         i = int(i)
         dup_of = None
         if dup_every and i % dup_every == dup_every - 1 and i >= dup_every:
             dup_of = i - dup_every
-        rows.append(make_image_row(i, seed=seed, dup_of=dup_of))
-    return pa.Table.from_pylist(rows, schema=IMAGE_SCHEMA)
+        metas.append(_row_meta(i, seed, dup_of))
+
+    n = len(metas)
+    data: list = [None] * n
+    ph: list = [0] * n
+    jpeg_groups: dict[tuple[int, int], list[int]] = {}
+    for j, (_, w, h, fmt, px, _) in enumerate(metas):
+        if fmt == "jpeg":
+            jpeg_groups.setdefault((h, w), []).append(j)
+        else:
+            data[j] = codecs.encode_png(px)
+            ph[j] = perceptual_hash(px)  # lossless: decode == source
+    for (h, w), members in jpeg_groups.items():
+        stack = np.stack([metas[j][4] for j in members])
+        payloads = jw.encode_jpeg_stack(
+            stack, quality=JPEG_QUALITY, restart_interval=JPEG_RESTART
+        )
+        decoded = jw.decode_jpeg_batch(payloads)
+        for j, payload, px in zip(members, payloads, decoded):
+            data[j] = payload
+            ph[j] = perceptual_hash(px)
+
+    return pa.table(
+        {
+            "image_id": pa.array([m[0] for m in metas], pa.string()),
+            "bytes": pa.array(data, pa.binary()),
+            "w": pa.array([m[1] for m in metas], pa.int32()),
+            "h": pa.array([m[2] for m in metas], pa.int32()),
+            "fmt": pa.array([m[3] for m in metas], pa.string()),
+            "caption": pa.array([m[5] for m in metas], pa.string()),
+            "phash": pa.array(ph, pa.int64()),
+        },
+        schema=IMAGE_SCHEMA,
+    )
 
 
 def _chunk_table(start: int, stop: int, seed: int, dup_every: int) -> pa.Table:

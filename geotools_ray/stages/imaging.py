@@ -67,6 +67,8 @@ def decode_features_batch(t: pa.Table) -> pa.Table:
     the batch amortizes dispatch and numpy does all pixel math."""
     import zlib
 
+    from ..sources import jpegwide as jw
+
     stored_ph = t["phash"].to_numpy(zero_copy_only=False)
     n = len(t)
     mean_rgb = np.empty((n, 3))
@@ -76,6 +78,8 @@ def decode_features_batch(t: pa.Table) -> pa.Table:
     # once, numpy does the rest over (group, h, w, 3) stacks
     groups: dict[tuple, list] = {}
     slow: list[tuple[int, bytes]] = []
+    jpg_idx: list[int] = []
+    jpg_pay: list = []
     for i, d in enumerate(_binary_views(t["bytes"])):
         tag = bytes(d[:4])
         if tag == b"\x89PNG":
@@ -93,12 +97,31 @@ def decode_features_batch(t: pa.Table) -> pa.Table:
             w = int.from_bytes(d[4:8], "little")
             h = int.from_bytes(d[8:12], "little")
             groups.setdefault((tag, h, w, 2), []).append((i, zlib.decompress(d[12:])))
+        elif d[:2] == b"\xff\xd8":
+            # real baseline JPEG: ALL payloads in the batch decode
+            # through ONE wide entropy pass (sources/jpegwide.py,
+            # bit-identical to the scalar T.81 decoder), then join the
+            # per-(h, w) feature groups below as pixel stacks
+            jpg_idx.append(i)
+            jpg_pay.append(d)
         else:
-            # foreign codec (real JPEG, …): per-image magic-byte
-            # dispatch below — decode_image raises NotImplementedError
-            # for genuinely unknown tags instead of an opaque
-            # zlib.error from a wrongly-assumed frame layout
+            # foreign codec: per-image magic-byte dispatch below —
+            # decode_image raises NotImplementedError for genuinely
+            # unknown tags instead of an opaque zlib.error from a
+            # wrongly-assumed frame layout
             slow.append((i, bytes(d)))
+    px_groups: dict[tuple, tuple[np.ndarray, np.ndarray]] = {}
+    if jpg_idx:
+        decoded = jw.decode_jpeg_batch(jpg_pay)
+        jgroups: dict[tuple, list[int]] = {}
+        for j, px in enumerate(decoded):
+            jgroups.setdefault(px.shape, []).append(j)
+        for shape, members in jgroups.items():
+            idx = np.array([jpg_idx[j] for j in members])
+            px = np.stack([decoded[j] for j in members])
+            if px.ndim == 3:  # grayscale JPEG: replicate for RGB path
+                px = np.repeat(px[..., None], 3, axis=3)
+            px_groups[("jpeg",) + shape] = (idx, px)
     for (tag, h, w, ctype), items in groups.items():
         idx = np.array([i for i, _ in items])
         raw = np.frombuffer(b"".join(r for _, r in items), dtype=np.uint8)
@@ -126,6 +149,8 @@ def decode_features_batch(t: pa.Table) -> pa.Table:
         if tag == b"GJPG":
             # single-pass uint8 LUT == (uint16 * 5).clip(0, 255) exactly
             px = _GJPG_LUT[px]
+        px_groups[(tag, h, w, ctype)] = (idx, px)
+    for (_, h, w, *_), (idx, px) in px_groups.items():
         # int64 channel sums / count == float64 mean bit-for-bit
         # (integer-valued float64 partial sums are exact below 2^53);
         # contiguous per-channel slice sums are ~7x faster than the
@@ -139,7 +164,7 @@ def decode_features_batch(t: pa.Table) -> pa.Table:
         # same single float64 rounding as mean(axis=3)
         gray = (px[..., 0].astype(np.uint16) + px[..., 1] + px[..., 2]) / 3.0
         if h % 8 == 0 and w % 8 == 0:
-            small = gray.reshape(len(items), 8, h // 8, 8, w // 8).mean(axis=(2, 4))
+            small = gray.reshape(len(idx), 8, h // 8, 8, w // 8).mean(axis=(2, 4))
         else:
             # foreign sizes (not multiples of 8): per-image block means
             # in EXACTLY perceptual_hash's fallback order (same np.mean
@@ -147,8 +172,8 @@ def decode_features_batch(t: pa.Table) -> pa.Table:
             # true for a correctly-stored phash)
             ys = (np.arange(9) * h) // 8
             xs = (np.arange(9) * w) // 8
-            small = np.empty((len(items), 8, 8))
-            for ii in range(len(items)):
+            small = np.empty((len(idx), 8, 8))
+            for ii in range(len(idx)):
                 for bi in range(8):
                     for bj in range(8):
                         small[ii, bi, bj] = gray[
@@ -156,7 +181,7 @@ def decode_features_batch(t: pa.Table) -> pa.Table:
                         ].mean()
         bits = small > small.mean(axis=(1, 2))[:, None, None]
         packed = (
-            bits.reshape(len(items), 64).astype(np.uint64)
+            bits.reshape(len(idx), 64).astype(np.uint64)
             << np.arange(64, dtype=np.uint64)[None, :]
         ).sum(axis=1, dtype=np.uint64)
         phash[idx] = packed.astype(np.int64)  # same two's-complement map

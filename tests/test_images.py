@@ -10,11 +10,37 @@ def test_png_roundtrip_exact():
 
 
 def test_jpeg_lossy_psnr_over_40db():
+    """input_hint gate: REAL T.81 JPEG at the table's quality holds
+    PSNR >= 40 dB on the generator's photo-like content (and stays
+    genuinely lossy). Checked across all three sizes."""
     rng = np.random.RandomState(1)
-    px = rng.randint(0, 256, size=(64, 64, 3)).astype(np.uint8)
-    dec = I.decode_image(I.encode_image(px, "jpeg"))
+    for size in (16, 32, 64):
+        px = I.synth_pixels(rng, size, size)
+        data = I.encode_image(px, "jpeg")
+        assert data[:2] == b"\xff\xd8"  # real JPEG, not a stand-in
+        dec = I.decode_image(data)
+        assert I.psnr(px, dec) >= 40.0
+        assert not (dec == px).all()  # genuinely lossy
+
+
+def test_jpeg_q98_holds_gate_on_noise():
+    """Worst-case content (uniform noise) still meets the 40 dB gate at
+    the interchange quality (q98) used by img_codecs."""
+    rng = np.random.RandomState(1)
+    px = rng.randint(0, 256, size=(32, 32, 3)).astype(np.uint8)
+    dec = I.decode_image(I.encode_image(px, "jpeg_real"))
     assert I.psnr(px, dec) >= 40.0
-    assert not (dec == px).all()  # genuinely lossy
+
+
+def test_image_rows_matches_scalar_oracle():
+    """The batched generator (wide stack encode + wide decode for
+    phash) is row-identical to per-row make_image_row."""
+    t = I.image_rows(range(90, 130), 42, 100)
+    for j, i in enumerate(range(90, 130)):
+        dup_of = i - 100 if (i % 100 == 99 and i >= 100) else None
+        assert t.slice(j, 1).to_pylist()[0] == I.make_image_row(
+            i, seed=42, dup_of=dup_of
+        )
 
 
 def test_table_deterministic_and_duplicated():
