@@ -141,15 +141,27 @@ def interp_tin(qx, qy, pts_xy: np.ndarray, pts_z: np.ndarray, nodata=np.nan):
     if not tris:
         return out
     T = np.asarray(tris, dtype=np.int64)
-    a = pts_xy[T[:, 0]]
-    b = pts_xy[T[:, 1]]
-    c = pts_xy[T[:, 2]]
+    interp_corners(
+        qx, qy,
+        pts_xy[T[:, 0]], pts_xy[T[:, 1]], pts_xy[T[:, 2]],
+        pts_z[T[:, 0]], pts_z[T[:, 1]], pts_z[T[:, 2]],
+        out,
+    )
+    return out
+
+
+def interp_corners(qx, qy, a, b, c, za, zb, zc, out) -> None:
+    """Barycentric interpolation against explicit triangle corner
+    arrays (n_tri, 2) — writes into `out` in place, leaving misses
+    untouched. First containing triangle in array order wins (the
+    interp_tin quirk). Callers with MANY disjoint TINs (one per cell)
+    concatenate their corners and make ONE call: the chunked bbox
+    prune keeps each query chunk against its own cell's triangles as
+    long as queries arrive cell-sorted and cells are offset to
+    disjoint x-ranges."""
     det = (b[:, 1] - c[:, 1]) * (a[:, 0] - c[:, 0]) + (c[:, 0] - b[:, 0]) * (a[:, 1] - c[:, 1])
     ok_tri = det != 0
     eps = 1e-12
-    za = pts_z[T[:, 0]]
-    zb = pts_z[T[:, 1]]
-    zc = pts_z[T[:, 2]]
     # triangle bboxes for pruning (bbox superset -> excluding a
     # triangle by bbox can never drop a containing triangle)
     tminx = np.minimum(np.minimum(a[:, 0], b[:, 0]), c[:, 0])
@@ -189,4 +201,3 @@ def interp_tin(qx, qy, pts_xy: np.ndarray, pts_z: np.ndarray, nodata=np.nan):
             r2 = l2[rows, first[rows]]
             r3 = l3[rows, first[rows]]
             out[s + rows] = r1 * za[t] + r2 * zb[t] + r3 * zc[t]
-    return out

@@ -416,34 +416,75 @@ def normalize_height(
     normalized point set (measured: the rollup shuffle was ~40% of
     q_normalize_height's wall time)."""
 
+    from ..kernels.delaunay import delaunay, interp_corners
+
     def per_cell(df: pd.DataFrame) -> pd.DataFrame:
-        out = []
-        for _, g in df.groupby(cell_col, sort=False):
-            # determinism: triangulation depends on insertion order for
-            # cocircular points — fix the order regardless of shuffle
-            g = g.sort_values(["x", "y", "z"])
-            gnd = g[g["cls"] == 2]
-            if len(gnd) > max_ground_points:
-                # deterministic thinning: every k-th ground point in
-                # (x,y,z) order — bounds the O(n * tris) triangulation
-                # cost per cell; the reference TINs all ground points
-                # but its cells are small (res 10 default)
-                step = int(np.ceil(len(gnd) / max_ground_points))
-                gnd = gnd.iloc[::step]
-            g = g.copy()
-            if len(gnd) >= 3:
-                zg = interp_tin(
-                    g["x"].to_numpy(),
-                    g["y"].to_numpy(),
-                    gnd[["x", "y"]].to_numpy(),
-                    gnd["z"].to_numpy(),
-                    nodata=np.nan,
+        res = df
+        if len(df):
+            # ONE stable lexsort replaces pandas groupby + per-cell
+            # sort_values; cells become contiguous slices in
+            # first-appearance order (matching the old groupby
+            # sort=False iteration), rows (x, y, z)-sorted within —
+            # triangulation insertion order is part of the contract
+            # (cocircular ties resolve by it)
+            cellv = df[cell_col].to_numpy()
+            codes, _ = pd.factorize(cellv)
+            x = df["x"].to_numpy().astype(np.float64, copy=False)
+            y = df["y"].to_numpy().astype(np.float64, copy=False)
+            z = df["z"].to_numpy().astype(np.float64, copy=False)
+            cls = df["cls"].to_numpy()
+            order = np.lexsort((z, y, x, codes))
+            xs, ys, zs, cs, cds = x[order], y[order], z[order], cls[order], codes[order]
+            bnd = np.flatnonzero(np.diff(cds)) + 1
+            starts = np.concatenate([[0], bnd])
+            ends = np.concatenate([bnd, [len(cds)]])
+            # offset each cell to a disjoint x-range so every cell's
+            # TIN corners can live in ONE global array: a query can
+            # only ever fall inside its own cell's triangles, and the
+            # chunked bbox prune in interp_corners keeps each
+            # (cell-sorted) query chunk against its own cell's corners
+            span = float(xs.max()) - float(xs.min()) + 1.0
+            offx = cds.astype(np.float64) * span
+            ca, cb, cc, cza, czb, czc = [], [], [], [], [], []
+            for s, e in zip(starts, ends):
+                gm = s + np.flatnonzero(cs[s:e] == 2)
+                if len(gm) > max_ground_points:
+                    # deterministic thinning: every k-th ground point in
+                    # (x,y,z) order — bounds the O(n * tris)
+                    # triangulation cost per cell; the reference TINs
+                    # all ground points but its cells are small
+                    step = int(np.ceil(len(gm) / max_ground_points))
+                    gm = gm[::step]
+                if len(gm) < 3:
+                    continue
+                pts = np.column_stack([xs[gm] + offx[gm], ys[gm]])
+                # per-cell triangulation is irreducibly sequential
+                # (Bowyer-Watson insertion) and bounded by
+                # max_ground_points; everything else in this fn is one
+                # vectorized pass over the whole partition
+                tris = delaunay(pts)
+                if not tris:
+                    continue
+                T = np.asarray(tris, dtype=np.int64)
+                ca.append(pts[T[:, 0]])
+                cb.append(pts[T[:, 1]])
+                cc.append(pts[T[:, 2]])
+                gz = zs[gm]
+                cza.append(gz[T[:, 0]])
+                czb.append(gz[T[:, 1]])
+                czc.append(gz[T[:, 2]])
+            nz = zs
+            if ca:
+                zg = np.full(len(xs), np.nan)
+                interp_corners(
+                    xs + offx, ys,
+                    np.concatenate(ca), np.concatenate(cb), np.concatenate(cc),
+                    np.concatenate(cza), np.concatenate(czb), np.concatenate(czc),
+                    zg,
                 )
-                nz = g["z"].to_numpy() - zg
-                nz = np.where(np.isnan(zg), g["z"].to_numpy(), np.maximum(0.0, nz))
-                g["z"] = nz
-            out.append(g)
-        res = pd.concat(out) if out else df
+                nz = np.where(np.isnan(zg), zs, np.maximum(0.0, zs - zg))
+            res = df.iloc[order].copy()
+            res["z"] = nz
         if drop_negative:
             res = res[res["z"] >= 0]
         if reduce_fn is not None:

@@ -97,7 +97,7 @@ def decode_features_batch(t: pa.Table) -> pa.Table:
             w = int.from_bytes(d[4:8], "little")
             h = int.from_bytes(d[8:12], "little")
             groups.setdefault((tag, h, w, 2), []).append((i, zlib.decompress(d[12:])))
-        elif d[:2] == b"\xff\xd8":
+        elif tag[:2] == b"\xff\xd8":
             # real baseline JPEG: ALL payloads in the batch decode
             # through ONE wide entropy pass (sources/jpegwide.py,
             # bit-identical to the scalar T.81 decoder), then join the
