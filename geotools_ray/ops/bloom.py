@@ -69,6 +69,21 @@ def _set_bits(idx: np.ndarray, num_bits: int) -> np.ndarray:
     return words
 
 
+def _reject_null_keys(t: pa.Table, keys: list[str], side: str) -> None:
+    """Null join keys diverge from SQL IN/NOT IN semantics (SQL drops
+    null probes; NOT IN returns nothing when the build side holds a
+    NULL) and hash_columns would float-cast them to an undefined
+    uint64 — reject loudly, same contract as the asof/window/interval
+    ops."""
+    for c in keys:
+        if t[c].null_count:
+            raise ValueError(
+                f"bloom join: null values in {side} key column {c!r} — "
+                "filter or fill them upstream (SQL IN/NOT IN drops "
+                "null keys; this op refuses to guess)"
+            )
+
+
 def _probe(words: np.ndarray, h: np.ndarray, num_bits: int, k: int) -> np.ndarray:
     """Boolean membership mask: all k bits set."""
     if not len(h):
@@ -99,6 +114,7 @@ def bloom_build(
         if not len(t):
             return pa.table({"g": pa.array([], pa.int64()),
                              "words": pa.array([], pa.binary())})
+        _reject_null_keys(t, keys, "build-side")
         idx = _bloom_indices(hash_columns(t, keys), num_bits, k)
         b = _set_bits(idx, num_bits).tobytes()
         return pa.table({"g": pa.array([zlib.crc32(b) % merge_parts], pa.int64()),
@@ -156,6 +172,7 @@ def bloom_semi_join(
         raise ValueError("left may not carry a _side column")
 
     def split(t: pa.Table, want_member: bool) -> pa.Table:
+        _reject_null_keys(t, keys, "probe-side")
         mask = _probe(ray.get(ref), hash_columns(t, keys), num_bits, k)
         return t.filter(pa.array(mask if want_member else ~mask))
 

@@ -572,9 +572,16 @@ def interval_flatten(
         brk = np.ones(n, dtype=bool)
         if n > 1:
             same_key = kcode[1:] == kcode[:-1]
-            # overflow-safe: prev_cmax + G could pass int64 for
-            # astronomical ends; compare via subtraction instead
-            brk[1:] = ~same_key | (sv[1:] - cmax[:-1] > G)
+            # overflow-safe for the FULL int64 domain: gate on
+            # sv > cmax first, then take the difference in uint64 —
+            # wrapping subtraction is the exact positive difference
+            # mod 2^64, and a positive int64 difference is < 2^64, so
+            # the compare is exact even when the raw int64 subtraction
+            # would wrap (start near +2^62 after an island ending
+            # near -2^62)
+            above = sv[1:] > cmax[:-1]
+            diff = sv[1:].astype(np.uint64) - cmax[:-1].astype(np.uint64)
+            brk[1:] = ~same_key | (above & (diff > np.uint64(G)))
         starts = np.flatnonzero(brk)
         ends_excl = np.append(starts[1:], n)
         ivl_end = np.maximum.reduceat(ev, starts)

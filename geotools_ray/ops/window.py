@@ -132,6 +132,19 @@ def keyed_window(
                 )
         comp = sort_cols + ([value_col] if value_col else [])
         arrs = {c: t[c].to_numpy(zero_copy_only=False) for c in comp}
+        # non-null NaN is the same hazard in float disguise: lexsort
+        # places NaN last while SQL ORDER BY ... DESC places it first
+        # (engines treat NaN as greater than every float), so a NaN in
+        # a computation column would silently rank-diverge from any
+        # SQL oracle — reject it with the same contract as nulls
+        for c in comp:
+            a = arrs[c]
+            if a.dtype.kind == "f" and np.isnan(a).any():
+                raise ValueError(
+                    f"keyed_window column {c!r} contains NaN — filter "
+                    "or fill upstream (NaN has no defined rank: numpy "
+                    "sorts it last, SQL DESC sorts it first)"
+                )
         # timestamp `on` -> epoch-micro int64 (the asof contract):
         # datetime64 lag zero-fill would read as 1970-01-01 and gaps
         # would come back duration-typed

@@ -173,3 +173,25 @@ def test_bloom_build_merge_matches_single_pass(ray_session):
     h = hash_columns(pa.table({"k": keys}), ["k"])
     single = _set_bits(_bloom_indices(h, 1 << 14, 4), 1 << 14)
     assert (words == single).all()
+
+
+def test_bloom_null_keys_rejected(ray_session):
+    """SQL IN/NOT IN drops null keys (and NOT IN returns nothing when
+    the build side holds one) — the op refuses to guess, same contract
+    as asof/window/interval."""
+    import ray.data
+
+    from geotools_ray.ops.bloom import bloom_semi_join
+
+    left = ray.data.from_arrow(
+        pa.table({"k": pa.array([1, None, 3], pa.int64()), "v": [1.0, 2.0, 3.0]})
+    )
+    right = ray.data.from_arrow(pa.table({"k": pa.array([1, 3], pa.int64())}))
+    with pytest.raises(Exception, match="null"):
+        bloom_semi_join(left, right, ["k"]).to_pandas()
+    clean = ray.data.from_arrow(
+        pa.table({"k": pa.array([1, 2], pa.int64()), "v": [1.0, 2.0]})
+    )
+    dirty_right = ray.data.from_arrow(pa.table({"k": pa.array([1, None], pa.int64())}))
+    with pytest.raises(Exception, match="null"):
+        bloom_semi_join(clean, dirty_right, ["k"]).to_pandas()

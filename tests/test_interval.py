@@ -238,3 +238,26 @@ def test_flatten_validation(ray_session):
     with pytest.raises(ValueError, match="gap"):
         interval_flatten(ray.data.from_arrow(tb), key="k", start="s",
                          end="e", gap=-1)
+
+
+def test_interval_flatten_extreme_int64_span(ray_session):
+    """A key whose coordinates span more than 2^63 (island ending near
+    -2^62, next start near +2^62) must BREAK, not silently merge: the
+    break test runs gated-uint64 subtraction, exact over the full
+    int64 domain."""
+    import pyarrow as pa
+    import ray.data
+
+    from geotools_ray.ops.interval import interval_flatten
+
+    lo, hi = -(2**62), 2**62
+    ds = ray.data.from_arrow(
+        pa.table({
+            "k": pa.array([7, 7], pa.int64()),
+            "s": pa.array([lo, hi], pa.int64()),
+            "e": pa.array([lo + 10, hi + 10], pa.int64()),
+        })
+    )
+    out = interval_flatten(ds, key="k", start="s", end="e", gap=5).to_pandas()
+    assert len(out) == 2  # raw int64 subtraction would wrap and merge
+    assert sorted(out["ivl_start"]) == [lo, hi]

@@ -365,3 +365,18 @@ def test_window_trailing_property_vs_brute(ray_session, seed, n, keys, span, w):
     np.testing.assert_allclose(out["trail_sum_v"].to_numpy(), sm, atol=1e-9)
     np.testing.assert_allclose(out["trail_min_v"].to_numpy(), mn, atol=0)
     np.testing.assert_allclose(out["trail_max_v"].to_numpy(), mx, atol=0)
+
+
+def test_window_nan_value_rejected(ray_session):
+    """Non-null NaN ranks differently in numpy (last) vs SQL DESC
+    (first) — keyed_window rejects it like a null."""
+    import pyarrow as pa
+    import ray.data
+
+    from geotools_ray.ops.window import keyed_window
+
+    ds = ray.data.from_arrow(
+        pa.table({"k": [1, 1, 2], "ts": [1, 2, 3], "v": [1.0, float("nan"), 2.0]})
+    )
+    with pytest.raises(Exception, match="NaN"):
+        keyed_window(ds, key="k", on="ts", value_col="v").to_pandas()
