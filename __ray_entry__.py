@@ -326,6 +326,8 @@ def queries() -> dict[str, Callable[[str], Any]]:
         "interval_join": QS.wrap_sub("q_interval_join"),
         "interval_join_user": QS.wrap_sub("q_interval_join_user"),
         "interval_flatten": QS.wrap_sub("q_interval_flatten"),
+        # exact substring-overlap dedup (suffix-array-style, ops/substr.py)
+        "substr_overlap": QS.wrap_sub("q_substr_overlap"),
     }
     for k, v in img.items():
         qs.setdefault(k, v)
@@ -406,6 +408,7 @@ def oracle_sql() -> dict[str, str]:
         "interval_join": QT.SQL_INTERVAL_JOIN,
         "interval_join_user": QT.SQL_INTERVAL_JOIN_USER,
         "interval_flatten": QT.SQL_INTERVAL_FLATTEN,
+        "substr_overlap": QT.SQL_SUBSTR_OVERLAP,
         # img_* queries: non-SQL-expressible (synthetic binary input) ->
         # rows-only driver check; pixel/caption invariants live in tests/
     }

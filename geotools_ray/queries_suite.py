@@ -114,6 +114,10 @@ _SUBS = [
     ("interval_flatten", "q_interval_flatten", "SQL_INTERVAL_FLATTEN",
      ["user_id", "ivl_start", "ivl_end", "n_merged"],
      ("user_id", 10, 0)),
+    # exact substring-overlap dedup (ops/substr.py) — O(pairs) output,
+    # tiny on the fixture corpus (25 pairs at sf0.01), all-numeric
+    ("substr_overlap", "q_substr_overlap", "SQL_SUBSTR_OVERLAP",
+     ["doc_a", "doc_b", "n_windows", "max_run_tokens"]),
 ]
 
 

@@ -1202,3 +1202,46 @@ g AS (SELECT *, SUM(brk) OVER (PARTITION BY user_id ORDER BY s, e
 SELECT user_id, MIN(s) AS ivl_start, MAX(e) AS ivl_end,
        COUNT(*) AS n_merged
 FROM g GROUP BY user_id, island"""
+
+
+# ---------------------------------------------------------------------------
+# exact substring-overlap dedup (ops/substr.py): pairs sharing an
+# exact run of >= 8 consecutive tokens, with the longest shared run
+
+
+def q_substr_overlap(sf_dir: str):
+    """U4 extension: exact substring-overlap pairs over documents —
+    the distributed suffix-array-style dedup (window=8 tokens,
+    anchor_every=1 so the result is fully exact and oracle-matched;
+    winnowing is the documented sub-linear scale knob)."""
+    import ray.data
+
+    from .ops.substr import substring_overlap_pairs
+
+    ds = ray.data.read_parquet(
+        f"{sf_dir}/documents.parquet", columns=["doc_id", "text"]
+    )
+    return substring_overlap_pairs(ds, window=8)
+
+
+# gaps-and-islands on the shared-window diagonals: a run of
+# consecutive positions at one (pair, pa-pb) diagonal is one maximal
+# shared substring; longest run + W-1 = longest common substring in
+# tokens. Tokenization matches the engine's str.split (ASCII corpus).
+SQL_SUBSTR_OVERLAP = """
+WITH w AS (SELECT doc_id, regexp_split_to_array(trim(text), '\\s+') AS ws
+           FROM documents WHERE length(trim(text)) > 0),
+p AS (SELECT doc_id, ws, unnest(generate_series(1, len(ws) - 7)) AS pos
+      FROM w WHERE len(ws) >= 8),
+g AS (SELECT doc_id, pos, array_to_string(ws[pos:pos+7], ' ') AS gram
+      FROM p),
+m AS (SELECT a.doc_id a, b.doc_id b, a.pos pa, b.pos pb
+      FROM g a JOIN g b ON a.gram = b.gram AND a.doc_id < b.doc_id),
+r AS (SELECT a, b, pa, pa - pb AS diag,
+             pa - row_number() OVER (PARTITION BY a, b, pa - pb
+                                     ORDER BY pa) AS isl
+      FROM m),
+runs AS (SELECT a, b, count(*) AS rl FROM r GROUP BY a, b, diag, isl)
+SELECT a AS doc_a, b AS doc_b, sum(rl)::BIGINT AS n_windows,
+       (max(rl) + 7)::BIGINT AS max_run_tokens
+FROM runs GROUP BY 1, 2"""

@@ -77,6 +77,7 @@ def main() -> None:
         ngram_jaccard_pairs,
         simhash_pairs,
     )
+    from geotools_ray.ops.substr import substring_overlap_pairs
 
     results = []
     for mult in [int(s) for s in args.scales.split(",")]:
@@ -90,6 +91,10 @@ def main() -> None:
             ("minhash_dedup", lambda d: minhash_lsh_dedup(d, threshold=0.5)),
             ("simhash_pairs", lambda d: simhash_pairs(d, max_hamming=3)),
             ("ngram_pairs", lambda d: ngram_jaccard_pairs(d, threshold=0.5)),
+            # exact substring overlap: O(tokens) window rows, buckets
+            # O(docs sharing one exact 8-token phrase) — should grow
+            # ~linearly when the planted-dup RATE is constant
+            ("substr_overlap", lambda d: substring_overlap_pairs(d, window=8)),
         ]:
             t0 = time.time()
             out = fn(docs).materialize()
