@@ -472,16 +472,29 @@ def q_class_remap(sf_dir: str):
     )
 
     def fn(t: pa.Table) -> pa.Table:
+        # remap + batch-local combine: <= 3 partial rows leave each
+        # batch (count + quantity sum per mapped class), so the
+        # exchange is O(blocks x 3) regardless of input rows
         f = t["l_returnflag"].to_numpy(zero_copy_only=False)
-        mapped = np.where(f == "A", 10, np.where(f == "N", 20, 30)).astype(np.int64)
-        return pa.table({"mapped_cls": mapped, "l_quantity": t["l_quantity"]})
+        mapped = np.where(f == "A", 0, np.where(f == "N", 1, 2))
+        qty = t["l_quantity"].to_numpy(zero_copy_only=False)
+        n = np.bincount(mapped, minlength=3)
+        sq = np.bincount(mapped, weights=qty, minlength=3)
+        keep = n > 0
+        return pa.table(
+            {
+                "mapped_cls": (np.arange(3)[keep] + 1) * 10,
+                "pn": n[keep],
+                "psq": sq[keep],
+            }
+        )
 
-    from ray.data.aggregate import Count, Sum
+    from ray.data.aggregate import Sum
 
     out = (
         ds.map_batches(fn, batch_format="pyarrow")
         .groupby("mapped_cls")
-        .aggregate(Count(alias_name="n"), Sum("l_quantity", alias_name="sum_qty"))
+        .aggregate(Sum("pn", alias_name="n"), Sum("psq", alias_name="sum_qty"))
     )
     return _round_cols(out, ["sum_qty"])
 
@@ -522,11 +535,25 @@ FROM pts"""
 
 
 def q_return_counts(sf_dir: str):
-    """A16 counts-by-return (las header point-by-return table)."""
-    from ray.data.aggregate import Count
+    """A16 counts-by-return (las header point-by-return table).
+
+    Partial-aggregated: each batch collapses to <= 5 (return_num,
+    count) rows before the exchange, so the groupby shuffles O(blocks
+    x 5) rows instead of every point — the combiner pattern every
+    low-cardinality rollup here uses."""
+    from ray.data.aggregate import Sum
+
+    def partial(t: pa.Table) -> pa.Table:
+        rn = t["return_num"].to_numpy(zero_copy_only=False)
+        vals, cnts = np.unique(rn, return_counts=True)
+        return pa.table({"return_num": vals, "pn": cnts})
 
     pts = tpch.read_points(sf_dir)
-    return pts.groupby("return_num").aggregate(Count(alias_name="n"))
+    return (
+        pts.map_batches(partial, batch_format="pyarrow")
+        .groupby("return_num")
+        .aggregate(Sum("pn", alias_name="n"))
+    )
 
 
 SQL_RETURN_COUNTS = PRELUDE + "SELECT return_num, count(*) AS n FROM pts GROUP BY return_num"

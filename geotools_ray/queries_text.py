@@ -472,34 +472,34 @@ def _asof_sides(sf_dir: str):
     int64-micros at the read so every downstream difference is exact
     integer arithmetic (epoch micros are NOT float64-exact)."""
 
+    from .stages import tpch
+
     def keep(which: str, cols: dict):
         def fn(t: pa.Table) -> pa.Table:
             t = t.filter(pc.equal(t["event_type"], which))
-            out = {}
-            for name, src in cols.items():
-                col = t[src]
-                if src == "ts":
-                    col = col.cast(pa.timestamp("us")).cast(pa.int64())
-                out[name] = col
-            return pa.table(out)
+            return pa.table({name: t[src] for name, src in cols.items()})
 
         return fn
 
-    left = ray.data.read_parquet(
-        f"{sf_dir}/events.parquet",
-        columns=["event_id", "user_id", "ts", "event_type"],
-    ).map_batches(
-        keep("view", {"event_id": "event_id", "user_id": "user_id", "ts_us": "ts"}),
+    ev = tpch.read_events(sf_dir)
+    left = ev.map_batches(
+        keep("view", {"event_id": "event_id", "user_id": "user_id", "ts_us": "ts_us"}),
         batch_format="pyarrow",
     )
-    right = ray.data.read_parquet(
-        f"{sf_dir}/events.parquet",
-        columns=["user_id", "ts", "event_type", "value"],
-    ).map_batches(
-        keep("click", {"user_id": "user_id", "ts_us": "ts", "r_value": "value"}),
+    right = ev.map_batches(
+        keep("click", {"user_id": "user_id", "ts_us": "ts_us", "r_value": "value"}),
         batch_format="pyarrow",
     )
     return left, right
+
+
+def _events_parts(sf_dir: str) -> int:
+    """Shuffle width for the events-derived keyed exchanges, sized to
+    the table's footer row count (stages/grouped.parts_for_rows)."""
+    from .stages import tpch
+    from .stages.grouped import parts_for_rows
+
+    return parts_for_rows(tpch.table_rows(sf_dir, "events"))
 
 
 def q_asof_join(sf_dir: str):
@@ -517,6 +517,7 @@ def q_asof_join(sf_dir: str):
         right_cols=["r_value"],
         tie_cols=["r_value"],
         r_on="r_ts_us",
+        num_parts=_events_parts(sf_dir),
     )
 
     def fin(t: pa.Table) -> pa.Table:
@@ -599,6 +600,7 @@ def q_asof_rollup(sf_dir: str):
         key="user_id",
         on="ts_us",
         right_cols=["r_value"],
+        num_parts=_events_parts(sf_dir),
         specs=[
             {"direction": "backward", "r_on": "r_b"},
             {
@@ -658,20 +660,11 @@ def q_window_rank(sf_dir: str):
     (ts, event_id) is the total order, matching the oracle's ORDER BY."""
     from .ops.window import keyed_window
 
-    def prep(t: pa.Table) -> pa.Table:
-        return pa.table(
-            {
-                "user_id": t["user_id"],
-                "event_id": t["event_id"],
-                "ts_us": t["ts"].cast(pa.timestamp("us")).cast(pa.int64()),
-                "value": t["value"],
-            }
-        )
+    from .stages import tpch
 
-    ds = ray.data.read_parquet(
-        f"{sf_dir}/events.parquet",
-        columns=["event_id", "user_id", "ts", "value"],
-    ).map_batches(prep, batch_format="pyarrow")
+    ds = tpch.read_events(sf_dir).select_columns(
+        ["user_id", "event_id", "ts_us", "value"]
+    )
 
     out = keyed_window(
         ds,
@@ -680,6 +673,7 @@ def q_window_rank(sf_dir: str):
         tie_cols=["event_id"],
         value_col="value",
         outputs=("row_number", "gap", "run_sum", "run_min", "run_max"),
+        num_parts=_events_parts(sf_dir),
     )
 
     def fin(t: pa.Table) -> pa.Table:
@@ -740,10 +734,9 @@ def q_topk_per_user(sf_dir: str, k: int = 3):
             }
         )
 
-    ds = ray.data.read_parquet(
-        f"{sf_dir}/events.parquet",
-        columns=["event_id", "user_id", "value"],
-    ).map_batches(prep, batch_format="pyarrow")
+    from .stages import tpch
+
+    ds = tpch.read_events(sf_dir).map_batches(prep, batch_format="pyarrow")
 
     out = keyed_window(
         ds,
@@ -752,6 +745,7 @@ def q_topk_per_user(sf_dir: str, k: int = 3):
         tie_cols=["event_id"],
         outputs=("row_number",),
         keep_cols=["value"],
+        num_parts=_events_parts(sf_dir),
     )
 
     def fin(t: pa.Table) -> pa.Table:
@@ -800,10 +794,11 @@ def q_window_trailing(sf_dir: str):
             }
         )
 
-    ds = ray.data.read_parquet(
-        f"{sf_dir}/events.parquet",
-        columns=["event_id", "user_id", "ts", "value"],
-    ).map_batches(prep, batch_format="pyarrow")
+    from .stages import tpch
+
+    ds = tpch.read_events(sf_dir).select_columns(
+        ["user_id", "event_id", "ts_us", "value"]
+    )
 
     out = keyed_window(
         ds,
@@ -813,6 +808,7 @@ def q_window_trailing(sf_dir: str):
         value_col="value",
         outputs=("trail_count", "trail_sum", "trail_min", "trail_max"),
         trail_window=_TRAIL_US,
+        num_parts=_events_parts(sf_dir),
     )
 
     def fin(t: pa.Table) -> pa.Table:
@@ -859,18 +855,11 @@ def q_session_assign(sf_dir: str, gap_s: int = 600):
 
     gap_us = gap_s * 1_000_000
 
-    def prep(t: pa.Table) -> pa.Table:
-        return pa.table(
-            {
-                "user_id": t["user_id"],
-                "event_id": t["event_id"],
-                "ts_us": t["ts"].cast(pa.timestamp("us")).cast(pa.int64()),
-            }
-        )
+    from .stages import tpch
 
-    ev = ray.data.read_parquet(
-        f"{sf_dir}/events.parquet", columns=["user_id", "ts", "event_id"]
-    ).map_batches(prep, batch_format="pyarrow")
+    ev = tpch.read_events(sf_dir).select_columns(
+        ["user_id", "event_id", "ts_us"]
+    )
 
     def intervals(df: pd.DataFrame) -> pd.DataFrame:
         if not len(df):
@@ -909,7 +898,8 @@ def q_session_assign(sf_dir: str, gap_s: int = 600):
             }
         )
 
-    iv = grouped_map(ev, ["user_id"], intervals)
+    P = _events_parts(sf_dir)
+    iv = grouped_map(ev, ["user_id"], intervals, num_parts=P)
     out = asof_join(
         ev,
         iv,
@@ -917,6 +907,7 @@ def q_session_assign(sf_dir: str, gap_s: int = 600):
         on="ts_us",
         right_cols=["sess_end", "sess_rank", "sess_n"],
         r_on="sess_start",
+        num_parts=P,
     )
 
     def fin(t: pa.Table) -> pa.Table:
@@ -997,7 +988,12 @@ def q_bloom_semi(sf_dir: str):
     from .ops.bloom import bloom_semi_join
 
     left, right = _bloom_sides(sf_dir)
-    return bloom_semi_join(left, right, ["o_custkey"], num_bits=1 << 20)
+    from .stages import tpch
+    from .stages.grouped import parts_for_rows
+
+    return bloom_semi_join(
+        left, right, ["o_custkey"], num_bits=1 << 20,
+        num_parts=parts_for_rows(tpch.table_rows(sf_dir, "orders")))
 
 
 def q_bloom_anti(sf_dir: str):
@@ -1007,9 +1003,12 @@ def q_bloom_anti(sf_dir: str):
     from .ops.bloom import bloom_semi_join
 
     left, right = _bloom_sides(sf_dir)
+    from .stages import tpch
+    from .stages.grouped import parts_for_rows
+
     return bloom_semi_join(
-        left, right, ["o_custkey"], anti=True, num_bits=1 << 20
-    )
+        left, right, ["o_custkey"], anti=True, num_bits=1 << 20,
+        num_parts=parts_for_rows(tpch.table_rows(sf_dir, "orders")))
 
 
 _BLOOM_RIGHT = """SELECT c_custkey FROM customer
@@ -1038,8 +1037,10 @@ def _interval_sides(sf_dir: str, keyed: bool):
     import pyarrow as pa
     import ray.data
 
-    ev = ray.data.read_parquet(
-        f"{sf_dir}/events.parquet", columns=["event_id", "ts", "user_id"]
+    from .stages import tpch
+
+    ev = tpch.read_events(sf_dir).select_columns(
+        ["event_id", "user_id", "ts_us"]
     )
 
     def mk(mod, rem, span_mod, span_base, pref, long_mod=None, long_add=0):
@@ -1048,8 +1049,7 @@ def _interval_sides(sf_dir: str, keyed: bool):
             keep = eid % mod == rem
             t2 = t.filter(pa.array(keep))
             eid = eid[keep]
-            s = t2["ts"].combine_chunks().cast(pa.timestamp("us")).cast(
-                pa.int64()).to_numpy()
+            s = t2["ts_us"].to_numpy(zero_copy_only=False)
             span_s = eid % span_mod + span_base
             if long_mod is not None:
                 span_s = span_s + np.where(eid % long_mod == rem, long_add, 0)
@@ -1121,6 +1121,7 @@ def q_interval_join_user(sf_dir: str):
         l_start="l_s", l_end="l_e", r_start="r_s", r_end="r_e",
         l_cols=["l_id"], r_cols=["r_id"], key="user_id",
         bucket_width=3_600_000_000, long_span_buckets=24,
+        num_parts=_events_parts(sf_dir),
     )
     return _ov_us(res)
 
@@ -1164,17 +1165,15 @@ def q_interval_flatten(sf_dir: str):
     30-min gap merge into maximal islands — one grouped exchange,
     cython grouped cummax + reduceat per partition
     (ops/interval.interval_flatten)."""
-    import ray.data
-
     from .ops.interval import interval_flatten
+    from .stages import tpch
 
-    ev = ray.data.read_parquet(
-        f"{sf_dir}/events.parquet", columns=["event_id", "ts", "user_id"])
+    ev = tpch.read_events(sf_dir).select_columns(
+        ["event_id", "user_id", "ts_us"])
 
     def mk(t: pa.Table) -> pa.Table:
         eid = t["event_id"].to_numpy()
-        s = t["ts"].combine_chunks().cast(pa.timestamp("us")).cast(
-            pa.int64()).to_numpy()
+        s = t["ts_us"].to_numpy(zero_copy_only=False)
         return pa.table({
             "user_id": t["user_id"],
             "s": pa.array(s),
@@ -1183,7 +1182,8 @@ def q_interval_flatten(sf_dir: str):
 
     iv = ev.map_batches(mk, batch_format="pyarrow")
     return interval_flatten(
-        iv, key="user_id", start="s", end="e", gap=1_800_000_000)
+        iv, key="user_id", start="s", end="e", gap=1_800_000_000,
+        num_parts=_events_parts(sf_dir))
 
 
 SQL_INTERVAL_FLATTEN = """

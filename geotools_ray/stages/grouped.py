@@ -69,6 +69,21 @@ def default_num_parts() -> int:
         return 32
 
 
+def parts_for_rows(
+    n_rows: int, rows_per_part: int = 50_000, min_parts: int = 8
+) -> int:
+    """Data-proportional shuffle width: ceil(rows / rows_per_part),
+    floored at min_parts. The fixed 2x-CPU default (default_num_parts)
+    is right when every partition holds real work, but a small keyed
+    exchange (the 100k-row events family) pays the full 64-partition
+    task fan for ~1.5k rows per task — measured 1.4-1.8x slower than
+    an 8-16 partition exchange on the same input. At 100-TB scale the
+    same rule yields rows/rows_per_part partitions, which is the
+    memory bound that matters (each partition must fit a worker's
+    heap); callers size rows_per_part to the op's per-row width."""
+    return max(int(min_parts), -(-int(n_rows) // int(rows_per_part)))
+
+
 def grouped_map(
     ds: ray.data.Dataset,
     keys: list[str],
