@@ -328,6 +328,16 @@ def queries() -> dict[str, Callable[[str], Any]]:
         "interval_flatten": QS.wrap_sub("q_interval_flatten"),
         # exact substring-overlap dedup (suffix-array-style, ops/substr.py)
         "substr_overlap": QS.wrap_sub("q_substr_overlap"),
+        # vectorized FNV-1a-64 fingerprint (bulk path; md5 stays as the
+        # reference-parity fixture)
+        "fingerprint64": QS.wrap_sub("q_fingerprint64"),
+        # TIN kernel chain (Delaunay + barycentric) hash-checked against
+        # an empty-circumcircle SQL oracle — the same kernels
+        # tin_interp / normalize_height run rows-only
+        "tin_verify": QS.wrap_sub("q_tin_verify"),
+        # M9 two-queue flip scan vs a recursive-CTE oracle (gap-flush
+        # path keeps its pytest + the rows-only detect_edges)
+        "detect_edges_verify": QS.wrap_sub("q_detect_edges_verify"),
     }
     for k, v in img.items():
         qs.setdefault(k, v)
@@ -409,6 +419,9 @@ def oracle_sql() -> dict[str, str]:
         "interval_join_user": QT.SQL_INTERVAL_JOIN_USER,
         "interval_flatten": QT.SQL_INTERVAL_FLATTEN,
         "substr_overlap": QT.SQL_SUBSTR_OVERLAP,
+        "fingerprint64": QT.SQL_FINGERPRINT64,
+        "tin_verify": QO.SQL_TIN_VERIFY,
+        "detect_edges_verify": QO.SQL_DETECT_EDGES_VERIFY,
         # img_* queries: non-SQL-expressible (synthetic binary input) ->
         # rows-only driver check; pixel/caption invariants live in tests/
     }

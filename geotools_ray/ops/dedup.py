@@ -1105,22 +1105,67 @@ def simhash_pairs(
 # ---------------------------------------------------------------------------
 # n-gram Jaccard pairs — EXACT (share-a-shingle candidates + verify)
 
+def _candidate_census(exploded: ray.data.Dataset, census_mod: int) -> int:
+    """Unbiased estimate of the exact path's candidate volume
+    Sum_buckets C(df, 2): whole shingle buckets survive a deterministic
+    hash predicate with probability 1/census_mod, pair counts are EXACT
+    within the sampled buckets (one grouped count over 1/census_mod of
+    the instance rows), and the total scales back up. A sampled bucket
+    contributes its full C(df, 2), so E[estimate] equals the true sum
+    regardless of the df distribution."""
+
+    def samp(t: pa.Table) -> pa.Table:
+        sh = t["shingle"].to_numpy(zero_copy_only=False).view(np.uint64)
+        keep = _splitmix64(sh, 0xA5A5A5A5DEADBEEF) % np.uint64(census_mod) == 0
+        return pa.table({"shingle": sh[keep].view(np.int64)})
+
+    def partial(df: pd.DataFrame) -> pd.DataFrame:
+        c = df["shingle"].value_counts().to_numpy(np.float64)
+        return pd.DataFrame({"p": [float((c * (c - 1.0) / 2.0).sum())]})
+
+    part = grouped_map(
+        exploded.map_batches(samp, batch_format="pyarrow"), ["shingle"], partial
+    )
+    tot = part.sum("p")
+    return int((tot or 0.0) * census_mod)
+
+
 def ngram_jaccard_pairs(
     docs: ray.data.Dataset, n: int = 3, threshold: float = 0.5,
     text_col: str = "text", id_col: str = "doc_id",
     max_bucket: int = 2000,
+    route_budget: int | None = 20_000_000,
+    census_mod: int = 64,
+    num_perm: int = 64, bands: int = 32,
 ) -> ray.data.Dataset:
-    """All pairs with word-n-gram Jaccard >= threshold, EXACTLY: a
-    pair with jaccard > 0 shares >= 1 shingle, so grouping by shingle
-    hash enumerates a complete candidate superset; the shuffle-join
-    verify applies the exact threshold. Convention: empty/whitespace
-    docs have EMPTY shingle sets and never pair (the 0/0 := 1.0
-    Jaccard convention applies only to the minhash verify, where
-    banding — not shared shingles — produces the candidates; the SQL
-    oracle filters empty docs to match). Shingle buckets larger than
-    max_bucket (stop-shingle blowup) are dropped WITH A LOG — at the
-    tested scales no bucket comes close."""
+    """All pairs with word-n-gram Jaccard >= threshold: a pair with
+    jaccard > 0 shares >= 1 shingle, so grouping by shingle hash
+    enumerates a complete candidate superset; the shuffle-join verify
+    applies the exact threshold. Convention: empty/whitespace docs
+    have EMPTY shingle sets and never pair (the 0/0 := 1.0 Jaccard
+    convention applies only to the minhash verify; the SQL oracle
+    filters empty docs to match).
+
+    Scale contract: the exact path's cost is the candidate volume
+    Sum_buckets C(df, 2), which grows super-linearly on
+    vocabulary-saturated corpora (random shingle collisions put ~every
+    doc pair in some bucket). A bucket-sampled census (one grouped
+    count over 1/census_mod of the shingle instances) estimates that
+    volume up front; above `route_budget` estimated candidate pairs
+    the operator LOGS and routes through minhash-LSH banding + the
+    exact-Jaccard verify instead: every emitted pair still carries its
+    EXACT jaccard and passes the exact threshold, but recall follows
+    the banding bound (P[miss] = (1 - j^(num_perm/bands))^bands, 1e-4
+    at j = 0.5 with 64/32) instead of 1. Pass route_budget=None to
+    force the exact path at any volume — the oracle-checked query does
+    (fixture corpora are far below the budget, so its exact path never
+    routes anyway). Oversize single buckets (> max_bucket docs sharing
+    one shingle, stop-shingle blowup) are enumerated in bounded tiles
+    on the exact path — cost is honest, never silently dropped."""
     sets = shingle_sets(docs, text_col, id_col, n)
+    if route_budget is not None:
+        # sets feed census + (either) candidate stage — pin them once
+        sets = sets.materialize()
 
     def explode(t: pa.Table) -> pa.Table:
         """(doc_id, shingle, nset) — each row carries its doc's
@@ -1142,6 +1187,34 @@ def ngram_jaccard_pairs(
 
     exploded = sets.map_batches(explode, batch_format="pyarrow")
 
+    if route_budget is not None and _candidate_census(exploded, census_mod) > route_budget:
+        import logging
+
+        logging.getLogger(__name__).warning(
+            "ngram_jaccard_pairs: estimated candidate volume exceeds "
+            "route_budget=%d — routing through minhash-LSH banding + "
+            "exact verify (recall follows the banding bound; "
+            "route_budget=None forces the exact path)",
+            route_budget,
+        )
+
+        def nonempty(t: pa.Table) -> pa.Table:
+            col = t["sh"]
+            if isinstance(col, pa.ChunkedArray):
+                col = col.combine_chunks()
+            offs = col.offsets.to_numpy(zero_copy_only=False)
+            return t.filter(pa.array(np.diff(offs) > 0))
+
+        # empty docs never pair on the exact path (no shared shingle);
+        # drop them BEFORE signatures or the all-max minhash signature
+        # would bucket every empty doc together with verify 0/0 := 1.0
+        ne = sets.map_batches(nonempty, batch_format="pyarrow")
+        sigs = minhash_signatures_from_sets(ne, id_col=id_col, num_perm=num_perm)
+        cand = lsh_candidate_pairs(sigs, id_col=id_col, bands=bands, dedup=False)
+        return verify_jaccard(
+            cand, docs, threshold, text_col, id_col, n, sets=ne
+        )
+
     def shared(df: pd.DataFrame) -> pd.DataFrame:
         """Per shingle bucket, one (id_a, id_b, na, nb) row per SHARED
         shingle (multiplicity = |A∩B| after the final count)."""
@@ -1154,17 +1227,34 @@ def ngram_jaccard_pairs(
         out = []
         for k in np.nonzero(counts >= 2)[0]:
             m = int(counts[k])
-            if m > max_bucket:
-                import logging
-
-                logging.getLogger(__name__).warning(
-                    "ngram_jaccard_pairs: dropping shingle bucket %d with %d docs",
-                    int(uniq[k]), m,
-                )
-                continue
             sl = slice(starts[k], starts[k] + m)
-            ii, jj = np.triu_indices(m, k=1)
-            out.append((ids_s[sl][ii], ids_s[sl][jj], ns_s[sl][ii], ns_s[sl][jj]))
+            if m <= max_bucket:
+                ii, jj = np.triu_indices(m, k=1)
+                out.append((ids_s[sl][ii], ids_s[sl][jj], ns_s[sl][ii], ns_s[sl][jj]))
+                continue
+            # oversize bucket (stop-shingle blowup): enumerate the SAME
+            # pair set in max_bucket-bounded tiles so per-tile memory
+            # stays <= max_bucket^2 rows; cost is the honest C(m, 2) —
+            # the route_budget census is what protects callers from it
+            import logging
+
+            logging.getLogger(__name__).warning(
+                "ngram_jaccard_pairs: tiled enumeration of oversize "
+                "shingle bucket %d with %d docs (C(m,2)=%d pairs)",
+                int(uniq[k]), m, m * (m - 1) // 2,
+            )
+            b_ids, b_ns = ids_s[sl], ns_s[sl]
+            for i0 in range(0, m, max_bucket):
+                i1 = min(i0 + max_bucket, m)
+                ii, jj = np.triu_indices(i1 - i0, k=1)
+                out.append((b_ids[i0 + ii], b_ids[i0 + jj],
+                            b_ns[i0 + ii], b_ns[i0 + jj]))
+                for j0 in range(i1, m, max_bucket):
+                    j1 = min(j0 + max_bucket, m)
+                    na_, nb_ = i1 - i0, j1 - j0
+                    ai = np.repeat(np.arange(i0, i1), nb_)
+                    bj = np.tile(np.arange(j0, j1), na_)
+                    out.append((b_ids[ai], b_ids[bj], b_ns[ai], b_ns[bj]))
         if not out:
             return pd.DataFrame(
                 {c: pd.Series(dtype=np.int64) for c in ("id_a", "id_b", "na", "nb")}

@@ -451,7 +451,9 @@ def q_ngram_pairs(sf_dir: str):
         f"{sf_dir}/documents.parquet", columns=["doc_id", "text"],
         override_num_blocks=32,  # one-file table: split so the per-doc hashing stages parallelize
     )
-    out = ngram_jaccard_pairs(docs, n=3, threshold=0.3)
+    # route_budget=None: the SQL oracle is recall-1 exact, so the
+    # oracle-checked query must never take the banded-recall route
+    out = ngram_jaccard_pairs(docs, n=3, threshold=0.3, route_budget=None)
 
     def fin(t: pa.Table) -> pa.Table:
         i = t.schema.get_field_index("jaccard")
@@ -799,6 +801,106 @@ def q_detect_edges(sf_dir: str):
     return grouped_map(out, ["file"], rollup)
 
 
+def q_detect_edges_verify(sf_dir: str):
+    """M9 two-queue flip scan, hash-checked END-TO-END against a
+    recursive-CTE oracle. With the gap flush disabled (flush_gap=1e9 —
+    the gap path keeps its pytest + the rows-only q_detect_edges) the
+    scan's state collapses to a single recursion: a check fires at
+    every row rn >= last_reset + 2*queue_len, a flip at p reclasses
+    exactly rows p-39..p (both queues) and resets, so the flip set is
+    `p_{k+1} = min{rn >= p_k + 40 : angle_cond(rn)}` with angle_cond a
+    pure LAG-window expression (atan2 over the 19/20/39-row-back
+    endpoints, normalized to [0, 2pi)). One file (l_orderkey % 5 = 0)
+    bounds the sequential surface; the order key (t, x, y, ok, ln) is
+    total so tie order cannot diverge. Positional fingerprint: sums of
+    x and y over reclassed rows (round 4 — wide enough that float
+    accumulation order can't flip the quantized digit at any sf).
+    Reference semantics: recoverEdges src/lasreclass.cpp:186-259."""
+    from .ops.flightline import detect_edges
+
+    pts = tpch.read_points(sf_dir)
+
+    def prep(t: pa.Table) -> pa.Table:
+        ok = t["l_orderkey"].to_numpy(zero_copy_only=False).astype(np.int64)
+        ln = t["l_linenumber"].to_numpy(zero_copy_only=False).astype(np.int64)
+        keep = ok % 5 == 0
+        ok, ln = ok[keep], ln[keep]
+        return pa.table(
+            {
+                "file": np.zeros(len(ok), dtype=np.int64),
+                "gps_time": (ok * 7 + ln) / 100.0,
+                "x": t["x"].to_numpy(zero_copy_only=False)[keep],
+                "y": t["y"].to_numpy(zero_copy_only=False)[keep],
+                "cls": t["cls"].to_numpy(zero_copy_only=False)[keep],
+                "okey": ok,
+                "ln": ln,
+            }
+        )
+
+    prepped = pts.map_batches(prep, batch_format="pyarrow")
+    out = detect_edges(
+        prepped, "file", order_cols=("x", "y", "okey", "ln"), flush_gap=1e9
+    )
+
+    def rollup(df: pd.DataFrame) -> pd.DataFrame:
+        rows = []
+        for f, g in df.groupby("file", sort=False):
+            turned = g[g["cls"].to_numpy() == 31]
+            rows.append(
+                {
+                    "file": np.int64(f),
+                    "n_turn": np.int64(len(turned)),
+                    "n_total": np.int64(len(g)),
+                    "sum_x_turn": float(_round_away(turned["x"].to_numpy().sum(), 4)),
+                    "sum_y_turn": float(_round_away(turned["y"].to_numpy().sum(), 4)),
+                }
+            )
+        return pd.DataFrame(
+            rows, columns=["file", "n_turn", "n_total", "sum_x_turn", "sum_y_turn"]
+        )
+
+    from .stages.grouped import grouped_map
+
+    return grouped_map(out, ["file"], rollup)
+
+
+SQL_DETECT_EDGES_VERIFY = """
+WITH RECURSIVE pts AS ({PTS}),
+ord0 AS (
+  SELECT (l_orderkey*7 + l_linenumber)/100.0 AS t, x, y,
+         l_orderkey AS ok, l_linenumber AS ln
+  FROM pts WHERE l_orderkey % 5 = 0),
+ordr AS (
+  SELECT x, y, row_number() OVER (ORDER BY t, x, y, ok, ln) AS rn FROM ord0),
+dirs AS (
+  SELECT rn, x, y,
+    atan2(y - lag(y, 19) OVER w, x - lag(x, 19) OVER w) AS a0,
+    atan2(lag(y, 20) OVER w - lag(y, 39) OVER w,
+          lag(x, 20) OVER w - lag(x, 39) OVER w) AS a1
+  FROM ordr WINDOW w AS (ORDER BY rn)),
+cond AS (
+  SELECT rn, x, y,
+    CASE WHEN rn >= 40 THEN
+      abs((CASE WHEN a0 < 0 THEN a0 + 2*pi() ELSE a0 END)
+        - (CASE WHEN a1 < 0 THEN a1 + 2*pi() ELSE a1 END)) > 0.75*pi()
+    ELSE false END AS is_flip
+  FROM dirs),
+fl AS (
+  SELECT min(rn) AS p FROM cond WHERE is_flip
+  UNION ALL
+  SELECT (SELECT min(rn) FROM cond c WHERE c.rn >= fl.p + 40 AND c.is_flip)
+  FROM fl WHERE fl.p IS NOT NULL),
+flips AS (SELECT p FROM fl WHERE p IS NOT NULL),
+turned AS (
+  SELECT o.rn, o.x, o.y FROM cond o JOIN flips f ON o.rn BETWEEN f.p - 39 AND f.p)
+SELECT 0 AS file,
+       (SELECT count(*) FROM turned) AS n_turn,
+       (SELECT count(*) FROM ordr) AS n_total,
+       round(coalesce((SELECT sum(x) FROM turned), 0), 4) AS sum_x_turn,
+       round(coalesce((SELECT sum(y) FROM turned), 0), 4) AS sum_y_turn
+""".format(PTS=tpch.PTS_SQL)
+
+
 def q_boundary_cells(sf_dir: str):
     """W7 boundary edge cells (the distributed occupancy + edge-cell
     part of lasboundary — oracle-checked; the Delaunay multiline over
@@ -1098,6 +1200,141 @@ def q_tin_interp(sf_dir: str):
         return pd.DataFrame(rows, columns=["s_suppkey", "tin_z"])
 
     return grouped_map(cand, ["s_suppkey"], per_sample)
+
+
+def q_tin_verify(sf_dir: str):
+    """W8/M7 TIN kernel chain, hash-checked END-TO-END: Delaunay
+    (kernels/delaunay.py Bowyer-Watson) + barycentric interpolation
+    (interp_corners) of every sample against ONE bounded deterministic
+    ground set — the same kernels q_tin_interp / q_normalize_height
+    run per-sample/per-cell, here against a SQL oracle that enumerates
+    the Delaunay triangles as empty-circumcircle triples and mirrors
+    the interp arithmetic term-for-term.
+
+    The ground points carry a deterministic integer-derived jitter:
+    the raw derived x/y live on a 0.1 lattice whose cocircular
+    degeneracy makes the Delaunay triangulation non-unique (either
+    diagonal of a cocircular quad is valid, and engine vs oracle could
+    legally pick different ones); the jitter puts the ground set in
+    general position, where the triangulation is unique and equals
+    exactly the set of triples with an empty open circumdisk. Ground
+    size is capped by the orderkey predicate (l_orderkey % 53 = 0 AND
+    l_orderkey <= 6000, first row per orderkey) — <= ~50 points at any
+    sf, the broadcast-TIN pattern (tiny TIN via ray.put, queries
+    streamed through map_batches). Reference semantics:
+    interpolateTriangle src/lasvalidate.cpp:169-232,
+    src/pointnormalize.cpp:126-152."""
+    import pyarrow.compute as pc
+    import ray as _ray
+
+    from .kernels.delaunay import delaunay, interp_corners
+
+    raw = ray.data.read_parquet(
+        f"{sf_dir}/lineitem.parquet", columns=tpch.LINEITEM_COLS,
+        filter=(pc.field("l_orderkey") <= 6000) & (pc.field("l_linenumber") == 1),
+    ).map_batches(tpch.derive_points_batch, batch_format="pyarrow")
+
+    def gsel(t: pa.Table) -> pa.Table:
+        ok = t["l_orderkey"].to_numpy(zero_copy_only=False).astype(np.int64)
+        keep = ok % 53 == 0
+        return pa.table(
+            {
+                "k": ok[keep],
+                "x": t["x"].to_numpy(zero_copy_only=False)[keep],
+                "y": t["y"].to_numpy(zero_copy_only=False)[keep],
+                "z": t["z"].to_numpy(zero_copy_only=False)[keep],
+            }
+        )
+
+    # bounded collect (<= ~50 rows by the orderkey cap): duplicate
+    # (l_orderkey, l_linenumber) rows exist in lineitem — canonicalize
+    # to the first row per orderkey under (y, z) order, like the
+    # oracle's ROW_NUMBER ... ORDER BY y, z
+    g = raw.map_batches(gsel, batch_format="pyarrow").to_pandas()
+    g = g.sort_values(["k", "y", "z"]).drop_duplicates("k").reset_index(drop=True)
+    k = g["k"].to_numpy(np.int64)
+    gx = g["x"].to_numpy() + ((k * 7919 + 104729) % 997) / 99700.0
+    gy = g["y"].to_numpy() + ((k * 6211 + 20353) % 991) / 99100.0
+    gz = g["z"].to_numpy().astype(np.float64)
+    xy = np.column_stack([gx, gy])
+    T = np.asarray(delaunay(xy), dtype=np.int64).reshape(-1, 3)
+    ref = _ray.put((xy, gz, T))
+
+    smp = tpch.read_samples_table(sf_dir)
+    qds = ray.data.from_arrow(smp.select(["s_suppkey", "sx", "sy"]))
+
+    def interp(t: pa.Table) -> pa.Table:
+        xy, gz, T = _ray.get(ref)
+        qx = t["sx"].to_numpy(zero_copy_only=False).astype(np.float64)
+        qy = t["sy"].to_numpy(zero_copy_only=False).astype(np.float64)
+        out = np.full(len(qx), np.nan)
+        if len(T):
+            interp_corners(
+                qx, qy,
+                xy[T[:, 0]], xy[T[:, 1]], xy[T[:, 2]],
+                gz[T[:, 0]], gz[T[:, 1]], gz[T[:, 2]],
+                out,
+            )
+        z = np.where(np.isnan(out), -9999.0, _round_away(out, 4))
+        return pa.table({"s_suppkey": t["s_suppkey"], "tin_z": z})
+
+    return qds.map_batches(interp, batch_format="pyarrow")
+
+
+def _sq(p: str, q: str) -> str:
+    """(p - q)^2 spelled out — DuckDB pow() round-trips through
+    exp/log and is not exactly x*x."""
+    return f"(({p}) - ({q})) * (({p}) - ({q}))"
+
+
+SQL_TIN_VERIFY = f"""
+WITH pts AS ({{PTS}}),
+g0 AS (
+  SELECT l_orderkey AS k, x, y, z,
+         row_number() OVER (PARTITION BY l_orderkey ORDER BY y, z) AS rn
+  FROM pts
+  WHERE l_orderkey % 53 = 0 AND l_orderkey <= 6000 AND l_linenumber = 1),
+g AS (
+  SELECT k,
+         x + ((k * 7919 + 104729) % 997) / 99700.0 AS gx,
+         y + ((k * 6211 + 20353) % 991) / 99100.0 AS gy,
+         z AS gz
+  FROM g0 WHERE rn = 1),
+tri AS (
+  SELECT a.gx AS ax, a.gy AS ay, a.gz AS az,
+         b.gx AS bx, b.gy AS b_y, b.gz AS bz,
+         c.gx AS cx, c.gy AS cy, c.gz AS cz,
+         (b.gy - c.gy) * (a.gx - c.gx) + (c.gx - b.gx) * (a.gy - c.gy) AS det
+  FROM g a, g b, g c
+  WHERE a.k < b.k AND b.k < c.k
+    AND (b.gx - a.gx) * (c.gy - a.gy) - (b.gy - a.gy) * (c.gx - a.gx) <> 0
+    AND NOT EXISTS (
+      SELECT 1 FROM g d
+      WHERE d.k <> a.k AND d.k <> b.k AND d.k <> c.k
+        AND ((a.gx - d.gx) * ((b.gy - d.gy) * ({_sq('c.gx', 'd.gx')} + {_sq('c.gy', 'd.gy')})
+                              - (c.gy - d.gy) * ({_sq('b.gx', 'd.gx')} + {_sq('b.gy', 'd.gy')}))
+             - (a.gy - d.gy) * ((b.gx - d.gx) * ({_sq('c.gx', 'd.gx')} + {_sq('c.gy', 'd.gy')})
+                                - (c.gx - d.gx) * ({_sq('b.gx', 'd.gx')} + {_sq('b.gy', 'd.gy')}))
+             + ({_sq('a.gx', 'd.gx')} + {_sq('a.gy', 'd.gy')})
+               * ((b.gx - d.gx) * (c.gy - d.gy) - (c.gx - d.gx) * (b.gy - d.gy)))
+            * ((b.gx - a.gx) * (c.gy - a.gy) - (b.gy - a.gy) * (c.gx - a.gx)) > 0)),
+smp AS ({{SAMPLES}}),
+lam AS (
+  SELECT s.s_suppkey,
+         ((t.b_y - t.cy) * (s.sx - t.cx) + (t.cx - t.bx) * (s.sy - t.cy)) / t.det AS l1,
+         ((t.cy - t.ay) * (s.sx - t.cx) + (t.ax - t.cx) * (s.sy - t.cy)) / t.det AS l2,
+         t.az, t.bz, t.cz
+  FROM smp s CROSS JOIN tri t),
+hit AS (
+  SELECT s_suppkey,
+         round(l1 * az + l2 * bz + (1.0 - l1 - l2) * cz, 4) AS zi
+  FROM lam
+  WHERE l1 >= -1e-12 AND l2 >= -1e-12 AND (1.0 - l1 - l2) >= -1e-12)
+SELECT s.s_suppkey, coalesce(min(h.zi), -9999.0) AS tin_z
+FROM smp s LEFT JOIN hit h USING (s_suppkey)
+GROUP BY s.s_suppkey"""
+
+SQL_TIN_VERIFY = SQL_TIN_VERIFY.format(PTS=tpch.PTS_SQL, SAMPLES=tpch.SAMPLES_SQL)
 
 
 def q_bbox_pruned(sf_dir: str):

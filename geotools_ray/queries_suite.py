@@ -118,6 +118,18 @@ _SUBS = [
     # tiny on the fixture corpus (25 pairs at sf0.01), all-numeric
     ("substr_overlap", "q_substr_overlap", "SQL_SUBSTR_OVERLAP",
      ["doc_a", "doc_b", "n_windows", "max_run_tokens"]),
+    # vectorized FNV-1a-64 fingerprint — the uint64 hash melts as two
+    # 32-bit halves so every value stays DOUBLE-exact
+    ("fingerprint64", "q_fingerprint64", "SQL_FINGERPRINT64",
+     ["doc_id", "fp_hi", "fp_lo"]),
+    # TIN kernel chain vs the empty-circumcircle oracle (<= |suppliers|
+    # rows, tin_z rounded to 4 dp on both sides)
+    ("tin_verify", "q_tin_verify", "SQL_TIN_VERIFY",
+     ["s_suppkey", "tin_z"]),
+    # M9 flip scan vs the recursive-CTE oracle (1 row)
+    ("detect_edges_verify", "q_detect_edges_verify",
+     "SQL_DETECT_EDGES_VERIFY",
+     ["file", "n_turn", "n_total", "sum_x_turn", "sum_y_turn"]),
 ]
 
 

@@ -182,6 +182,64 @@ def q_fingerprint(sf_dir: str):
 SQL_FINGERPRINT = "SELECT doc_id, md5(text) AS fp FROM documents"
 
 
+def q_fingerprint64(sf_dir: str):
+    """Vectorized document fingerprint: seed-0 FNV-1a-64 over the
+    UTF-8 bytes via `kernels.text.stable_hash64_array` — the bulk
+    fingerprint path (O(max_len) numpy passes across rows instead of a
+    Python `hashlib` call per document; the same kernel the dedup /
+    footprint families hash with).  md5 (`q_fingerprint`) stays as the
+    reference-parity fixture; this one is what a 100-TB corpus runs.
+
+    Output splits the uint64 into (fp_hi, fp_lo) 32-bit halves so the
+    value domain stays DOUBLE-exact for the packed small_suite melt.
+    Oracle parity contract: the SQL side folds per CHARACTER with
+    ord(), which equals the UTF-8 byte only for ASCII text — the
+    documents fixture is ASCII by construction (asserted here so a
+    non-ASCII fixture fails loudly on the engine side, not as a silent
+    hash mismatch)."""
+    from .kernels.text import stable_hash64_array
+
+    ds = ray.data.read_parquet(f"{sf_dir}/documents.parquet", columns=["doc_id", "text"])
+
+    def fn(t: pa.Table) -> pa.Table:
+        if not pc.all(pc.string_is_ascii(t["text"])).as_py():
+            raise ValueError(
+                "fingerprint64 oracle parity requires ASCII text "
+                "(SQL ord() folds codepoints, the kernel folds UTF-8 bytes)"
+            )
+        h = stable_hash64_array(t["text"])
+        return pa.table(
+            {
+                "doc_id": t["doc_id"],
+                "fp_hi": (h >> np.uint64(32)).astype(np.int64),
+                "fp_lo": (h & np.uint64(0xFFFFFFFF)).astype(np.int64),
+            }
+        )
+
+    return ds.map_batches(fn, batch_format="pyarrow")
+
+
+# FNV-1a-64 restated in SQL: HUGEINT (int128) arithmetic emulates the
+# wrapping 64-bit multiply via % 2^64; string_split(text, '') yields
+# one element per character and ord() its codepoint (== UTF-8 byte on
+# the ASCII fixture). Empty documents hash to the bare seed.
+SQL_FINGERPRINT64 = """
+WITH h AS (
+  SELECT doc_id,
+    CASE WHEN length(text) = 0 THEN 14695981039346656037::HUGEINT
+    ELSE list_reduce(
+      list_prepend(14695981039346656037::HUGEINT,
+                   list_transform(string_split(text, ''), c -> ord(c)::HUGEINT)),
+      (acc, c) -> (xor(acc, c) * 1099511628211::HUGEINT)
+                  % 18446744073709551616::HUGEINT)
+    END AS fp
+  FROM documents)
+SELECT doc_id,
+  CAST(fp // 4294967296 AS BIGINT) AS fp_hi,
+  CAST(fp % 4294967296 AS BIGINT) AS fp_lo
+FROM h"""
+
+
 # ---------------------------------------------------------------------------
 # embeddings: ANN / near-dup
 

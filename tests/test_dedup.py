@@ -343,3 +343,105 @@ def test_minhash_collapse_distributed_id_domains(ray_session):
     # int32 id column: no schema crash, same clustering
     out = run([10, 11, 12, 13], pa.int32())
     assert out["cluster"].tolist() == [10, 10, 10]
+
+
+def test_fingerprint64_query_parity(ray_session, tmp_path):
+    """q_fingerprint64: (fp_hi, fp_lo) halves reassemble to the scalar
+    FNV-1a-64 per document, empty strings hash to the bare seed, and
+    non-ASCII text is rejected loudly (the SQL oracle folds codepoints,
+    so silent divergence is forbidden)."""
+    import pyarrow as pa
+    import pyarrow.parquet as pq
+
+    from geotools_ray.kernels.text import stable_hash64
+    from geotools_ray.queries_text import q_fingerprint64
+
+    texts = ["hello world", "", "a", "the quick brown fox " * 40]
+    t = pa.table({"doc_id": pa.array(range(len(texts)), pa.int64()),
+                  "text": pa.array(texts)})
+    pq.write_table(t, tmp_path / "documents.parquet")
+    out = q_fingerprint64(str(tmp_path)).to_pandas().sort_values("doc_id")
+    got = (out["fp_hi"].to_numpy().astype(np.uint64) << np.uint64(32)) | \
+        out["fp_lo"].to_numpy().astype(np.uint64)
+    want = np.array([stable_hash64(s.encode()) for s in texts], dtype=np.uint64)
+    assert (got == want).all()
+    assert got[1] == np.uint64(0xCBF29CE484222325)  # empty -> seed
+
+    pq.write_table(
+        pa.table({"doc_id": pa.array([0], pa.int64()),
+                  "text": pa.array(["café"])}),
+        tmp_path / "documents.parquet",
+    )
+    with pytest.raises(Exception, match="ASCII"):
+        q_fingerprint64(str(tmp_path)).to_pandas()
+
+
+def test_ngram_oversize_bucket_tiled_exact(ray_session):
+    """max_bucket far below every bucket size: the tiled enumeration
+    must emit the IDENTICAL pair set + jaccard values as the untiled
+    exact path (no drops, no duplicates)."""
+    from geotools_ray.ops.dedup import ngram_jaccard_pairs
+
+    docs = make_docs(ray_session)
+    ref = ngram_jaccard_pairs(
+        docs, n=3, threshold=0.3, route_budget=None
+    ).to_pandas().sort_values(["id_a", "id_b"]).reset_index(drop=True)
+    tiled = ngram_jaccard_pairs(
+        docs, n=3, threshold=0.3, route_budget=None, max_bucket=2
+    ).to_pandas().sort_values(["id_a", "id_b"]).reset_index(drop=True)
+    pd.testing.assert_frame_equal(ref, tiled)
+    assert len(ref) > 0
+
+
+def test_ngram_auto_route_to_lsh(ray_session):
+    """census_mod=1 (census counts every bucket exactly) + a tiny
+    route_budget forces the LSH route: planted near-dups still surface
+    with their EXACT jaccard values, and every emitted pair passes the
+    exact threshold."""
+    from geotools_ray.ops.dedup import ngram_jaccard_pairs
+
+    docs = make_docs(ray_session)
+    exact = ngram_jaccard_pairs(docs, n=3, threshold=0.5, route_budget=None).to_pandas()
+    routed = ngram_jaccard_pairs(
+        docs, n=3, threshold=0.5, route_budget=1, census_mod=1
+    ).to_pandas()
+    ep = {(a, b): j for a, b, j in zip(exact["id_a"], exact["id_b"], exact["jaccard"])}
+    rp = {(a, b): j for a, b, j in zip(routed["id_a"], routed["id_b"], routed["jaccard"])}
+    # routed output is a subset (banding recall) with identical values;
+    # at this corpus size the planted pairs must all survive
+    for k, j in rp.items():
+        assert k in ep and j == pytest.approx(ep[k])
+    for k in [(0, 100), (0, 101), (1, 102)]:
+        assert k in rp
+    assert rp[(1, 102)] == pytest.approx(1.0)
+
+
+def test_ngram_census_estimates_volume(ray_session):
+    """The bucket-sampled census with census_mod=1 equals the true
+    Sum C(df,2) computed brute-force from the shingle buckets."""
+    import ray.data
+
+    from geotools_ray.ops.dedup import _candidate_census, shingle_sets
+
+    docs = make_docs(ray_session)
+    sets = shingle_sets(docs, shingle_k=3).to_pandas()
+    from collections import Counter
+
+    cnt = Counter()
+    for sh in sets["sh"]:
+        for v in sh:
+            cnt[int(v)] += 1
+    want = sum(c * (c - 1) // 2 for c in cnt.values())
+
+    def explode(t):
+        import pyarrow as pa
+        import numpy as np
+        col = t["sh"]
+        if isinstance(col, pa.ChunkedArray):
+            col = col.combine_chunks()
+        offs = col.offsets.to_numpy(zero_copy_only=False)
+        flat = col.values.to_numpy(zero_copy_only=False)
+        return pa.table({"shingle": flat[offs[0]:offs[-1]].astype(np.int64)})
+
+    exploded = shingle_sets(docs, shingle_k=3).map_batches(explode, batch_format="pyarrow")
+    assert _candidate_census(exploded, 1) == want
