@@ -77,10 +77,13 @@ def exact_dedup(ds: ray.data.Dataset, key_cols: list[str], order_col: str,
     if not (salt_hot or hot_hashes is not None):
         return grouped_map(ds, key_cols, drop, num_parts=num_parts)
 
-    from ..stages.grouped import detect_hot_key_hashes, salted_grouped_map
+    from ..stages.grouped import detect_hot_buckets, salted_grouped_map
 
+    hot_buckets = None
     if hot_hashes is None:
-        hot_hashes = detect_hot_key_hashes(ds, key_cols)
+        # one-pass histogram probe; bucket flags salt a superset of the
+        # hot keys, harmless for the associative min-per-key partials
+        hot_buckets = detect_hot_buckets(ds, key_cols)
 
     def drop_salted(df: pd.DataFrame) -> pd.DataFrame:
         return df.sort_values(order_col).drop_duplicates(
@@ -92,7 +95,7 @@ def exact_dedup(ds: ray.data.Dataset, key_cols: list[str], order_col: str,
 
     return salted_grouped_map(
         ds, key_cols, drop_salted, merge, hot_hashes=hot_hashes,
-        num_parts=num_parts,
+        hot_buckets=hot_buckets, num_parts=num_parts,
     )
 
 

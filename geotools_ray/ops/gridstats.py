@@ -222,7 +222,7 @@ def grid_stats(points: ray.data.Dataset, cfg: GridConfig) -> ray.data.Dataset:
     stats = cfg.stats
     qn = cfg.quantiles
 
-    from ..stages.grouped import detect_hot_key_hashes, grouped_map, salted_grouped_map
+    from ..stages.grouped import detect_hot_buckets, grouped_map, salted_grouped_map
 
     def _finalize_rows(cids, values, unf=None) -> pd.DataFrame:
         rows: dict[str, list] = {"cell_id": []}
@@ -277,7 +277,10 @@ def grid_stats(points: ray.data.Dataset, cfg: GridConfig) -> ray.data.Dataset:
     # execute the full upstream read+filter+assign pipeline a second
     # time just to sample 5% of it
     cells = cells.materialize()
-    hot = detect_hot_key_hashes(cells, ["cell_id"])
+    # one-pass histogram probe (no shuffle); bucket-level flags salt a
+    # superset of the hot keys, which the salted path tolerates by
+    # construction (identical output, test_salting.py)
+    hot = detect_hot_buckets(cells, ["cell_id"])
 
     def chunk(df: pd.DataFrame) -> pd.DataFrame:
         groups = list(df.groupby(["cell_id", "_salt"], sort=False))
@@ -314,7 +317,7 @@ def grid_stats(points: ray.data.Dataset, cfg: GridConfig) -> ray.data.Dataset:
         return _finalize_rows(cids, vals, unf if quirk else None)
 
     return salted_grouped_map(
-        cells, ["cell_id"], chunk, merge, hot_hashes=hot
+        cells, ["cell_id"], chunk, merge, hot_hashes=None, hot_buckets=hot
     )
 
 

@@ -106,9 +106,18 @@ def grouped_map(
     upstream (typical after a filtering map over a many-file read) made
     the same shuffle 16x slower than an 8-block one (8.0 s vs 0.45 s at
     8 cpus, 517k rows). At larger data sizes num_parts should be sized
-    so a part stays under the target block size.
+    so a part stays under the target block size.  When the input is
+    already MATERIALIZED with <= 2*P blocks the repartition is a pure
+    extra exchange (measured 1.3 s of the 6.2 s grid_exact wall at
+    sf0.1) and is skipped.
     """
     P = num_parts or default_num_parts()
+
+    if coalesce:
+        from ray.data.dataset import MaterializedDataset
+
+        if isinstance(ds, MaterializedDataset) and ds.num_blocks() <= 2 * P:
+            coalesce = False
 
     def add_part(t: pa.Table) -> pa.Table:
         part = (hash_columns(t, keys) % np.uint64(P)).astype(np.int64)
@@ -183,6 +192,60 @@ def detect_hot_key_hashes(
     return hot["_kh"].to_numpy().view(np.uint64)
 
 
+def detect_hot_buckets(
+    ds: ray.data.Dataset,
+    keys: list[str],
+    threshold_frac: float = 0.01,
+    sample_frac: float = 0.05,
+    seed: int = 7,
+    n_buckets: int = 4096,
+) -> tuple[int, np.ndarray]:
+    """One-PASS histogram skew probe — the cheap sibling of
+    detect_hot_key_hashes (which costs a random_sample + a keyed
+    groupby shuffle + two materialized passes, ~1-1.5 s of fixed
+    launch overhead even on a 600k-row input).
+
+    Per block: systematic 1-in-k row sampling, bincount of
+    hash_columns % n_buckets; a combine level sums ~64 block
+    histograms per task so the driver receives O(blocks/64) fixed-size
+    rows (streamed, never held).  Returns (n_buckets, hot_bucket_ids)
+    for salted_grouped_map's `hot_buckets`.
+
+    Detection is a strict SUPERSET of the per-key probe: a key holding
+    > threshold_frac of the data always lands in a bucket holding at
+    least that share (bucket count >= key count), so it is always
+    flagged; cold keys sharing a hot bucket get salted too, which is
+    harmless — salting a cold key just splits an already-small group
+    (salted output is identical by contract, see test_salting.py).
+    False-positive rate stays negligible while distinct keys <<
+    n_buckets * threshold_frac * rows."""
+    k = max(1, int(round(1.0 / sample_frac)))
+    off = seed % k
+    nb = np.uint64(n_buckets)
+
+    def hist(t: pa.Table) -> dict:
+        h = hash_columns(t, keys)[off::k]
+        counts = np.bincount(
+            (h % nb).astype(np.int64), minlength=n_buckets
+        ).astype(np.int64)
+        return {"h": counts.reshape(1, n_buckets)}
+
+    def combine(b: dict) -> dict:
+        return {"h": b["h"].sum(axis=0, dtype=np.int64).reshape(1, n_buckets)}
+
+    parts = ds.map_batches(
+        hist, batch_format="pyarrow", batch_size=None
+    ).map_batches(combine, batch_format="numpy", batch_size=64)
+    total_h = np.zeros(n_buckets, dtype=np.int64)
+    for b in parts.iter_batches(batch_format="numpy", batch_size=256):
+        total_h += b["h"].sum(axis=0, dtype=np.int64)
+    total = int(total_h.sum())
+    if not total:
+        return n_buckets, np.array([], dtype=np.int64)
+    cut = threshold_frac * total
+    return n_buckets, np.nonzero(total_h > cut)[0].astype(np.int64)
+
+
 def salted_grouped_map(
     ds: ray.data.Dataset,
     keys: list[str],
@@ -190,6 +253,7 @@ def salted_grouped_map(
     merge_fn: Callable,
     *,
     hot_hashes: np.ndarray | None,
+    hot_buckets: tuple[int, np.ndarray] | None = None,
     salt_k: int | None = None,
     num_parts: int | None = None,
     batch_format: str = "pandas",
@@ -206,33 +270,56 @@ def salted_grouped_map(
     would produce (associative partials: min/first for dedup, sorted
     value chunks for exact order statistics).
 
+    Hot keys come either as exact hashes (`hot_hashes`, from
+    detect_hot_key_hashes) or as histogram buckets (`hot_buckets` =
+    (n_buckets, ids) from detect_hot_buckets — every key whose
+    hash % n_buckets is flagged gets salted, a harmless superset).
+
     With no hot keys the two fns compose in ONE grouped_map (single
-    shuffle — the common, unskewed case pays nothing extra)."""
+    shuffle — the common, unskewed case pays nothing extra; the
+    `_salt` column the fns expect is injected inside the fused apply,
+    not as a separate pass over the data)."""
     k = salt_k or max(8, default_num_parts() // 2)
 
-    if hot_hashes is None or len(hot_hashes) == 0:
-
-        def add_zero(t: pa.Table) -> pa.Table:
-            return t.append_column("_salt", pa.array(np.zeros(len(t), dtype=np.int64)))
+    no_hot = (hot_hashes is None or len(hot_hashes) == 0) and (
+        hot_buckets is None or len(hot_buckets[1]) == 0
+    )
+    if no_hot:
 
         def both_pd(df: pd.DataFrame) -> pd.DataFrame:
+            df["_salt"] = np.int64(0)
             return merge_fn(partial_fn(df))
 
         def both_pa(t: pa.Table) -> pa.Table:
+            t = t.append_column(
+                "_salt", pa.array(np.zeros(len(t), dtype=np.int64))
+            )
             return merge_fn(partial_fn(t))
 
         both = both_pa if batch_format == "pyarrow" else both_pd
         return grouped_map(
-            ds.map_batches(add_zero, batch_format="pyarrow"), keys, both,
-            num_parts=num_parts, batch_format=batch_format,
+            ds, keys, both, num_parts=num_parts, batch_format=batch_format,
         )
 
-    hh = np.sort(np.asarray(hot_hashes, dtype=np.uint64))
+    if hot_buckets is not None and len(hot_buckets[1]):
+        nb = np.uint64(hot_buckets[0])
+        ids = np.sort(np.asarray(hot_buckets[1], dtype=np.int64))
+
+        def _hot_mask(h: np.ndarray) -> np.ndarray:
+            b = (h % nb).astype(np.int64)
+            pos = np.minimum(np.searchsorted(ids, b), len(ids) - 1)
+            return ids[pos] == b
+
+    else:
+        hh = np.sort(np.asarray(hot_hashes, dtype=np.uint64))
+
+        def _hot_mask(h: np.ndarray) -> np.ndarray:
+            pos = np.minimum(np.searchsorted(hh, h), len(hh) - 1)
+            return hh[pos] == h
 
     def add_salt(t: pa.Table) -> pa.Table:
         h = hash_columns(t, keys)
-        pos = np.minimum(np.searchsorted(hh, h), len(hh) - 1)
-        m = hh[pos] == h
+        m = _hot_mask(h)
         salt = np.zeros(len(t), dtype=np.int64)
         if m.any():
             salt[m] = np.arange(int(m.sum()), dtype=np.int64) % k
