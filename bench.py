@@ -330,6 +330,41 @@ def main():
     import ray
 
     ray.shutdown()
+
+    # self-normalizing scaling evidence in the PER-ROUND record
+    # (north_rule two-cluster-size criterion): one lo-cpu headline leg
+    # in a fresh process vs this session's own hi leg, with the
+    # cache-resident cpu probe pair dividing the host's DRAM-epoch
+    # swing out of the raw ratio. GRAFT_BENCH_SCALING=0 skips it.
+    scaling = None
+    if os.environ.get("GRAFT_BENCH_SCALING", "1") != "0":
+        lo = int(os.environ.get("GRAFT_SCALE_LO", "8"))
+        try:
+            env = dict(os.environ, RAY_GRAFT_CPUS=str(lo))
+            out_lo = subprocess.run(
+                [sys.executable, __file__, "--headline-only"],
+                env=env, capture_output=True, text=True, check=True,
+            ).stdout
+            r_lo = json.loads(out_lo.strip().splitlines()[-1])
+            sec_lo = r_lo["headline"]["sec"]
+            cpu_lo = r_lo["headline"]["cpu_probe"]["sec"]
+            raw_eff = (sec_lo / headline["sec"]) / (NUM_CPUS / lo)
+            cpu_eff = (cpu_lo / cpu_probe["sec"]) / (NUM_CPUS / lo)
+            scaling = {
+                "cpus": [lo, NUM_CPUS],
+                "sec_lo": round(sec_lo, 3),
+                "sec_hi": round(headline["sec"], 3),
+                "efficiency_raw": round(raw_eff, 3),
+                "cpu_probe_sec_lo": round(cpu_lo, 2),
+                "cpu_probe_sec_hi": round(cpu_probe["sec"], 2),
+                "cpu_probe_efficiency": round(cpu_eff, 3),
+                # engine scaling with the host-epoch share divided out
+                "efficiency_cpu_normalized": round(raw_eff / cpu_eff, 3)
+                if cpu_eff else None,
+            }
+        except Exception as e:
+            scaling = {"err": f"{type(e).__name__}: {e}"}
+
     print(
         json.dumps(
             {
@@ -342,6 +377,7 @@ def main():
                 "probe_pre_sec": round(probe_pre["sec"], 2),
                 "probe_post_sec": round(probe_post["sec"], 2),
                 "cpu_probe_sec": round(cpu_probe["sec"], 2),
+                "scaling": scaling,
                 "sf": SF_DIR,
                 "num_cpus": NUM_CPUS,
             }
