@@ -338,6 +338,10 @@ def queries() -> dict[str, Callable[[str], Any]]:
         # M9 two-queue flip scan vs a recursive-CTE oracle (gap-flush
         # path keeps its pytest + the rows-only detect_edges)
         "detect_edges_verify": QS.wrap_sub("q_detect_edges_verify"),
+        # W6 crown growth on isolated tops vs a recursive descending-
+        # reachability-closure oracle (the full-contention pipeline
+        # keeps its pytest + the rows-only crowns)
+        "crowns_verify": QS.wrap_sub("q_crowns_verify"),
     }
     for k, v in img.items():
         qs.setdefault(k, v)
@@ -422,6 +426,7 @@ def oracle_sql() -> dict[str, str]:
         "fingerprint64": QT.SQL_FINGERPRINT64,
         "tin_verify": QO.SQL_TIN_VERIFY,
         "detect_edges_verify": QO.SQL_DETECT_EDGES_VERIFY,
+        "crowns_verify": QR.SQL_CROWNS_VERIFY,
         # img_* queries: non-SQL-expressible (synthetic binary input) ->
         # rows-only driver check; pixel/caption invariants live in tests/
     }

@@ -535,6 +535,93 @@ def q_crowns(sf_dir: str):
     return out.map_batches(fin, batch_format="pyarrow")
 
 
+def q_crowns_verify(sf_dir: str):
+    """W6 verify: the crown-growth kernel (same smooth -> tops ->
+    crown_growth_tiles chain as q_crowns) pinned against a recursive-
+    CTE SQL oracle on ISOLATED tops. The engine's FIFO/visited-set
+    growth is order-dependent only where two tops can claim the same
+    cell — impossible when the nearest other top is further than
+    2*radius (dist^2 > 16 in cells at the verify radius of 2.0; at
+    q_crowns' radius 4.0 the synthetic canopy has NO isolated top,
+    min spacing ~5.7 cells) — so for isolated tops the claimed
+    set equals the descending-path reachability closure the recursion
+    computes (see SQL_CROWNS_VERIFY; reference src/treetops.cpp:279-408).
+    Growth runs over ALL tops (the real pipeline); only isolated ids
+    are emitted. Output: (id, top_col, top_row, n_cells, sum_v)."""
+    import pyarrow as pa
+
+    from .ops.crowns import crown_growth_tiles
+    from .ops.raster import list_col_views, local_maxima_tiles, smooth_tiles
+
+    tiles, b, H, W = _mean_tiles(sf_dir)
+    sm = smooth_tiles(
+        tiles, sigma=1.0, size=3, H=H, W=W, tile=16, num_parts=8
+    ).materialize()
+    tops_df = (
+        local_maxima_tiles(sm, window=3, min_height=20.0, H=H, W=W, tile=16, num_parts=8)
+        .to_pandas()
+        .sort_values(["row", "col"])  # kernel's row-major emission order
+        .reset_index(drop=True)
+    )
+    n = len(tops_df)
+    col = tops_df["col"].to_numpy().astype(np.int64)
+    row = tops_df["row"].to_numpy().astype(np.int64)
+    z = tops_df["z"].to_numpy().astype(np.float64)
+    ids = np.arange(1, n + 1, dtype=np.int64)
+    if n > 1:
+        d2 = (col[:, None] - col[None, :]) ** 2 + (row[:, None] - row[None, :]) ** 2
+        np.fill_diagonal(d2, np.iinfo(np.int64).max)
+        iso = d2.min(axis=1) > 16
+    else:
+        iso = np.ones(n, dtype=bool)
+    tops = pa.table({"id": ids, "col": col, "row": row, "z": z})
+    out = crown_growth_tiles(
+        sm, tops, min_height=5.0, height_fraction=0.5, radius=2.0,
+        H=H, W=W, tile=16, num_parts=8,
+    )
+    # per-id stats need the claimed cells' smoothed values: zip the id
+    # tiles with the sm tiles by (trow, tcol). Both tables are
+    # O(grid / tile^2) rows — the same bounded driver-side surface the
+    # other raster checksum queries collect.
+    idt = pa.concat_tables(
+        list(out.iter_batches(batch_format="pyarrow", batch_size=None))
+    )
+    smt = pa.concat_tables(
+        list(sm.iter_batches(batch_format="pyarrow", batch_size=None))
+    )
+    vmap = {
+        (int(tr), int(tc)): v
+        for tr, tc, v in zip(
+            smt["trow"].to_numpy(zero_copy_only=False),
+            smt["tcol"].to_numpy(zero_copy_only=False),
+            list_col_views(smt["data"]),
+        )
+    }
+    n_cells = np.zeros(n + 1, dtype=np.int64)
+    sum_v = np.zeros(n + 1, dtype=np.float64)
+    for tr, tc, ida in zip(
+        idt["trow"].to_numpy(zero_copy_only=False),
+        idt["tcol"].to_numpy(zero_copy_only=False),
+        list_col_views(idt["data"]),
+    ):
+        idarr = np.asarray(ida, dtype=np.float64).astype(np.int64).ravel()
+        varr = np.asarray(vmap[(int(tr), int(tc))], dtype=np.float64).ravel()
+        m = idarr > 0
+        if m.any():
+            n_cells += np.bincount(idarr[m], minlength=n + 1)
+            sum_v += np.bincount(idarr[m], weights=varr[m], minlength=n + 1)
+    sel = np.flatnonzero(iso) + 1
+    return pd.DataFrame(
+        {
+            "id": sel.astype(np.int64),
+            "top_col": col[sel - 1],
+            "top_row": row[sel - 1],
+            "n_cells": n_cells[sel],
+            "sum_v": _round_away(sum_v[sel], 4),
+        }
+    )
+
+
 def q_boundary(sf_dir: str):
     """W7 boundary extraction over the point cloud."""
     from .ops.crowns import boundary_edges

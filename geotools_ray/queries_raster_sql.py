@@ -115,11 +115,9 @@ SQL_RASTER_SMOOTH = "WITH " + GRID_BODY + ", " + SMOOTH_BODY + _tile_checksum_sq
 # O3 treetops: center of each 3x3 window is a top iff valid, >= 20,
 # and the row-major FIRST maximum of the window is the center
 # (earlier equal wins; src/treetops.cpp:72-91), with the one-short
-# far-edge range quirk.
-SQL_TREETOPS = "WITH " + GRID_BODY + ", " + SMOOTH_BODY + f"""
-SELECT a.col, a.row, round(a.v, 4) AS z
-FROM sm a, g
-WHERE a.v <> {NOD} AND a.v >= 20.0
+# far-edge range quirk. Shared WHERE body: SQL_TREETOPS emits the
+# rounded surface, crowns_verify seeds its recursion from the same set.
+_TOPS_WHERE = f"""a.v <> {NOD} AND a.v >= 20.0
   AND a.row BETWEEN 1 AND g.h - 3 AND a.col BETWEEN 1 AND g.w - 3
   AND NOT EXISTS (
     SELECT 1 FROM sm nb
@@ -129,6 +127,59 @@ WHERE a.v <> {NOD} AND a.v >= 20.0
       AND nb.v <> {NOD}
       AND (nb.v > a.v OR (nb.v = a.v
            AND (nb.row < a.row OR (nb.row = a.row AND nb.col < a.col)))))"""
+
+SQL_TREETOPS = "WITH " + GRID_BODY + ", " + SMOOTH_BODY + f"""
+SELECT a.col, a.row, round(a.v, 4) AS z
+FROM sm a, g
+WHERE {_TOPS_WHERE}"""
+
+
+# W6 crowns_verify: crown growth on ISOLATED tops pinned against a
+# recursive reachability closure. The engine's multi-source FIFO BFS
+# (kernels/raster.py:crown_growth; src/treetops.cpp:279-408) marks
+# visited on ENQUEUE, so a cell is claimed iff SOME already-claimed
+# 8-neighbour with a strictly higher value reaches it under the claim
+# predicate — i.e. the claimed set of one top is the order-independent
+# descending-path closure. Order/contention between tops only matters
+# when two tops can claim the same cell, which needs the tops within
+# 2*radius (cells); restricting the verified surface to tops whose
+# nearest other top has dist^2 > (2*radius)^2 = 16 makes the engine's
+# answer provably order-invariant — exactly what the recursive CTE
+# computes. The verify variant grows with radius=2.0 (r^2=4): at
+# radius 4 the synthetic canopy is too dense for ANY top to be
+# isolated (min top spacing ~5.7 cells), while radius 2 leaves a
+# ~25% isolated surface; min_height=5.0 and height_fraction=0.5
+# mirror q_crowns. Ids are the row-major
+# (row, col) rank over ALL tops, so engine and oracle agree on ids
+# even for non-isolated tops excluded from the surface.
+SQL_CROWNS_VERIFY = "WITH RECURSIVE " + GRID_BODY + ", " + SMOOTH_BODY + f""",
+tps AS (
+  SELECT a.col, a.row, a.v FROM sm a, g
+  WHERE {_TOPS_WHERE}),
+idt AS (
+  SELECT row_number() OVER (ORDER BY row, col) AS id, col, row, v AS z
+  FROM tps),
+iso AS (
+  SELECT i.* FROM idt i
+  WHERE NOT EXISTS (
+    SELECT 1 FROM idt o WHERE o.id <> i.id
+      AND (o.col - i.col) * (o.col - i.col)
+        + (o.row - i.row) * (o.row - i.row) <= 16)),
+crown AS (
+  SELECT id, row, col, z AS v, col AS tc, row AS tr, z AS tz FROM iso
+  UNION
+  SELECT c.id, nb.row, nb.col, nb.v, c.tc, c.tr, c.tz
+  FROM crown c
+  JOIN sm nb ON nb.row BETWEEN c.row - 1 AND c.row + 1
+            AND nb.col BETWEEN c.col - 1 AND c.col + 1
+            AND NOT (nb.row = c.row AND nb.col = c.col)
+  WHERE nb.v <> {NOD} AND nb.v < c.v AND nb.v >= 5.0
+    AND nb.v / c.tz >= 0.5
+    AND (nb.col - c.tc) * (nb.col - c.tc)
+      + (nb.row - c.tr) * (nb.row - c.tr) <= 4)
+SELECT id, tc AS top_col, tr AS top_row,
+       count(*) AS n_cells, round(sum(v), 4) AS sum_v
+FROM crown GROUP BY id, tc, tr ORDER BY id"""
 
 
 # O5 minima seeds over the MEAN grid: valid cell with no valid

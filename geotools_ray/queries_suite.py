@@ -130,6 +130,10 @@ _SUBS = [
     ("detect_edges_verify", "q_detect_edges_verify",
      "SQL_DETECT_EDGES_VERIFY",
      ["file", "n_turn", "n_total", "sum_x_turn", "sum_y_turn"]),
+    # W6 crown growth (isolated tops) vs the recursive closure oracle
+    # (<= |tops| rows, all-numeric)
+    ("crowns_verify", "q_crowns_verify", "SQL_CROWNS_VERIFY",
+     ["id", "top_col", "top_row", "n_cells", "sum_v"]),
 ]
 
 

@@ -247,3 +247,77 @@ def test_cotiled_consumers_match_zip_variants(ray_session):
         .to_pandas().sort_values(["id", "x", "y"]).reset_index(drop=True)
     )
     pd.testing.assert_frame_equal(gsp, wsp)
+
+
+def _descending_closure(g, seeds, min_height, frac, radius, nodata=NODATA):
+    """Order-independent reachability closure (what SQL_CROWNS_VERIFY
+    computes): cell claimed iff an already-claimed 8-neighbour with a
+    strictly HIGHER value reaches it under the claim predicate."""
+    H, W = g.shape
+    out = {}
+    for tid, tc, tr, tz in seeds:
+        claimed = {(tr, tc)}
+        frontier = [(tr, tc)]
+        while frontier:
+            nxt = []
+            for r, c in frontier:
+                for dr in (-1, 0, 1):
+                    for dc in (-1, 0, 1):
+                        if dr == 0 and dc == 0:
+                            continue
+                        rr, cc = r + dr, c + dc
+                        if not (0 <= rr < H and 0 <= cc < W) or (rr, cc) in claimed:
+                            continue
+                        v = g[rr, cc]
+                        if (
+                            v != nodata and v < g[r, c] and v >= min_height
+                            and v / tz >= frac
+                            and (tc - cc) ** 2 + (tr - rr) ** 2 <= radius * radius
+                        ):
+                            claimed.add((rr, cc))
+                            nxt.append((rr, cc))
+            frontier = nxt
+        out[tid] = claimed
+    return out
+
+
+def test_crown_growth_isolated_equals_closure():
+    """crowns_verify contract: for tops whose nearest other top is
+    further than 2*radius, the FIFO/visited-set BFS claims exactly the
+    descending-path closure — the recursive-CTE oracle's set."""
+    rng = np.random.RandomState(7)
+    for trial in range(5):
+        H = W = 40
+        g = rng.uniform(5.0, 15.0, (H, W))
+        # three well-separated peaks (> 2*radius apart; radius=3)
+        peaks = [(8, 8), (8, 30), (30, 19)]
+        for r0, c0 in peaks:
+            yy, xx = np.mgrid[0:H, 0:W]
+            g += 20.0 * np.exp(-(((yy - r0) ** 2 + (xx - c0) ** 2) / 6.0))
+        tops = [(i + 1, c, r, g[r, c]) for i, (r, c) in enumerate(peaks)]
+        ids = KR.crown_growth(g, tops, min_height=6.0, height_fraction=0.4, radius=3.0)
+        want = _descending_closure(g, tops, 6.0, 0.4, 3.0)
+        for tid in (1, 2, 3):
+            got = set(zip(*np.nonzero(ids == tid)))
+            assert got == want[tid], f"trial {trial} top {tid}"
+        rng = np.random.RandomState(100 + trial)
+
+
+def test_crown_growth_contended_tops_can_diverge_from_closure():
+    """Why crowns_verify restricts to ISOLATED tops: with two tops in
+    claiming range of the same cells, the engine's visited-set makes
+    the claimed sets order-dependent (first enqueue wins), so the
+    per-id closure is NOT the engine answer in general."""
+    g = np.full((5, 9), 10.0)
+    g[2, 3] = 9.5
+    g[2, 5] = 9.5
+    g[2, 4] = 9.0  # contested saddle, descending path from BOTH tops
+    tops = [(1, 2, 2, 10.0), (2, 6, 2, 10.0)]  # dist 4 < 2*radius
+    ids = KR.crown_growth(g, tops, min_height=1.0, height_fraction=0.1, radius=3.0)
+    want = _descending_closure(g, tops, 1.0, 0.1, 3.0)
+    got1 = set(zip(*np.nonzero(ids == 1)))
+    got2 = set(zip(*np.nonzero(ids == 2)))
+    # the contested cell lands in exactly ONE engine crown but in BOTH
+    # closures — the engine result is a partition of the union
+    assert (2, 4) in want[1] and (2, 4) in want[2]
+    assert ((2, 4) in got1) != ((2, 4) in got2)
