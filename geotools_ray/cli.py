@@ -200,6 +200,39 @@ def cmd_lakes(args):
     _write(pd.DataFrame({"row": rs, "col": cs, "elevation": water[rs, cs]}), args)
 
 
+def cmd_flagship(args):
+    """The north-rule job: decode+verify -> tile assignment -> PIP
+    join -> phash dedup -> parent-cell rollup over an image+caption
+    table, with the durable per-partition checkpoint manifest. This is
+    the entrypoint a cluster run submits (`ray job submit -- python -m
+    geotools_ray.cli flagship --in <table> --checkpoint <dir> --out
+    <dir>`); re-running with the same --checkpoint resumes, skipping
+    completed partitions' decode+join entirely."""
+    import time
+
+    import ray.data
+
+    from .ops.imagepipeline import flagship_full
+    from .state.manifest import load_manifest
+
+    t0 = time.time()
+    images = ray.data.read_parquet(args.input)
+    out = flagship_full(
+        images,
+        checkpoint_dir=args.checkpoint,
+        checkpoint_parts=args.checkpoint_parts,
+    )
+    _write(out, args)
+    if args.checkpoint:
+        recs = load_manifest(args.checkpoint)
+        rows = sum(r.get("row_count", 0) for r in recs.values())
+        byts = sum(r.get("byte_count", 0) for r in recs.values())
+        print(
+            f"checkpoint: {len(recs)} partitions, {rows} rows, "
+            f"{byts} bytes, {time.time() - t0:.1f}s wall"
+        )
+
+
 def cmd_dedup(args):
     from .ops.dedup import exact_dedup, minhash_lsh_dedup
 
@@ -275,6 +308,17 @@ def main(argv=None):
     sp.add_argument("--file-col", default="file")
     sp.add_argument("--gap", type=float, default=50.0)
     sp.set_defaults(fn=cmd_flightline)
+
+    sp = sub.add_parser(
+        "flagship",
+        help="image decode+verify -> tile join -> dedup -> rollup "
+        "(checkpoint-resumable; the ray-job-submit entrypoint)",
+    )
+    common(sp)
+    sp.add_argument("--checkpoint", default=None,
+                    help="manifest dir for the durable restart boundary")
+    sp.add_argument("--checkpoint-parts", type=int, default=32)
+    sp.set_defaults(fn=cmd_flagship)
 
     sp = sub.add_parser("dedup", help="exact / minhash near-dup")
     common(sp)
