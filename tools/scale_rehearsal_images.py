@@ -1,0 +1,97 @@
+"""Image-family data-scale rehearsal: the flagship pipeline
+(decode+verify -> tile assignment -> PIP join -> phash dedup ->
+parent-cell rollup, durable checkpoint included) at 1x/2x/4x/8x the
+image count at FIXED cpu width, by reading growing file subsets of
+the bench cache (64 parquet files x ~31k images) — no extra disk, no
+synthetic-table rebuild.
+
+What "healthy at 100 TB" looks like here: throughput (images/s)
+flat-or-rising as data grows — fixed costs (Ray launch, actor spinup,
+the small polygon broadcast, the 32-partition manifest) amortize,
+per-image cost (entropy decode, phash, join) stays constant, and no
+stage's driver-side state grows with the data (the rollup output is
+O(polygons x parent cells), the manifest is O(parts)).
+
+Run:  python tools/scale_rehearsal_images.py  [--cpus 32]
+"""
+
+from __future__ import annotations
+
+import argparse
+import json
+import os
+import shutil
+import sys
+import tempfile
+import time
+
+sys.path.insert(0, os.path.dirname(os.path.dirname(os.path.abspath(__file__))))
+
+
+def main():
+    ap = argparse.ArgumentParser()
+    ap.add_argument("--cpus", type=int, default=int(os.environ.get("RAY_GRAFT_CPUS", 32)))
+    ap.add_argument("--subsets", type=str, default="8,16,32,64",
+                    help="comma list of file counts from the 64-file cache")
+    args = ap.parse_args()
+
+    import ray
+    import ray.data
+
+    if not ray.is_initialized():
+        ray.init(address="local", num_cpus=args.cpus, include_dashboard=False,
+                 logging_level="ERROR")
+    from ray.data import DataContext
+
+    DataContext.get_current().enable_progress_bars = False
+
+    import bench
+
+    bench.ensure_image_cache()
+    files = sorted(
+        os.path.join(bench.CACHE, f)
+        for f in os.listdir(bench.CACHE)
+        if f.endswith(".parquet")
+    )
+    # warm page cache once so every leg measures compute, not cold disk
+    for p in files:
+        with open(p, "rb", buffering=0) as f:
+            while f.read(1 << 24):
+                pass
+
+    from geotools_ray.ops import imagepipeline as IP
+
+    rows = []
+    for nf in [int(s) for s in args.subsets.split(",")]:
+        sub = files[:nf]
+        import pyarrow.parquet as pq
+
+        n_img = sum(pq.ParquetFile(p).metadata.num_rows for p in sub)
+        nb = max(16, n_img // 8000)  # block count follows the DATA
+        ck = tempfile.mkdtemp(prefix="graft_img_rehearsal_ck_")
+        try:
+            t0 = time.time()
+            images = ray.data.read_parquet(sub, override_num_blocks=nb)
+            out = IP.flagship_full(images, checkpoint_dir=ck)
+            n_out = out.count()
+            dt = time.time() - t0
+        finally:
+            shutil.rmtree(ck, ignore_errors=True)
+        rows.append({
+            "files": nf, "images": n_img, "sec": round(dt, 2),
+            "images_per_sec": round(n_img / dt, 1), "out_rows": n_out,
+        })
+        print(json.dumps(rows[-1]))
+
+    base = rows[0]["images_per_sec"]
+    print(json.dumps({
+        "metric": "flagship_data_scale_rehearsal",
+        "cpus": args.cpus,
+        "rows": rows,
+        "throughput_ratio_last_vs_first": round(rows[-1]["images_per_sec"] / base, 3),
+    }))
+    ray.shutdown()
+
+
+if __name__ == "__main__":
+    main()
