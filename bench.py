@@ -74,6 +74,24 @@ def ensure_image_cache():
         f.write("ok")
 
 
+def blocks_for_images(n: int) -> int:
+    """Block count is a property of the DATA (≈8k images per block),
+    not of the worker count — keeps 8- and 32-cpu runs comparable.
+    Shared with tools/scale_rehearsal_images.py so the rehearsal
+    measures under the same regime as the headline."""
+    return max(16, n // 8000)
+
+
+def warm_page_cache(paths) -> None:
+    """Touch every data page so timed legs measure compute + shuffle,
+    not cold disk (count() reads only parquet metadata)."""
+    for p in paths:
+        if os.path.isfile(p):
+            with open(p, "rb", buffering=0) as f:
+                while f.read(1 << 24):
+                    pass
+
+
 def run_headline() -> dict:
     """Headline = decode+verify (actor pool) -> tile assignment -> PIP
     join -> dedup -> rollup, end to end over the full image table.
@@ -84,17 +102,8 @@ def run_headline() -> dict:
     from geotools_ray.ops import imagepipeline as IP
 
     ensure_image_cache()
-    # block count is a property of the DATA (≈8k images per block), not
-    # of the worker count — keeps the 8- and 32-cpu runs comparable
-    nb = max(16, N_IMAGES // 8000)
-    # warm the page cache so we measure compute + shuffle, not cold
-    # disk (count() reads only parquet metadata — touch the data pages)
-    for name in os.listdir(CACHE):
-        p = os.path.join(CACHE, name)
-        if os.path.isfile(p):
-            with open(p, "rb", buffering=0) as f:
-                while f.read(1 << 24):
-                    pass
+    nb = blocks_for_images(N_IMAGES)
+    warm_page_cache(os.path.join(CACHE, n) for n in os.listdir(CACHE))
 
     import shutil
     import tempfile

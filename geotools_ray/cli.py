@@ -216,7 +216,7 @@ def cmd_flagship(args):
     from .state.manifest import load_manifest
 
     t0 = time.time()
-    images = ray.data.read_parquet(args.input)
+    images = _read(args)
     out = flagship_full(
         images,
         checkpoint_dir=args.checkpoint,

@@ -380,7 +380,7 @@ def flagship_full(
     # BOTH branches materialize first: the narrow rows (~40 B/row) land
     # in the object store once, so checkpoint_join's grouped shuffle
     # starts from settled blocks instead of chaining an AllToAll onto
-    # the decode map (measured 22.5 s -> 15.2 s on the 2M-image
+    # the decode map (measured 22.5 s -> 13.0 s on the 2M-image
     # headline; write itself is ~1.1 s once the input is materialized)
     joined = joined.materialize()
     if checkpoint_dir is not None:

@@ -551,7 +551,7 @@ def q_crowns_verify(sf_dir: str):
     import pyarrow as pa
 
     from .ops.crowns import crown_growth_tiles
-    from .ops.raster import list_col_views, local_maxima_tiles, smooth_tiles
+    from .ops.raster import local_maxima_tiles, smooth_tiles
 
     tiles, b, H, W = _mean_tiles(sf_dir)
     sm = smooth_tiles(
@@ -568,6 +568,10 @@ def q_crowns_verify(sf_dir: str):
     row = tops_df["row"].to_numpy().astype(np.int64)
     z = tops_df["z"].to_numpy().astype(np.float64)
     ids = np.arange(1, n + 1, dtype=np.int64)
+    if n > 20_000:
+        # the SQL oracle's NOT EXISTS is O(n^2) too: this verify query
+        # is a bounded-surface contract, not a scale path (q_crowns is)
+        raise ValueError(f"crowns_verify: {n} tops exceeds the bounded-surface cap")
     if n > 1:
         d2 = (col[:, None] - col[None, :]) ** 2 + (row[:, None] - row[None, :]) ** 2
         np.fill_diagonal(d2, np.iinfo(np.int64).max)
@@ -580,36 +584,32 @@ def q_crowns_verify(sf_dir: str):
         H=H, W=W, tile=16, num_parts=8,
     )
     # per-id stats need the claimed cells' smoothed values: zip the id
-    # tiles with the sm tiles by (trow, tcol). Both tables are
-    # O(grid / tile^2) rows — the same bounded driver-side surface the
-    # other raster checksum queries collect.
-    idt = pa.concat_tables(
-        list(out.iter_batches(batch_format="pyarrow", batch_size=None))
-    )
-    smt = pa.concat_tables(
-        list(sm.iter_batches(batch_format="pyarrow", batch_size=None))
-    )
-    vmap = {
-        (int(tr), int(tc)): v
-        for tr, tc, v in zip(
-            smt["trow"].to_numpy(zero_copy_only=False),
-            smt["tcol"].to_numpy(zero_copy_only=False),
-            list_col_views(smt["data"]),
-        )
-    }
+    # tiles with the sm tiles by (trow, tcol) DISTRIBUTED — each tile
+    # reduces to its per-id (n, sum_v) partials, so the driver only
+    # collects O(tiles x ids-present-per-tile) rows, never a pixel grid
+    from .ops.spectral import zip_tiles
+
+    def tile_partial(trow, tcol, gi, gv):
+        idarr = gi.astype(np.int64).ravel()
+        varr = gv.ravel()
+        m = idarr > 0
+        if not m.any():
+            return pd.DataFrame({"id": [], "n": [], "sv": []})
+        nc = np.bincount(idarr[m])
+        sv = np.bincount(idarr[m], weights=varr[m])
+        present = np.flatnonzero(nc)
+        return pd.DataFrame({"id": present, "n": nc[present], "sv": sv[present]})
+
+    partials = zip_tiles(
+        out, sm, tile_partial,
+        empty=pd.DataFrame({"id": [], "n": [], "sv": []}),
+    ).to_pandas()
     n_cells = np.zeros(n + 1, dtype=np.int64)
     sum_v = np.zeros(n + 1, dtype=np.float64)
-    for tr, tc, ida in zip(
-        idt["trow"].to_numpy(zero_copy_only=False),
-        idt["tcol"].to_numpy(zero_copy_only=False),
-        list_col_views(idt["data"]),
-    ):
-        idarr = np.asarray(ida, dtype=np.float64).astype(np.int64).ravel()
-        varr = np.asarray(vmap[(int(tr), int(tc))], dtype=np.float64).ravel()
-        m = idarr > 0
-        if m.any():
-            n_cells += np.bincount(idarr[m], minlength=n + 1)
-            sum_v += np.bincount(idarr[m], weights=varr[m], minlength=n + 1)
+    if len(partials):
+        pid = partials["id"].to_numpy().astype(np.int64)
+        n_cells[: pid.max() + 1] = np.bincount(pid, weights=partials["n"].to_numpy())
+        sum_v[: pid.max() + 1] = np.bincount(pid, weights=partials["sv"].to_numpy())
     sel = np.flatnonzero(iso) + 1
     return pd.DataFrame(
         {

@@ -188,8 +188,8 @@ def wrap_sub(fn_name: str):
 
 
 def q_small_suite(sf_dir: str) -> pd.DataFrame:
-    """One driver slot covering the packed oracle queries (_SUBS,
-    19 members): melt each
+    """One driver slot covering the packed oracle queries (every
+    _SUBS entry — len(_SUBS) members): melt each
     result to (q, i, c, v) numeric long rows, i = 1-based rank of the
     row under an all-columns sort (mirrors the oracle's ROW_NUMBER).
     Members with O(input)-sized outputs carry a deterministic key

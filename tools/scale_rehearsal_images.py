@@ -53,21 +53,24 @@ def main():
         for f in os.listdir(bench.CACHE)
         if f.endswith(".parquet")
     )
-    # warm page cache once so every leg measures compute, not cold disk
-    for p in files:
-        with open(p, "rb", buffering=0) as f:
-            while f.read(1 << 24):
-                pass
+    subsets = [int(s) for s in args.subsets.split(",")]
+    if len(files) < max(subsets):
+        raise SystemExit(
+            f"cache has {len(files)} parquet files < requested subset "
+            f"{max(subsets)}: the scale ladder would silently flatten"
+        )
+    # warm only what the largest leg reads (bench.py's warm policy)
+    bench.warm_page_cache(files[: max(subsets)])
 
     from geotools_ray.ops import imagepipeline as IP
 
     rows = []
-    for nf in [int(s) for s in args.subsets.split(",")]:
+    for nf in subsets:
         sub = files[:nf]
         import pyarrow.parquet as pq
 
         n_img = sum(pq.ParquetFile(p).metadata.num_rows for p in sub)
-        nb = max(16, n_img // 8000)  # block count follows the DATA
+        nb = bench.blocks_for_images(n_img)  # bench.py's block rule
         ck = tempfile.mkdtemp(prefix="graft_img_rehearsal_ck_")
         try:
             t0 = time.time()
