@@ -33,6 +33,18 @@ def write_table(ds: ray.data.Dataset, path: str, **kw):
     return ds.write_parquet(path, **kw)
 
 
+def read_jsonl(path: str, **kw) -> ray.data.Dataset:
+    """JSONL source — the common interchange format for text/training
+    corpora (one JSON document per line). Ray's read_json handles
+    .jsonl line framing natively; one task per file/fragment."""
+    return ray.data.read_json(path, **kw)
+
+
+def write_jsonl(ds: ray.data.Dataset, path: str, **kw):
+    """JSONL sink (one file per block, parallel)."""
+    return ds.write_json(path, **kw)
+
+
 def read_csv(path: str, **kw) -> ray.data.Dataset:
     """S9 CSV source (include/csv.hpp:24-60)."""
     return ray.data.read_csv(path, **kw)
