@@ -164,6 +164,22 @@ def test_dedup_by_phash_salted_identity(ray_session):
         want[["phash", "polygon_id", "image_id"]],
     )
 
+    # the flagship wiring: salt_hot=True self-probes (bucket histogram,
+    # no shuffle), flags the planted hot key, and the salted answer is
+    # identical to the unsalted one
+    got2 = (
+        dedup_by_phash(ds, salt_hot=True).to_pandas()
+        .sort_values(["phash", "polygon_id"]).reset_index(drop=True)
+    )
+    pd.testing.assert_frame_equal(
+        got2[["phash", "polygon_id", "image_id"]],
+        want[["phash", "polygon_id", "image_id"]],
+    )
+    from geotools_ray.stages.grouped import detect_hot_buckets
+
+    nb, hb = detect_hot_buckets(ds, ["phash", "polygon_id"])
+    assert len(hb) >= 1  # the probe actually fired on the planted skew
+
 
 def _kurt_ref(v, unf):
     v = np.asarray(v, dtype=np.float64)
