@@ -126,3 +126,33 @@ def test_wds_incomplete_group_rejected(ray_session, tmp_path):
         tf.addfile(info, _io.BytesIO(payload))
     with pytest.raises(ValueError, match="incomplete member groups"):
         _parse_tar(buf.getvalue())
+
+
+def test_wds_shards_feed_flagship(ray_session, tmp_path):
+    """read_wds_shards output is the input_hint schema, so the full
+    flagship pipeline consumes shards directly — same result as the
+    parquet path over the same rows."""
+    import pandas as pd
+    import pyarrow as pa
+    import ray.data
+
+    from geotools_ray.ops.imagepipeline import flagship_full
+    from geotools_ray.sources.images import IMAGE_SCHEMA, make_image_row
+    from geotools_ray.sources.wds import read_wds_shards, write_wds_shards
+
+    rows = [make_image_row(i, seed=5) for i in range(400)]
+    t = pa.Table.from_pylist(rows, schema=IMAGE_SCHEMA)
+    out = str(tmp_path / "shards")
+    write_wds_shards(ray.data.from_arrow(t).repartition(4), out, shard_rows=100)
+
+    def canon(ds):
+        return (
+            ds.to_pandas()
+            .sort_values(["polygon_id", "parent_cell"])
+            .reset_index(drop=True)
+        )
+
+    via_wds = canon(flagship_full(read_wds_shards(out)))
+    via_table = canon(flagship_full(ray.data.from_arrow(t)))
+    pd.testing.assert_frame_equal(via_wds, via_table)
+    assert len(via_wds) > 0
