@@ -138,6 +138,23 @@ def _image_queries() -> dict[str, Callable[[str], Any]]:
         out = ds.map_batches(DecodeStage, batch_format="pyarrow", batch_size=512, concurrency=2)
         return out.select_columns(["image_id", "w", "h", "fmt", "mean_r", "mean_g", "mean_b"])
 
+    def img_resize(sf_dir: str):
+        # bilinear thumbnailing -> a VALID image table (phash
+        # recomputed per the table convention) -> decode+verify over
+        # the output proves it end-to-end. STATELESS fns here so Ray
+        # fuses resize+verify into the read tasks (the actor-pool form,
+        # ResizeStage with concurrency=N, is pytest-exercised — resize
+        # has no per-actor setup worth a pool on this table)
+        from geotools_ray.stages.imaging import ResizeStage, decode_features_batch
+
+        # the cached fixture is ONE arrow block: split it so the
+        # resize+verify tasks actually parallelize
+        ds = _table(sf_dir).repartition(16)
+        stage = ResizeStage(out_w=32, out_h=32, fmt="jpeg")
+        thumbs = ds.map_batches(stage, batch_format="pyarrow", batch_size=256)
+        out = thumbs.map_batches(decode_features_batch, batch_format="pyarrow", batch_size=512)
+        return out.select_columns(["image_id", "w", "h", "fmt", "verify_ok"])
+
     from geotools_ray.stages import multimodal as MM
 
     def _sf_n(sf_dir: str, base: int) -> int:
@@ -193,6 +210,7 @@ def _image_queries() -> dict[str, Callable[[str], Any]]:
         "img_join_pairs": img_join_pairs,
         "img_dedup": img_dedup,
         "img_decode_features": img_decode_features,
+        "img_resize": img_resize,
         # multimodal actor-pool stages over REAL wav/y4m payloads
         # (from-scratch spec codecs; compressed formats remain
         # NotImplementedError at the same seam)

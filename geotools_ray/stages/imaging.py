@@ -59,23 +59,21 @@ def _binary_views(col):
             yield data[offs[j] : offs[j + 1]]
 
 
-def decode_features_batch(t: pa.Table) -> pa.Table:
-    """decode -> verify (phash recompute == stored phash) -> featurize
-    (mean RGB + 4x4 thumbnail brightness) -> DROP pixel bytes.
+def decode_pixel_stacks(t: pa.Table):
+    """Decode every payload in the batch into same-size RGB stacks:
+    -> ({(tag, h, w, ctype): (row_idx, (n, h, w, 3) uint8 stack)},
+        [(row_idx, (h, w, 3) uint8)] singles for foreign codecs).
 
-    Per-image decode is inherently per-row (variable-size payloads);
-    the batch amortizes dispatch and numpy does all pixel math."""
+    Per-image zlib decompress is irreducible; ALL pixel math runs
+    batched per (h, w, fmt) size-group so python touches each image
+    once, numpy does the rest over (group, h, w, 3) stacks. Real
+    JPEGs decode through ONE wide entropy pass (sources/jpegwide.py).
+    Shared by decode_features_batch (the flagship decode+verify) and
+    ResizeStage (thumbnailing)."""
     import zlib
 
     from ..sources import jpegwide as jw
 
-    stored_ph = t["phash"].to_numpy(zero_copy_only=False)
-    n = len(t)
-    mean_rgb = np.empty((n, 3))
-    phash = np.empty(n, dtype=np.int64)
-    # per-image zlib decompress is irreducible; ALL pixel math runs
-    # batched per (h, w, fmt) size-group so python touches each image
-    # once, numpy does the rest over (group, h, w, 3) stacks
     groups: dict[tuple, list] = {}
     slow: list[tuple[int, bytes]] = []
     jpg_idx: list[int] = []
@@ -150,6 +148,60 @@ def decode_features_batch(t: pa.Table) -> pa.Table:
             # single-pass uint8 LUT == (uint16 * 5).clip(0, 255) exactly
             px = _GJPG_LUT[px]
         px_groups[(tag, h, w, ctype)] = (idx, px)
+    singles = []
+    for i, payload in slow:
+        # foreign formats: per-image magic-byte decode (real JPEG runs
+        # the T.81 decoder)
+        px1 = I.decode_image(payload)
+        if px1.ndim == 2:
+            px1 = np.repeat(px1[:, :, None], 3, axis=2)
+        singles.append((i, px1))
+    return px_groups, singles
+
+
+def phash_stack(px: np.ndarray) -> np.ndarray:
+    """Batched perceptual hash over a same-size stack — identical
+    arithmetic to sources.images.perceptual_hash per image (float64
+    gray, 8x8 block means): uint16 channel add is exact (<= 765) and
+    / 3.0 is the same single float64 rounding as mean(axis=3)."""
+    n, h, w = px.shape[:3]
+    gray = (px[..., 0].astype(np.uint16) + px[..., 1] + px[..., 2]) / 3.0
+    if h % 8 == 0 and w % 8 == 0:
+        small = gray.reshape(n, 8, h // 8, 8, w // 8).mean(axis=(2, 4))
+    else:
+        # foreign sizes (not multiples of 8): per-image block means
+        # in EXACTLY perceptual_hash's fallback order (same np.mean
+        # reduction per block — bit-identical, so verify_ok stays
+        # true for a correctly-stored phash)
+        ys = (np.arange(9) * h) // 8
+        xs = (np.arange(9) * w) // 8
+        small = np.empty((n, 8, 8))
+        for ii in range(n):
+            for bi in range(8):
+                for bj in range(8):
+                    small[ii, bi, bj] = gray[
+                        ii, ys[bi] : ys[bi + 1], xs[bj] : xs[bj + 1]
+                    ].mean()
+    bits = small > small.mean(axis=(1, 2))[:, None, None]
+    packed = (
+        bits.reshape(n, 64).astype(np.uint64)
+        << np.arange(64, dtype=np.uint64)[None, :]
+    ).sum(axis=1, dtype=np.uint64)
+    return packed.astype(np.int64)  # same two's-complement map
+
+
+def decode_features_batch(t: pa.Table) -> pa.Table:
+    """decode -> verify (phash recompute == stored phash) -> featurize
+    (mean RGB + 4x4 thumbnail brightness) -> DROP pixel bytes.
+
+    Per-image decode is inherently per-row (variable-size payloads);
+    the batch amortizes dispatch and numpy does all pixel math (see
+    decode_pixel_stacks)."""
+    stored_ph = t["phash"].to_numpy(zero_copy_only=False)
+    n = len(t)
+    mean_rgb = np.empty((n, 3))
+    phash = np.empty(n, dtype=np.int64)
+    px_groups, singles = decode_pixel_stacks(t)
     for (_, h, w, *_), (idx, px) in px_groups.items():
         # int64 channel sums / count == float64 mean bit-for-bit
         # (integer-valued float64 partial sums are exact below 2^53);
@@ -158,40 +210,10 @@ def decode_features_batch(t: pa.Table) -> pa.Table:
         mean_rgb[idx] = np.stack(
             [px[..., c].sum(axis=(1, 2), dtype=np.int64) for c in range(3)], axis=1
         ) / (h * w)
-        # batched perceptual hash — identical arithmetic to
-        # sources.images.perceptual_hash (float64 gray, 8x8 block
-        # means): uint16 channel add is exact (<= 765) and / 3.0 is the
-        # same single float64 rounding as mean(axis=3)
-        gray = (px[..., 0].astype(np.uint16) + px[..., 1] + px[..., 2]) / 3.0
-        if h % 8 == 0 and w % 8 == 0:
-            small = gray.reshape(len(idx), 8, h // 8, 8, w // 8).mean(axis=(2, 4))
-        else:
-            # foreign sizes (not multiples of 8): per-image block means
-            # in EXACTLY perceptual_hash's fallback order (same np.mean
-            # reduction per block — bit-identical, so verify_ok stays
-            # true for a correctly-stored phash)
-            ys = (np.arange(9) * h) // 8
-            xs = (np.arange(9) * w) // 8
-            small = np.empty((len(idx), 8, 8))
-            for ii in range(len(idx)):
-                for bi in range(8):
-                    for bj in range(8):
-                        small[ii, bi, bj] = gray[
-                            ii, ys[bi] : ys[bi + 1], xs[bj] : xs[bj + 1]
-                        ].mean()
-        bits = small > small.mean(axis=(1, 2))[:, None, None]
-        packed = (
-            bits.reshape(len(idx), 64).astype(np.uint64)
-            << np.arange(64, dtype=np.uint64)[None, :]
-        ).sum(axis=1, dtype=np.uint64)
-        phash[idx] = packed.astype(np.int64)  # same two's-complement map
-    for i, payload in slow:
-        # foreign formats: per-image magic-byte decode (real JPEG runs
-        # the T.81 decoder); identical feature arithmetic to the
+        phash[idx] = phash_stack(px)
+    for i, px1 in singles:
+        # foreign formats: identical feature arithmetic to the
         # batched path — exact int64 channel sums, perceptual_hash
-        px1 = I.decode_image(payload)
-        if px1.ndim == 2:
-            px1 = np.repeat(px1[:, :, None], 3, axis=2)
         h1, w1 = px1.shape[:2]
         mean_rgb[i] = [
             px1[..., c].sum(dtype=np.int64) / (h1 * w1) for c in range(3)
@@ -259,3 +281,94 @@ def codec_roundtrip_batch(t: pa.Table) -> pa.Table:
             "lossless": pa.array(lossless),
         }
     )
+
+
+def resize_bilinear_stack(px: np.ndarray, out_h: int, out_w: int) -> np.ndarray:
+    """Vectorized bilinear resize of a same-size stack: (n, h, w, c)
+    uint8 -> (n, out_h, out_w, c) uint8, half-pixel-center convention
+    (src = (dst + 0.5) * scale - 0.5, edge-clamped — what
+    OpenCV/PIL/TF resize with align_corners=False compute). At equal
+    size the sample points are exactly the integer centers, so the
+    resize is the identity (pytest-pinned)."""
+    n, h, w, c = px.shape
+    ys = (np.arange(out_h) + 0.5) * (h / out_h) - 0.5
+    xs = (np.arange(out_w) + 0.5) * (w / out_w) - 0.5
+    y0f = np.floor(ys)
+    x0f = np.floor(xs)
+    fy = (ys - y0f)[None, :, None, None]  # broadcast over (n, H, W, c)
+    fx = (xs - x0f)[None, None, :, None]
+    y0 = np.clip(y0f.astype(np.int64), 0, h - 1)
+    y1 = np.clip(y0f.astype(np.int64) + 1, 0, h - 1)
+    x0 = np.clip(x0f.astype(np.int64), 0, w - 1)
+    x1 = np.clip(x0f.astype(np.int64) + 1, 0, w - 1)
+    # gather rows once per y-index set, then columns: two fancy
+    # gathers instead of four full (n, H, W, c) corner tensors
+    r0 = px[:, y0].astype(np.float64)  # (n, H, w, c)
+    r1 = px[:, y1].astype(np.float64)
+    top = r0[:, :, x0] * (1.0 - fx) + r0[:, :, x1] * fx
+    bot = r1[:, :, x0] * (1.0 - fx) + r1[:, :, x1] * fx
+    out = top * (1.0 - fy) + bot * fy
+    return np.rint(out).clip(0, 255).astype(np.uint8)
+
+
+class ResizeStage:
+    """Actor-pool thumbnail stage (the prompt's multimodal 'resize'):
+    decode (wide JPEG pass + batched PNG unfilter via
+    decode_pixel_stacks) -> bilinear resize to (out_h, out_w) ->
+    re-encode -> emit a VALID image table (input_hint schema, phash
+    recomputed on the resized pixels), so the output composes with
+    every image consumer (flagship, wds shards, dedup).
+
+    fmt="jpeg" re-encodes whole size-groups through the wide
+    vectorized encoder (sources/jpegwide.encode_jpeg_stack);
+    fmt="png" is lossless (per-image zlib deflate, C-speed).
+    Use as images.map_batches(ResizeStage, fn_constructor_kwargs=...,
+    concurrency=N, batch_size=B) — codec tables bind once per actor."""
+
+    def __init__(self, out_w: int = 64, out_h: int = 64, fmt: str = "png"):
+        if fmt not in ("png", "jpeg"):
+            raise ValueError(f"ResizeStage: unsupported output fmt {fmt!r}")
+        self.out_w, self.out_h, self.fmt = out_w, out_h, fmt
+        from ..sources import jpegwide as jw
+
+        self._encode_stack = jw.encode_jpeg_stack
+
+    def __call__(self, t: pa.Table) -> pa.Table:
+        n = len(t)
+        out_bytes: list = [None] * n
+        phash = np.zeros(n, dtype=np.int64)
+        px_groups, singles = decode_pixel_stacks(t)
+        stacks = [(idx, px) for (idx, px) in px_groups.values()]
+        stacks.extend((np.array([i]), px1[None]) for i, px1 in singles)
+        for idx, px in stacks:
+            r = resize_bilinear_stack(px, self.out_h, self.out_w)
+            if self.fmt == "jpeg":
+                payloads = self._encode_stack(
+                    r, quality=I.JPEG_QUALITY, restart_interval=I.JPEG_RESTART
+                )
+                # the table convention (make_image_row): phash is the
+                # hash of the pixels a READER decodes — for lossy jpeg
+                # that is the decoded payload, not the pre-encode pixels
+                from ..sources import jpegwide as jw
+
+                hash_px = jw.decode_jpeg_batch(payloads)
+            else:
+                payloads = [codecs.encode_png(r[j]) for j in range(len(idx))]
+                hash_px = r  # png is lossless
+            hp = np.stack([np.asarray(p) for p in hash_px])
+            if hp.ndim == 3:  # grayscale decode: replicate like the readers do
+                hp = np.repeat(hp[..., None], 3, axis=3)
+            phash[idx] = phash_stack(hp)
+            for j, i in enumerate(idx):
+                out_bytes[i] = payloads[j]
+        cols = {
+            "image_id": t["image_id"],
+            "bytes": pa.array(out_bytes, type=pa.binary()),
+            "w": pa.array(np.full(n, self.out_w, dtype=np.int32)),
+            "h": pa.array(np.full(n, self.out_h, dtype=np.int32)),
+            "fmt": pa.array([self.fmt] * n, type=pa.string()),
+        }
+        if "caption" in t.schema.names:
+            cols["caption"] = t["caption"]
+        cols["phash"] = pa.array(phash)
+        return pa.table(cols)

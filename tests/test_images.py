@@ -100,3 +100,69 @@ def test_caption_equality_end_to_end(ray_session, tmp_path):
     m2 = orig.merge(out[["image_id", "caption"]], on="image_id")
     assert (m2["caption_x"] == m2["caption_y"]).all()
     assert out["verify_ok"].all()
+
+
+def _resize_ref(img, H, W):
+    """Per-pixel bilinear reference (half-pixel centers, edge clamp)."""
+    h, w, c = img.shape
+    out = np.zeros((H, W, c))
+    for y in range(H):
+        sy = (y + 0.5) * (h / H) - 0.5  # same float association as the kernel
+        y0 = int(np.floor(sy)); fy = sy - y0
+        y0c, y1c = min(max(y0, 0), h - 1), min(max(y0 + 1, 0), h - 1)
+        for x in range(W):
+            sx = (x + 0.5) * (w / W) - 0.5
+            x0 = int(np.floor(sx)); fx = sx - x0
+            x0c, x1c = min(max(x0, 0), w - 1), min(max(x0 + 1, 0), w - 1)
+            top = img[y0c, x0c] * (1 - fx) + img[y0c, x1c] * fx
+            bot = img[y1c, x0c] * (1 - fx) + img[y1c, x1c] * fx
+            out[y, x] = top * (1 - fy) + bot * fy
+    return np.rint(out).clip(0, 255).astype(np.uint8)
+
+
+def test_resize_bilinear_matches_reference_and_identity():
+    from geotools_ray.stages.imaging import resize_bilinear_stack
+
+    rng = np.random.RandomState(3)
+    imgs = rng.randint(0, 256, (4, 13, 9, 3), dtype=np.uint8)
+    for H, W in ((7, 7), (20, 5), (13, 9), (1, 1)):
+        got = resize_bilinear_stack(imgs, H, W)
+        for j in range(len(imgs)):
+            np.testing.assert_array_equal(got[j], _resize_ref(imgs[j], H, W), err_msg=f"{H}x{W}")
+    # same-size resize is the identity (half-pixel centers land on
+    # integer sample points)
+    np.testing.assert_array_equal(resize_bilinear_stack(imgs, 13, 9), imgs)
+
+
+def test_resize_stage_emits_valid_image_table(ray_session):
+    """ResizeStage output is a decodable input_hint table: dims are the
+    target, phash verifies against the re-encoded payloads, captions
+    ride through — for both png (lossless) and jpeg (wide encoder)."""
+    import pyarrow as pa
+    import ray.data
+
+    from geotools_ray.sources.images import IMAGE_SCHEMA, decode_image, make_image_row
+    from geotools_ray.stages.imaging import ResizeStage, decode_features_batch
+
+    rows = [make_image_row(i, seed=21) for i in range(48)]
+    t = pa.Table.from_pylist(rows, schema=IMAGE_SCHEMA)
+    for fmt in ("png", "jpeg"):
+        out = (
+            ray.data.from_arrow(t)
+            .map_batches(
+                ResizeStage,
+                batch_format="pyarrow",
+                batch_size=16,
+                concurrency=2,
+                fn_constructor_kwargs={"out_w": 24, "out_h": 16, "fmt": fmt},
+            )
+            .take_all()
+        )
+        assert len(out) == 48
+        ot = pa.Table.from_pylist(out)
+        feats = decode_features_batch(ot)
+        ok = feats["verify_ok"].to_numpy(zero_copy_only=False)
+        assert ok.all(), f"{fmt}: {int((~ok).sum())} phash mismatches"
+        px = decode_image(out[0]["bytes"])
+        assert px.shape == (16, 24, 3)
+        assert {r["caption"] for r in out} == {r["caption"] for r in rows}
