@@ -51,32 +51,154 @@ _CRC_TABLE = _make_crc_table()
 _MASK_DELTA = np.uint32(0xA282EAD8)
 
 
-def crc32c_many(bufs: list[bytes]) -> np.ndarray:
-    """crc32c of each buffer, lane-parallel: one LUT gather per byte
-    position across all lanes. Memory is O(n * max_len); callers batch
-    records of broadly similar size (shards do)."""
-    n = len(bufs)
-    if n == 0:
-        return np.empty(0, dtype=np.uint32)
-    lens = np.array([len(b) for b in bufs], dtype=np.int64)
-    ml = int(lens.max())
-    data = np.zeros((n, ml), dtype=np.uint8)
-    for i, b in enumerate(bufs):
-        data[i, : len(b)] = np.frombuffer(b, dtype=np.uint8)
-    crc = np.full(n, 0xFFFFFFFF, dtype=np.uint32)
-    order = np.argsort(lens)  # retire short lanes early
-    data = data[order]
-    slens = lens[order]
-    live_from = 0
+def _lanes_crc_raw(data: np.ndarray, lens: np.ndarray, init: np.ndarray) -> np.ndarray:
+    """Core lane-parallel CRC register update over a dense (n, max_len)
+    byte matrix; `init` is each lane's incoming (inverted) register.
+    Lanes are assumed SORTED by length ascending (short lanes retire as
+    a prefix). Returns the raw registers (no final inversion)."""
+    n, ml = data.shape
+    crc = init.copy()
     for pos in range(ml):
-        # lanes shorter than pos+1 are frozen; they're a sorted prefix
-        live_from = int(np.searchsorted(slens, pos + 1))
+        live_from = int(np.searchsorted(lens, pos + 1))
         sl = slice(live_from, n)
-        c = crc[order[sl]]
-        crc[order[sl]] = _CRC_TABLE[(c ^ data[sl, pos]) & np.uint32(0xFF)] ^ (
+        c = crc[sl]
+        crc[sl] = _CRC_TABLE[(c ^ data[sl, pos]) & np.uint32(0xFF)] ^ (
             c >> np.uint32(8)
         )
-    return crc ^ np.uint32(0xFFFFFFFF)
+    return crc
+
+
+# GF(2) combine machinery (zlib's crc32_combine with the CRC-32C poly):
+# shift a CRC register past `length` zero bytes via 32x32 bit-matrix
+# powers — lets one huge record be CRC'd as equal-length chunk lanes
+# (computed IN PARALLEL by the dense kernel) folded with O(chunks)
+# cheap matrix-vector products, instead of an O(length) Python loop.
+
+
+def _gf2_times_vec(mat: np.ndarray, vec: int) -> int:
+    out = 0
+    i = 0
+    while vec:
+        if vec & 1:
+            out ^= int(mat[i])
+        vec >>= 1
+        i += 1
+    return out
+
+
+def _gf2_square(mat: np.ndarray) -> np.ndarray:
+    return np.array([_gf2_times_vec(mat, int(m)) for m in mat], dtype=np.uint32)
+
+
+def _shift_operator(length: int) -> np.ndarray:
+    """32x32 GF(2) matrix advancing a (reflected CRC-32C) register past
+    `length` zero bytes, as zlib's crc32_combine builds it."""
+    odd = np.zeros(32, dtype=np.uint32)
+    odd[0] = np.uint32(0x82F63B78)  # reflected poly: one-bit shift
+    for i in range(1, 32):
+        odd[i] = np.uint32(1 << (i - 1))
+    even = _gf2_square(odd)   # two bits
+    odd = _gf2_square(even)   # four bits
+    # now apply len2*8 bit-shifts = length bytes, squaring per bit
+    mats = [even, odd]
+    op = None
+    length = int(length)
+    k = 0
+    while length:
+        mats[k % 2] = _gf2_square(mats[(k + 1) % 2])
+        if length & 1:
+            m = mats[k % 2]
+            op = m if op is None else np.array(
+                [_gf2_times_vec(m, int(c)) for c in op], dtype=np.uint32
+            )
+        length >>= 1
+        k += 1
+    if op is None:  # length == 0: identity
+        op = np.uint32(1) << np.arange(32, dtype=np.uint32)
+    return op
+
+
+def crc32c_combine(crc1: int, crc2: int, len2: int) -> int:
+    """crc32c(A || B) from crc32c(A), crc32c(B), len(B) — zlib's
+    crc32_combine algorithm with the Castagnoli polynomial."""
+    if len2 == 0:
+        return crc1
+    return _gf2_times_vec(_shift_operator(len2), crc1) ^ crc2
+
+
+_CHUNK = 1 << 14  # 16 KiB lanes for the big-record path
+_LANE_BUDGET = 1 << 23  # max padded elements a small-group matrix may hold
+
+
+def _crc_big(buf: bytes) -> int:
+    """One large buffer: equal-length 16 KiB chunk lanes CRC'd in
+    parallel (zero padding waste — the matrix IS the buffer), folded
+    left-to-right with one shared shift operator."""
+    n = len(buf)
+    full = n // _CHUNK
+    arr = np.frombuffer(buf, dtype=np.uint8, count=full * _CHUNK).reshape(full, _CHUNK)
+    lens = np.full(full, _CHUNK, dtype=np.int64)
+    init = np.zeros(full, dtype=np.uint32)  # raw registers: conditioning folded below
+    regs = _lanes_crc_raw(arr, lens, init)
+    # fold: crc32c(prefix||chunk) = shift(crc_prefix) ^ raw_chunk_reg
+    # with standard pre/post inversion handled by starting from the
+    # empty-string CRC and treating each chunk as an extension
+    op = _shift_operator(_CHUNK)
+    total = 0xFFFFFFFF  # inverted register of the empty prefix
+    for i in range(full):
+        total = _gf2_times_vec(op, total) ^ int(regs[i])
+    tail = buf[full * _CHUNK :]
+    if tail:
+        tl = np.frombuffer(tail, dtype=np.uint8)[None, :]
+        total = int(
+            _lanes_crc_raw(
+                tl.copy(), np.array([len(tail)], dtype=np.int64),
+                np.array([total], dtype=np.uint32),
+            )[0]
+        )
+    return total ^ 0xFFFFFFFF
+
+
+def crc32c_many(bufs: list[bytes]) -> np.ndarray:
+    """crc32c of each buffer. Small records run lane-parallel in
+    length-sorted groups whose padded matrix stays under ~8M elements
+    (one outlier can no longer inflate a whole batch's allocation);
+    large records (> 1 MiB) run the chunk-lanes + GF(2)-combine path,
+    so memory is O(sum of lengths) regardless of the size mix."""
+    n = len(bufs)
+    out = np.empty(n, dtype=np.uint32)
+    if n == 0:
+        return out
+    lens = np.array([len(b) for b in bufs], dtype=np.int64)
+    order = np.argsort(lens, kind="stable")
+    start = 0
+    while start < n:
+        L = int(lens[order[start]])
+        if L > (1 << 20):
+            i = int(order[start])
+            out[i] = _crc_big(bufs[i])
+            start += 1
+            continue
+        # grow the group while the padded matrix stays in budget
+        end = start + 1
+        while (
+            end < n
+            and int(lens[order[end]]) <= (1 << 20)
+            and (end - start + 1) * int(lens[order[end]]) <= _LANE_BUDGET
+        ):
+            end += 1
+        idx = order[start:end]
+        ml = max(1, int(lens[idx].max()))
+        data = np.zeros((len(idx), ml), dtype=np.uint8)
+        for j, i in enumerate(idx):
+            b = bufs[int(i)]
+            data[j, : len(b)] = np.frombuffer(b, dtype=np.uint8)
+        regs = _lanes_crc_raw(
+            data, lens[idx], np.full(len(idx), 0xFFFFFFFF, dtype=np.uint32)
+        )
+        out[idx] = regs ^ np.uint32(0xFFFFFFFF)
+        start = end
+    return out
 
 
 def _masked(crc: np.ndarray) -> np.ndarray:
@@ -154,6 +276,8 @@ def _read_varint(buf: bytes, pos: int) -> tuple[int, int]:
     shift = 0
     val = 0
     while True:
+        if pos >= len(buf):
+            raise ValueError("tfrecord: truncated varint (malformed Example)")
         b = buf[pos]
         pos += 1
         val |= (b & 0x7F) << shift
@@ -175,6 +299,10 @@ def encode_example(features: dict) -> bytes:
     entries = []
     for key in sorted(features):  # sorted: deterministic bytes
         val = features[key]
+        if val is None:
+            # TF convention for null: the feature is ABSENT from the
+            # Example; schema-pinned reads restore it as arrow null
+            continue
         vals = val if isinstance(val, (list, tuple, np.ndarray)) else [val]
         vals = list(vals)
         if vals and isinstance(vals[0], (bytes, str)):
@@ -297,11 +425,11 @@ def write_tfrecord_shards(
             encode_example({c: pydata[c][i] for c in cols}) for i in range(len(t))
         ]
         data = frame_records(payloads)
-        name = (
-            "shard-"
-            + hashlib.md5(b"".join(p[:32] for p in payloads[:64])).hexdigest()[:16]
-            + ".tfrecord"
-        )
+        # hash the WHOLE framed stream: prefix-only hashing collided
+        # for constant-leading-feature tables (distinct batches ->
+        # same name -> silent overwrite); full-content addressing
+        # keeps retry-idempotence (same batch -> same bytes -> name)
+        name = "shard-" + hashlib.md5(data).hexdigest()[:16] + ".tfrecord"
         tmp = os.path.join(out_dir, f".tmp-{name}-{os.getpid()}")
         with open(tmp, "wb") as f:
             f.write(data)
@@ -334,15 +462,51 @@ def read_tfrecord_shards(
         rows = []
         for b in t["bytes"]:
             for rec in unframe_records(b.as_py()):
-                ex = decode_example(rec)
-                row = {}
-                for k, vals in ex.items():
-                    if vals and isinstance(vals[0], bytes) and k in scols:
-                        vals = [v.decode("utf-8") for v in vals]
-                    row[k] = vals[0] if len(vals) == 1 else vals
-                rows.append(row)
+                rows.append(decode_example(rec))
         if schema is not None:
-            return pa.Table.from_pylist(rows, schema=schema)
-        return pa.Table.from_pylist(rows)
+            # schema-DRIVEN decode: list fields keep their list (a
+            # length-1 list row must NOT unwrap), scalar fields unwrap,
+            # bool fields cast back from Int64List's 0/1, absent
+            # features (None values on write) restore as arrow nulls
+            cols = []
+            for field in schema:
+                name, ftype = field.name, field.type
+                vals = [r.get(name) for r in rows]
+                is_list = pa.types.is_list(ftype) or pa.types.is_large_list(ftype)
+                dec = name in scols
+                out = []
+                for v in vals:
+                    if v is None:
+                        out.append(None)
+                        continue
+                    if dec:
+                        v = [x.decode("utf-8") if isinstance(x, bytes) else x
+                             for x in v]
+                    if is_list:
+                        out.append(list(v))
+                    else:
+                        if len(v) != 1:
+                            raise ValueError(
+                                f"tfrecord: feature {name!r} has {len(v)} "
+                                f"values but pinned type {ftype} is scalar"
+                            )
+                        x = v[0]
+                        if pa.types.is_boolean(ftype):
+                            x = bool(x)
+                        out.append(x)
+                cols.append(pa.array(out, type=ftype))
+            return pa.Table.from_arrays(cols, schema=schema)
+        # no pinned schema: BEST-EFFORT shape — length-1 lists unwrap
+        # to scalars (ambiguous for genuinely-list columns whose row
+        # holds one element; pass `schema` to disambiguate)
+        shaped = []
+        for r in rows:
+            row = {}
+            for k, vals in r.items():
+                if vals and isinstance(vals[0], bytes) and k in scols:
+                    vals = [v.decode("utf-8") for v in vals]
+                row[k] = vals[0] if len(vals) == 1 else vals
+            shaped.append(row)
+        return pa.Table.from_pylist(shaped)
 
     return files.map_batches(parse, batch_format="pyarrow", batch_size=1)

