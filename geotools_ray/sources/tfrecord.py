@@ -328,9 +328,33 @@ def encode_example(features: dict) -> bytes:
     return _len_delim(1, features_msg)  # Example.features
 
 
+def _skip_field(buf: bytes, pos: int, wire: int) -> int:
+    """Advance past one field's payload given its wire type (the
+    protobuf spec requires parsers to SKIP unknown fields, not raise)."""
+    if wire == 0:  # varint
+        _, pos = _read_varint(buf, pos)
+    elif wire == 1:  # fixed64
+        pos += 8
+    elif wire == 2:  # length-delimited
+        ln, pos = _read_varint(buf, pos)
+        pos += ln
+    elif wire == 5:  # fixed32
+        pos += 4
+    else:
+        raise ValueError(f"tfrecord: unsupported wire type {wire}")
+    if pos > len(buf):
+        raise ValueError("tfrecord: truncated field payload")
+    return pos
+
+
 def decode_example(buf: bytes) -> dict:
     """Serialized Example -> {key: bytes-list | int-list | float-list}
-    (scalars stay length-1 lists; callers unwrap per their schema)."""
+    (scalars stay length-1 lists; callers unwrap per their schema).
+
+    Wire-tolerant per the protobuf spec: unknown fields are skipped by
+    wire type, and repeated scalars are accepted in BOTH packed
+    (length-delimited) and non-packed (per-value varint / fixed32)
+    encodings, so externally produced TFRecord files parse."""
     out: dict = {}
     # Example -> features (field 1)
     pos = 0
@@ -343,14 +367,59 @@ def decode_example(buf: bytes) -> dict:
             fpos = 0
             while fpos < len(fbuf):
                 etag, fpos = _read_varint(fbuf, fpos)
-                elen, fpos = _read_varint(fbuf, fpos)
-                entry = fbuf[fpos : fpos + elen]
-                fpos += elen
-                key, vals = _decode_map_entry(entry)
-                out[key] = vals
+                if etag >> 3 == 1 and etag & 7 == 2:
+                    elen, fpos = _read_varint(fbuf, fpos)
+                    entry = fbuf[fpos : fpos + elen]
+                    fpos += elen
+                    key, vals = _decode_map_entry(entry)
+                    out[key] = vals
+                else:
+                    fpos = _skip_field(fbuf, fpos, etag & 7)
         else:
-            raise ValueError(f"tfrecord: unexpected Example field tag {tag}")
+            pos = _skip_field(buf, pos, tag & 7)
     return out
+
+
+def _decode_list_body(kind: int, body: bytes, vals: list) -> None:
+    """Parse one BytesList/FloatList/Int64List message body into vals,
+    accepting packed and non-packed repeated encodings."""
+    bpos = 0
+    while bpos < len(body):
+        btag, bpos = _read_varint(body, bpos)
+        bfield, bwire = btag >> 3, btag & 7
+        if bfield != 1:  # unknown field inside the list message
+            bpos = _skip_field(body, bpos, bwire)
+            continue
+        if kind == 1 and bwire == 2:  # BytesList: repeated len-delimited
+            blen, bpos = _read_varint(body, bpos)
+            vals.append(body[bpos : bpos + blen])
+            bpos += blen
+        elif kind == 3 and bwire == 0:  # Int64List non-packed varint
+            v, bpos = _read_varint(body, bpos)
+            if v >= 1 << 63:
+                v -= 1 << 64
+            vals.append(v)
+        elif kind == 3 and bwire == 2:  # Int64List packed varints
+            blen, bpos = _read_varint(body, bpos)
+            vpos = bpos
+            while vpos < bpos + blen:
+                v, vpos = _read_varint(body, vpos)
+                if v >= 1 << 63:
+                    v -= 1 << 64  # two's-complement int64
+                vals.append(v)
+            bpos += blen
+        elif kind == 2 and bwire == 5:  # FloatList non-packed fixed32
+            vals.append(float(np.frombuffer(body, dtype="<f4", count=1, offset=bpos)[0]))
+            bpos += 4
+        elif kind == 2 and bwire == 2:  # FloatList packed float32
+            blen, bpos = _read_varint(body, bpos)
+            vals.extend(
+                float(x)
+                for x in np.frombuffer(body, dtype="<f4", count=blen // 4, offset=bpos)
+            )
+            bpos += blen
+        else:
+            bpos = _skip_field(body, bpos, bwire)
 
 
 def _decode_map_entry(entry: bytes):
@@ -359,48 +428,28 @@ def _decode_map_entry(entry: bytes):
     vals: list = []
     while pos < len(entry):
         tag, pos = _read_varint(entry, pos)
-        ln, pos = _read_varint(entry, pos)
-        payload = entry[pos : pos + ln]
-        pos += ln
-        if tag >> 3 == 1:
-            key = payload.decode("utf-8")
-        else:  # Feature
+        field, wire = tag >> 3, tag & 7
+        if field == 1 and wire == 2:  # key
+            ln, pos = _read_varint(entry, pos)
+            key = entry[pos : pos + ln].decode("utf-8")
+            pos += ln
+        elif field == 2 and wire == 2:  # Feature
+            ln, pos = _read_varint(entry, pos)
+            payload = entry[pos : pos + ln]
+            pos += ln
             fpos = 0
-            ftag, fpos = _read_varint(payload, fpos)
-            flen, fpos = _read_varint(payload, fpos)
-            body = payload[fpos : fpos + flen]
-            kind = ftag >> 3
-            if kind == 1:  # BytesList: repeated len-delimited
-                bpos = 0
-                while bpos < len(body):
-                    btag, bpos = _read_varint(body, bpos)
-                    blen, bpos = _read_varint(body, bpos)
-                    vals.append(body[bpos : bpos + blen])
-                    bpos += blen
-            elif kind == 3:  # Int64List packed varints
-                bpos = 0
-                while bpos < len(body):
-                    btag, bpos = _read_varint(body, bpos)
-                    blen, bpos = _read_varint(body, bpos)
-                    vpos = bpos
-                    while vpos < bpos + blen:
-                        v, vpos = _read_varint(body, vpos)
-                        if v >= 1 << 63:
-                            v -= 1 << 64  # two's-complement int64
-                        vals.append(v)
-                    bpos += blen
-            elif kind == 2:  # FloatList packed float32
-                bpos = 0
-                while bpos < len(body):
-                    btag, bpos = _read_varint(body, bpos)
-                    blen, bpos = _read_varint(body, bpos)
-                    vals.extend(
-                        float(x)
-                        for x in np.frombuffer(body, dtype="<f4", count=blen // 4, offset=bpos)
-                    )
-                    bpos += blen
-            else:
-                raise ValueError(f"tfrecord: unknown Feature kind {kind}")
+            while fpos < len(payload):
+                ftag, fpos = _read_varint(payload, fpos)
+                kind, fwire = ftag >> 3, ftag & 7
+                if kind in (1, 2, 3) and fwire == 2:
+                    flen, fpos = _read_varint(payload, fpos)
+                    body = payload[fpos : fpos + flen]
+                    fpos += flen
+                    _decode_list_body(kind, body, vals)
+                else:  # unknown Feature field: skip, don't raise
+                    fpos = _skip_field(payload, fpos, fwire)
+        else:
+            pos = _skip_field(entry, pos, wire)
     if key is None:
         raise ValueError("tfrecord: map entry without key")
     return key, vals

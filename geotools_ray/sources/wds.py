@@ -10,9 +10,12 @@ per-shard parallelism:
 
 - write: one tar per input block via map_batches (a task per shard,
   no driver bytes); shard names are CONTENT-ADDRESSED (md5 of the
-  member keys), written tmp-then-rename, so a re-executed task
-  overwrites its own shard instead of duplicating rows — the same
-  idempotence contract as state/manifest.
+  whole tar payload — mtime=0 makes the bytes deterministic), written
+  tmp-then-rename, so a re-executed task overwrites its own shard
+  instead of duplicating rows — the same idempotence contract as
+  state/manifest. Key-only hashing would let two batches with the
+  same id sequence but different payloads silently overwrite each
+  other (the tfrecord.py prefix-hash bug class).
 - read: ray.data.read_binary_files over the shard dir (one block per
   shard) -> a map_batches that untars and regroups members by key,
   entirely inside workers.
@@ -39,6 +42,13 @@ COLUMNS = ("image_id", "bytes", "w", "h", "fmt", "caption", "phash")
 
 def _shard_bytes(t: pa.Table) -> tuple[str, bytes, int]:
     """One batch -> (content-addressed shard name, tar payload, rows)."""
+    for col in ("image_id", "bytes", "w", "h", "fmt", "phash"):
+        nulls = t[col].null_count
+        if nulls:
+            raise ValueError(
+                f"write_wds_shards: column {col!r} has {nulls} null value(s); "
+                "only 'caption' may be null (written as an absent .txt member)"
+            )
     ids = t["image_id"].to_pylist()
     fmts = t["fmt"].to_pylist()
     blobs = t["bytes"].to_pylist()
@@ -51,19 +61,21 @@ def _shard_bytes(t: pa.Table) -> tuple[str, bytes, int]:
     # dominated by payload memcpy, not format overhead
     with tarfile.open(fileobj=buf, mode="w", format=tarfile.USTAR_FORMAT) as tf:
         for i, key in enumerate(ids):
-            for name, payload in (
-                (f"{key}.{fmts[i]}", blobs[i]),
-                (f"{key}.txt", caps[i].encode("utf-8")),
-                (f"{key}.json", json.dumps(
-                    {"w": int(ws[i]), "h": int(hs[i]), "phash": int(ph[i])}
-                ).encode("ascii")),
-            ):
+            members = [(f"{key}.{fmts[i]}", blobs[i])]
+            if caps[i] is not None:  # webdataset convention: null caption = no .txt
+                members.append((f"{key}.txt", caps[i].encode("utf-8")))
+            members.append((f"{key}.json", json.dumps(
+                {"w": int(ws[i]), "h": int(hs[i]), "phash": int(ph[i])}
+            ).encode("ascii")))
+            for name, payload in members:
                 info = tarfile.TarInfo(name)
                 info.size = len(payload)
                 info.mtime = 0  # deterministic bytes for a given batch
                 tf.addfile(info, io.BytesIO(payload))
     data = buf.getvalue()
-    name = "shard-" + hashlib.md5("\n".join(ids).encode()).hexdigest()[:16] + ".tar"
+    # hash the WHOLE payload: key-only hashing collides for same-id
+    # batches with different payloads and os.replace would drop data
+    name = "shard-" + hashlib.md5(data).hexdigest()[:16] + ".tar"
     return name, data, len(ids)
 
 
@@ -110,7 +122,8 @@ def _parse_tar(data: bytes) -> pa.Table:
                 rec["fmt"] = ext
                 rec["bytes"] = payload
     keys = sorted(rows)
-    missing = [k for k in keys if {"bytes", "caption", "w"} - set(rows[k])]
+    # caption is optional (absent .txt member == null caption)
+    missing = [k for k in keys if {"bytes", "w"} - set(rows[k])]
     if missing:
         raise ValueError(f"wds shard: incomplete member groups for keys {missing[:5]}")
     return pa.table({
@@ -119,7 +132,7 @@ def _parse_tar(data: bytes) -> pa.Table:
         "w": pa.array(np.array([rows[k]["w"] for k in keys], dtype=np.int32)),
         "h": pa.array(np.array([rows[k]["h"] for k in keys], dtype=np.int32)),
         "fmt": pa.array([rows[k]["fmt"] for k in keys], type=pa.string()),
-        "caption": pa.array([rows[k]["caption"] for k in keys], type=pa.string()),
+        "caption": pa.array([rows[k].get("caption") for k in keys], type=pa.string()),
         "phash": pa.array(np.array([rows[k]["phash"] for k in keys], dtype=np.int64)),
     })
 

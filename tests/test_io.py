@@ -128,6 +128,64 @@ def test_wds_incomplete_group_rejected(ray_session, tmp_path):
         _parse_tar(buf.getvalue())
 
 
+def test_wds_shard_names_hash_payload_not_keys():
+    """Two batches with the SAME image_id sequence but different
+    payloads must get DIFFERENT shard names — key-only hashing would
+    let os.replace silently drop one (the tfrecord prefix-hash bug
+    class, flagged for wds in round-4 advice)."""
+    import pyarrow as pa
+
+    from geotools_ray.sources.wds import _shard_bytes
+
+    def table(caption):
+        return pa.table({
+            "image_id": pa.array(["a", "b"], type=pa.string()),
+            "bytes": pa.array([b"\x01\x02", b"\x03"], type=pa.binary()),
+            "w": pa.array([2, 1], type=pa.int32()),
+            "h": pa.array([1, 1], type=pa.int32()),
+            "fmt": pa.array(["png", "png"], type=pa.string()),
+            "caption": pa.array([caption, "y"], type=pa.string()),
+            "phash": pa.array([7, 8], type=pa.int64()),
+        })
+
+    n1, d1, _ = _shard_bytes(table("x"))
+    n2, d2, _ = _shard_bytes(table("DIFFERENT"))
+    assert n1 != n2 and d1 != d2
+    # deterministic: same content -> same name (retry idempotence)
+    assert _shard_bytes(table("x"))[0] == n1
+
+
+def test_wds_null_caption_and_null_metadata(ray_session, tmp_path):
+    """Null captions write as ABSENT .txt members (webdataset
+    convention) and read back as nulls; null w/h/phash are refused
+    loudly with the column named."""
+    import pyarrow as pa
+    import pytest
+    import ray.data
+
+    from geotools_ray.sources.wds import (_shard_bytes, read_wds_shards,
+                                          write_wds_shards)
+
+    t = pa.table({
+        "image_id": pa.array(["a", "b"], type=pa.string()),
+        "bytes": pa.array([b"\x01", b"\x02"], type=pa.binary()),
+        "w": pa.array([1, 1], type=pa.int32()),
+        "h": pa.array([1, 1], type=pa.int32()),
+        "fmt": pa.array(["png", "png"], type=pa.string()),
+        "caption": pa.array([None, "hello"], type=pa.string()),
+        "phash": pa.array([1, 2], type=pa.int64()),
+    })
+    out = str(tmp_path / "nullcap")
+    write_wds_shards(ray.data.from_arrow(t), out, shard_rows=10)
+    back = read_wds_shards(out).to_pandas().sort_values("image_id")
+    assert back["caption"].tolist()[0] is None or back["caption"].isna().tolist()[0]
+    assert back["caption"].tolist()[1] == "hello"
+
+    bad = t.set_column(6, "phash", pa.array([None, 2], type=pa.int64()))
+    with pytest.raises(ValueError, match="phash"):
+        _shard_bytes(bad)
+
+
 def test_wds_shards_feed_flagship(ray_session, tmp_path):
     """read_wds_shards output is the input_hint schema, so the full
     flagship pipeline consumes shards directly — same result as the
