@@ -24,6 +24,7 @@ from geotools_ray import queries as Q  # noqa: E402
 from geotools_ray import queries_ops as QO  # noqa: E402
 from geotools_ray import queries_dedup_sql as QD  # noqa: E402
 from geotools_ray import queries_raster_sql as QR  # noqa: E402
+from geotools_ray import queries_img_sql as QI  # noqa: E402
 from geotools_ray import queries_suite as QS  # noqa: E402
 from geotools_ray import queries_text as QT  # noqa: E402
 
@@ -60,7 +61,7 @@ def _image_queries() -> dict[str, Callable[[str], Any]]:
         )
         return pa.concat_tables(ray.get(ds.to_arrow_refs()))
 
-    def _cached(kind: str, n: int, gen):
+    def _cached_tb(kind: str, n: int, gen):
         """Bench-sweep table cache (GRAFT_CACHE_POINTS=1): the
         synthetic img/audio/video fixtures are driver-side generation
         cost, not engine work — share one table per (kind, n) in
@@ -71,7 +72,7 @@ def _image_queries() -> dict[str, Callable[[str], Any]]:
         dir (a crashed partial write must never merge with a fresh
         one)."""
         if os.environ.get("GRAFT_CACHE_POINTS") != "1":
-            return ray.data.from_arrow(gen())
+            return gen()
         key = (kind, n)
         if key not in _IMG_TABLE_CACHE:
             import shutil
@@ -108,22 +109,36 @@ def _image_queries() -> dict[str, Callable[[str], Any]]:
                 _IMG_TABLE_CACHE[key] = pq.read_table(
                     os.path.join(d, "part0.parquet")
                 )
-        return ray.data.from_arrow(_IMG_TABLE_CACHE[key])
+        return _IMG_TABLE_CACHE[key]
 
-    def _table(sf_dir: str):
+    def _cached(kind: str, n: int, gen):
+        return ray.data.from_arrow(_cached_tb(kind, n, gen))
+
+    def _table_arrow(sf_dir: str):
         # deterministic size keyed to the sf tier so the driver's runs
         # are stable: sf0.001 -> 1000 rows, sf0.01 -> 2000, sf0.1 -> 4000
         n = {"sf0.001": 1000, "sf0.01": 2000, "sf0.1": 4000}.get(
             os.path.basename(os.path.normpath(sf_dir)), 1000
         )
-        return _cached(
+        return _cached_tb(
             "img",
             n,
             lambda: _parallel_gen(n, lambda ids: I.image_rows(ids, 42, 100)),
         )
 
+    def _table(sf_dir: str):
+        return ray.data.from_arrow(_table_arrow(sf_dir))
+
     def img_flagship(sf_dir: str):
-        return IP.flagship(_table(sf_dir))
+        # persist the oracle side table (image_id, lon, lat, phash) so
+        # the static SQL in queries_img_sql can re-derive the PIP join
+        # + dedup + parent-cell rollup independently (hash-checked,
+        # not rows-only)
+        from geotools_ray.queries_img_sql import write_flagship_side
+
+        tb = _table_arrow(sf_dir)
+        write_flagship_side(tb)
+        return IP.flagship(ray.data.from_arrow(tb))
 
     def img_join_pairs(sf_dir: str):
         return IP.assign_and_join(_table(sf_dir)).select_columns(
@@ -445,6 +460,12 @@ def oracle_sql() -> dict[str, str]:
         "tin_verify": QO.SQL_TIN_VERIFY,
         "detect_edges_verify": QO.SQL_DETECT_EDGES_VERIFY,
         "crowns_verify": QR.SQL_CROWNS_VERIFY,
-        # img_* queries: non-SQL-expressible (synthetic binary input) ->
-        # rows-only driver check; pixel/caption invariants live in tests/
+        # flagship image pipeline: the Ray query persists a
+        # deterministic (image_id, lon, lat, phash) side parquet and
+        # the SQL re-derives PIP join + phash dedup + parent-cell
+        # rollup independently (queries_img_sql docstring)
+        "img_flagship": QI.SQL_IMG_FLAGSHIP,
+        # remaining img_* queries: non-SQL-expressible (decoded-pixel
+        # semantics) -> rows-only driver check; pixel/caption
+        # invariants live in tests/
     }
