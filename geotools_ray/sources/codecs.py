@@ -340,10 +340,24 @@ def _blocks(channel: np.ndarray) -> tuple[np.ndarray, int, int]:
     )
 
 
+SAMPLING_HV = {
+    "444": ((1, 1), (1, 1), (1, 1)),
+    "422": ((2, 1), (1, 1), (1, 1)),
+    "420": ((2, 2), (1, 1), (1, 1)),
+}
+
+
 def encode_jpeg(
-    pixels: np.ndarray, quality: int = 90, restart_interval: int = 0
+    pixels: np.ndarray, quality: int = 90, restart_interval: int = 0,
+    sampling: str = "444",
 ) -> bytes:
-    """(h, w, 3) or (h, w) uint8 -> baseline JFIF JPEG bytes (4:4:4).
+    """(h, w, 3) or (h, w) uint8 -> baseline JFIF JPEG bytes.
+
+    `sampling` picks the chroma layout: "444" (1x1, the default and
+    the bit-pinned legacy path), "422" (Y 2x1) or "420" (Y 2x2) —
+    chroma planes are box-averaged down (the deterministic mean of
+    each fy x fx window) and MCUs interleave Y blocks raster-first
+    per T.81 A.2.3. Grayscale ignores `sampling`.
 
     restart_interval > 0 emits a DRI segment and an RSTn marker every
     `restart_interval` MCUs (T.81 B.2.4.4 / E.1.4): the entropy stream
@@ -352,6 +366,12 @@ def encode_jpeg(
     decodable — the property the wide SIMD-across-segments decoder
     (sources/jpegwide.py) exploits for parallel entropy decode."""
     gray = pixels.ndim == 2
+    if sampling not in SAMPLING_HV:
+        raise ValueError(f"unknown sampling {sampling!r} (444/422/420)")
+    if not gray and sampling != "444":
+        return _encode_jpeg_subsampled(
+            pixels, quality, restart_interval, SAMPLING_HV[sampling]
+        )
     h, w = pixels.shape[:2]
     ql, qc = _quality_tables(quality)
     if gray:
@@ -380,13 +400,7 @@ def encode_jpeg(
     # drain in one pass at the end with vectorized 0xFF stuffing
     q_lists = [q.tolist() for q in quantized]
 
-    def _stuff(raw: bytearray) -> bytes:
-        # byte stuffing (T.81 F.1.2.3): 0xFF -> 0xFF 0x00, vectorized
-        arr = np.frombuffer(bytes(raw), dtype=np.uint8)
-        ff = np.nonzero(arr == 0xFF)[0]
-        if len(ff):
-            return np.insert(arr, ff + 1, 0).tobytes()
-        return bytes(raw)
+    _stuff = _stuff_ff
 
     acc = 0
     nbits = 0
@@ -461,12 +475,151 @@ def encode_jpeg(
     return jpeg_header_bytes(gray, ql, qc, h, w, restart_interval) + entropy + b"\xff\xd9"
 
 
+def _encode_jpeg_subsampled(
+    pixels: np.ndarray, quality: int, restart_interval: int, hv
+) -> bytes:
+    """Baseline MCU-interleaved encode for 4:2:2 / 4:2:0 (T.81 A.2.3):
+    chroma is box-downsampled, blocks stream per MCU as Y(v,u
+    raster-first) then Cb then Cr. Shares the quality tables, DCT
+    formulation and bit-writer conventions with the 4:4:4 path."""
+    h, w = pixels.shape[:2]
+    ql, qc = _quality_tables(quality)
+    hmax = max(H for H, _ in hv)
+    vmax = max(V for _, V in hv)
+    mcux = -(-w // (8 * hmax))
+    mcuy = -(-h // (8 * vmax))
+    ycc = _rgb_to_ycbcr(pixels)
+    qts = [ql, qc, qc]
+    plane_zz: list[np.ndarray] = []  # per comp: (nblocks, 64) zigzag ints
+    bpr: list[int] = []  # blocks per plane row
+    PH, PW = mcuy * 8 * vmax, mcux * 8 * hmax
+    for ci, (Hi, Vi) in enumerate(hv):
+        pad = np.pad(ycc[..., ci], ((0, PH - h), (0, PW - w)), mode="edge")
+        fy, fx = vmax // Vi, hmax // Hi
+        if fy > 1 or fx > 1:  # box mean per (fy, fx) window
+            pad = pad.reshape(PH // fy, fy, PW // fx, fx).mean(axis=(1, 3))
+        ph, pw = pad.shape
+        blk = (
+            (pad - 128.0)
+            .reshape(ph // 8, 8, pw // 8, 8)
+            .transpose(0, 2, 1, 3)
+            .reshape(-1, 8, 8)
+        )
+        coef = np.matmul(np.matmul(_T, blk), _T.T)
+        plane_zz.append(
+            np.round(coef / qts[ci]).astype(np.int32).reshape(-1, 64)[:, _ZZ]
+        )
+        bpr.append(pw // 8)
+
+    # stream order: per MCU, per component, blocks raster within MCU
+    order: list[tuple[int, int]] = []  # (comp, plane block index)
+    for my in range(mcuy):
+        for mx in range(mcux):
+            for ci, (Hi, Vi) in enumerate(hv):
+                for v in range(Vi):
+                    for u in range(Hi):
+                        order.append((ci, (my * Vi + v) * bpr[ci] + mx * Hi + u))
+    blocks_per_mcu = sum(H * V for H, V in hv)
+
+    enc_dc = [_huff_encode_table(*_HT_DC_LUM), _huff_encode_table(*_HT_DC_CHR)]
+    enc_ac = [_huff_encode_table(*_HT_AC_LUM), _huff_encode_table(*_HT_AC_CHR)]
+    q_lists = [q.tolist() for q in plane_zz]
+    prev_dc = [0, 0, 0]
+    acc = 0
+    nbits = 0
+    buf = bytearray()
+    entropy = bytearray()
+    rst_count = 0
+    for ei, (ci, bi) in enumerate(order):
+        mcu = ei // blocks_per_mcu
+        if (
+            restart_interval
+            and mcu
+            and ei % blocks_per_mcu == 0
+            and mcu % restart_interval == 0
+        ):
+            pad = (8 - (nbits & 7)) & 7
+            acc = (acc << pad) | ((1 << pad) - 1)
+            nbits += pad
+            if nbits:
+                buf += acc.to_bytes(nbits // 8, "big")
+            entropy += _stuff_ff(buf)
+            entropy += bytes((0xFF, 0xD0 + (rst_count & 7)))
+            rst_count += 1
+            acc, nbits, buf = 0, 0, bytearray()
+            prev_dc = [0, 0, 0]
+        zz = q_lists[ci][bi]
+        tdc, tac = enc_dc[min(ci, 1)], enc_ac[min(ci, 1)]
+        dc = zz[0]
+        diff = dc - prev_dc[ci]
+        prev_dc[ci] = dc
+        size = diff.bit_length() if diff > 0 else (-diff).bit_length()
+        code, ln = tdc[size]
+        acc = (acc << ln) | code
+        nbits += ln
+        if size:
+            v = diff if diff >= 0 else diff + (1 << size) - 1
+            acc = (acc << size) | v
+            nbits += size
+        run = 0
+        last = 63
+        while last > 0 and zz[last] == 0:
+            last -= 1
+        for k in range(1, last + 1):
+            v = zz[k]
+            if v == 0:
+                run += 1
+                continue
+            while run > 15:
+                code, ln = tac[0xF0]
+                acc = (acc << ln) | code
+                nbits += ln
+                run -= 16
+            size = v.bit_length() if v > 0 else (-v).bit_length()
+            code, ln = tac[(run << 4) | size]
+            acc = (acc << ln) | code
+            nbits += ln
+            v = v if v >= 0 else v + (1 << size) - 1
+            acc = (acc << size) | v
+            nbits += size
+            run = 0
+        if last < 63:
+            code, ln = tac[0x00]
+            acc = (acc << ln) | code
+            nbits += ln
+        if nbits >= 512:
+            keep = nbits & 7
+            buf += (acc >> keep).to_bytes((nbits - keep) // 8, "big")
+            acc &= (1 << keep) - 1
+            nbits = keep
+    pad = (8 - (nbits & 7)) & 7
+    acc = (acc << pad) | ((1 << pad) - 1)
+    nbits += pad
+    if nbits:
+        buf += acc.to_bytes(nbits // 8, "big")
+    entropy += _stuff_ff(buf)
+    hdr = jpeg_header_bytes(False, ql, qc, h, w, restart_interval, samp=hv)
+    return hdr + entropy + b"\xff\xd9"
+
+
+def _stuff_ff(raw: bytearray) -> bytes:
+    """Byte stuffing (T.81 F.1.2.3): 0xFF -> 0xFF 0x00, vectorized."""
+    arr = np.frombuffer(bytes(raw), dtype=np.uint8)
+    ff = np.nonzero(arr == 0xFF)[0]
+    if len(ff):
+        return np.insert(arr, ff + 1, 0).tobytes()
+    return bytes(raw)
+
+
 def jpeg_header_bytes(
-    gray: bool, ql: np.ndarray, qc: np.ndarray, h: int, w: int, restart_interval: int
+    gray: bool, ql: np.ndarray, qc: np.ndarray, h: int, w: int,
+    restart_interval: int, samp=None,
 ) -> bytes:
     """All marker segments up to and including SOS — the single source
     of truth shared by the scalar encoder and the wide stack encoder
-    (jpegwide.encode_jpeg_stack), so their outputs stay byte-identical."""
+    (jpegwide.encode_jpeg_stack), so their outputs stay byte-identical.
+    `samp` optionally gives ((H, V), ...) per component for subsampled
+    layouts; None keeps the legacy 1x1 bytes."""
 
     def seg(marker: int, body: bytes) -> bytes:
         return struct.pack(">HH", marker, len(body) + 2) + body
@@ -481,7 +634,8 @@ def jpeg_header_bytes(
     ncomp = 1 if gray else 3
     sof = struct.pack(">BHHB", 8, h, w, ncomp)
     for ci in range(ncomp):
-        sof += bytes([ci + 1, 0x11, 0 if ci == 0 else 1])  # 1x1 sampling
+        sb = 0x11 if samp is None else (samp[ci][0] << 4) | samp[ci][1]
+        sof += bytes([ci + 1, sb, 0 if ci == 0 else 1])
     out += seg(0xFFC0, sof)  # SOF0 baseline
     for cls, tid, (bits, vals) in (
         (0, 0, _HT_DC_LUM), (1, 0, _HT_AC_LUM), (0, 1, _HT_DC_CHR), (1, 1, _HT_AC_CHR),
@@ -526,18 +680,21 @@ def entropy_segments(data) -> list[np.ndarray]:
 
 
 def decode_jpeg(data: bytes) -> np.ndarray:
-    """Baseline JFIF JPEG -> (h, w, 3) or (h, w) uint8.
+    """Baseline (SOF0/SOF1) JFIF JPEG -> (h, w, 3) or (h, w) uint8.
 
-    Supports the subset this encoder emits plus any baseline file with
-    8-bit samples, 1x1 sampling (4:4:4), restart intervals or not, no
-    progressive scans.
+    Supports any 8-bit huffman file: 4:4:4 / 4:2:2 / 4:2:0 (or any
+    other sampling-factor layout) and restart intervals or not.
+    Progressive (SOF2) streams route to _decode_jpeg_progressive.
+    Chroma upsampling is sample replication (libjpeg's "simple"
+    upsampling), shared bit-for-bit with the wide batch decoder.
     """
     if data[:2] != b"\xff\xd8":
         raise ValueError("not a JPEG")
     pos = 2
     qtabs: dict[int, np.ndarray] = {}
     htabs: dict[tuple[int, int], tuple[list, list]] = {}
-    comps: list[tuple[int, int, int]] = []  # (comp_id, qtab_id)
+    comps: list[tuple[int, int]] = []  # (comp_id, qtab_id)
+    hvs: list[tuple[int, int]] = []  # (H, V) sampling per component
     h = w = 0
     dri = 0
     scan = None
@@ -566,17 +723,18 @@ def decode_jpeg(data: bytes) -> np.ndarray:
                 qt[_ZZ] = zz
                 qtabs[tq] = qt.reshape(8, 8)
                 bpos += 65
-        elif marker == 0xC0:  # SOF0 baseline
+        elif marker in (0xC0, 0xC1):  # SOF0/SOF1 (identical decode path)
             prec, h, w, nc = struct.unpack(">BHHB", body[:6])
             if prec != 8:
                 raise NotImplementedError("non-8-bit JPEG")
             for ci in range(nc):
                 cid, samp, tq = body[6 + 3 * ci : 9 + 3 * ci]
-                if samp != 0x11:
-                    raise NotImplementedError("subsampled JPEG (not 4:4:4)")
                 comps.append((cid, tq))
-        elif marker in (0xC1, 0xC2, 0xC3):
-            raise NotImplementedError("non-baseline JPEG (SOF%d)" % (marker - 0xC0))
+                hvs.append((samp >> 4, samp & 15))
+        elif marker == 0xC2:  # progressive: detect and route
+            return _decode_jpeg_progressive(data)
+        elif marker == 0xC3:
+            raise NotImplementedError("lossless JPEG (SOF3)")
         elif marker == 0xC4:  # DHT
             bpos = 0
             while bpos < len(body):
@@ -599,6 +757,10 @@ def decode_jpeg(data: bytes) -> np.ndarray:
         pos += ln
     if scan is None or not comps:
         raise ValueError("JPEG missing SOS/SOF")
+    if any(hv != (1, 1) for hv in hvs):
+        return _decode_baseline_subsampled(
+            data, pos, qtabs, htabs, comps, hvs, h, w, dri, scan
+        )
     # entropy-coded span runs to EOI; split on RST markers + unstuff
     end = data.rfind(b"\xff\xd9")
     segments = entropy_segments(data[pos : end if end > pos else len(data)])
@@ -709,6 +871,157 @@ def decode_jpeg(data: bytes) -> np.ndarray:
     if ncomp == 1:
         return np.clip(out[..., 0].round(), 0, 255).astype(np.uint8)
     return _ycbcr_to_rgb(out)
+
+
+def _decode_baseline_subsampled(
+    data, pos, qtabs, htabs, comps, hvs, h, w, dri, scan
+) -> np.ndarray:
+    """Generalized baseline entropy decode for arbitrary sampling
+    factors (T.81 A.2.3): per MCU the stream carries V x H raster
+    blocks of each component in SOF order. Chroma planes upsample by
+    sample replication. The 1x1 case stays on decode_jpeg's original
+    inline loop; this path covers 4:2:0 / 4:2:2 / anything else."""
+    end = data.rfind(b"\xff\xd9")
+    segments = entropy_segments(data[pos : end if end > pos else len(data)])
+    ncomp = len(comps)
+    hmax = max(H for H, _ in hvs)
+    vmax = max(V for _, V in hvs)
+    mcux = -(-w // (8 * hmax))
+    mcuy = -(-h // (8 * vmax))
+    nmcu = mcux * mcuy
+    bpr = [mcux * H for H, _ in hvs]  # plane blocks per row (MCU-padded)
+    nblk = [mcux * H * mcuy * V for H, V in hvs]
+    coefs_l = [[[0] * 64 for _ in range(nb)] for nb in nblk]
+    pattern = [
+        (ci, v, u)
+        for ci, (H, V) in enumerate(hvs)
+        for v in range(V)
+        for u in range(H)
+    ]
+    dc_t = [htabs[(0, next(t for c, t, _ in scan if c == cid))] for cid, _ in comps]
+    ac_t = [htabs[(1, next(a for c, _, a in scan if c == cid))] for cid, _ in comps]
+    mcu_per_seg = dri if dri else nmcu
+    nseg_expected = max(1, -(-nmcu // mcu_per_seg))
+    if len(segments) != nseg_expected:
+        raise ValueError(
+            f"JPEG restart segments: found {len(segments)}, "
+            f"expected {nseg_expected} (DRI={dri}, MCUs={nmcu})"
+        )
+    m0 = 0
+    for segarr in segments:
+        data_e = segarr.tobytes()
+        nd = len(data_e)
+        acc, nacc, bp = 0, 0, 0
+        prev_dc = [0] * ncomp
+        hi = min(m0 + mcu_per_seg, nmcu)
+        for m in range(m0, hi):
+            my, mx = divmod(m, mcux)
+            for ci, v, u in pattern:
+                bi = (my * hvs[ci][1] + v) * bpr[ci] + mx * hvs[ci][0] + u
+                zz = coefs_l[ci][bi]
+                dsym, dlen = dc_t[ci]
+                asym, alen = ac_t[ci]
+                # DC (same bit-reader as the 1x1 inline loop)
+                if nacc < 16:
+                    while nacc <= 24:
+                        acc = (acc << 8) | (data_e[bp] if bp < nd else 0xFF)
+                        bp += 1
+                        nacc += 8
+                window = (acc >> (nacc - 16)) & 0xFFFF
+                ln = dlen[window]
+                if ln == 0:
+                    raise ValueError("invalid Huffman code")
+                nacc -= ln
+                acc &= (1 << nacc) - 1
+                size = dsym[window]
+                if size:
+                    if nacc < size:
+                        while nacc <= 24:
+                            acc = (acc << 8) | (data_e[bp] if bp < nd else 0xFF)
+                            bp += 1
+                            nacc += 8
+                    nacc -= size
+                    val = (acc >> nacc) & ((1 << size) - 1)
+                    acc &= (1 << nacc) - 1
+                    diff = val if val >= (1 << (size - 1)) else val - (1 << size) + 1
+                    prev_dc[ci] += diff
+                zz[0] = prev_dc[ci]
+                # AC
+                k = 1
+                while k < 64:
+                    if nacc < 16:
+                        while nacc <= 24:
+                            acc = (acc << 8) | (data_e[bp] if bp < nd else 0xFF)
+                            bp += 1
+                            nacc += 8
+                    window = (acc >> (nacc - 16)) & 0xFFFF
+                    ln = alen[window]
+                    if ln == 0:
+                        raise ValueError("invalid Huffman code")
+                    nacc -= ln
+                    acc &= (1 << nacc) - 1
+                    rs = asym[window]
+                    s = rs & 15
+                    if s == 0:
+                        if rs == 0xF0:
+                            k += 16
+                            continue
+                        break  # EOB
+                    k += rs >> 4
+                    if nacc < s:
+                        while nacc <= 24:
+                            acc = (acc << 8) | (data_e[bp] if bp < nd else 0xFF)
+                            bp += 1
+                            nacc += 8
+                    nacc -= s
+                    val = (acc >> nacc) & ((1 << s) - 1)
+                    acc &= (1 << nacc) - 1
+                    if k < 64:
+                        zz[k] = val if val >= (1 << (s - 1)) else val - (1 << s) + 1
+                    k += 1
+        if 8 * bp - nacc > 8 * nd:
+            raise ValueError("truncated JPEG entropy segment")
+        m0 = hi
+    arrays = [np.array(c, dtype=np.int32) for c in coefs_l]
+    return _idct_assemble(arrays, qtabs, comps, hvs, h, w, mcux, mcuy)
+
+
+def _idct_assemble(arrays, qtabs, comps, hvs, h, w, mcux, mcuy) -> np.ndarray:
+    """Shared tail of the subsampled-baseline and progressive decoders:
+    (nblk, 64) zigzag int32 coefficient arrays per component ->
+    dequantize, IDCT, plane crop, replication upsample, color."""
+    hmax = max(H for H, _ in hvs)
+    vmax = max(V for _, V in hvs)
+    planes = []
+    for ci, (cid, tq) in enumerate(comps):
+        Hc, Vc = hvs[ci]
+        nby, nbx = mcuy * Vc, mcux * Hc
+        dz = np.zeros((arrays[ci].shape[0], 64), dtype=np.float64)
+        dz[:, _ZZ] = arrays[ci] * qtabs[tq].reshape(64)[_ZZ]
+        blk = dz.reshape(-1, 8, 8)
+        spat = np.matmul(np.matmul(_T.T, blk), _T) + 128.0
+        plane = (
+            spat.reshape(nby, nbx, 8, 8).transpose(0, 2, 1, 3).reshape(nby * 8, nbx * 8)
+        )
+        sh, sw = -(-h * Vc // vmax), -(-w * Hc // hmax)  # sampled dims
+        plane = plane[:sh, :sw]
+        fy, fx = vmax // Vc, hmax // Hc
+        if fy > 1:
+            plane = np.repeat(plane, fy, axis=0)
+        if fx > 1:
+            plane = np.repeat(plane, fx, axis=1)
+        planes.append(plane[:h, :w])
+    if len(comps) == 1:
+        return np.clip(planes[0].round(), 0, 255).astype(np.uint8)
+    return _ycbcr_to_rgb(np.stack(planes, axis=-1))
+
+
+def _decode_jpeg_progressive(data: bytes) -> np.ndarray:
+    """Progressive (SOF2) route — full Annex G decoder in jpegprog.py
+    (lazy import: codecs is jpegprog's table source)."""
+    from .jpegprog import decode_progressive
+
+    return decode_progressive(data)
 
 
 # ---------------------------------------------------------------------------

@@ -1,0 +1,603 @@
+"""Progressive (SOF2) JPEG codec — T.81 Annex G, from scratch.
+
+Real scraped web corpora carry a large share of progressive JPEGs, so
+the decode path cannot stop at baseline. This module implements:
+
+  decode_progressive(data) -> uint8 pixels
+      Full successive-approximation + spectral-selection decode:
+      interleaved/non-interleaved DC scans (first + refinement), AC
+      band scans with EOB runs (first + the G.1.2.3 correction-bit
+      refinement walk), restart markers, any sampling-factor layout
+      (4:4:4 / 4:2:2 / 4:2:0 / gray). Coefficients accumulate in
+      zigzag order per component and finish through the same
+      dequant + IDCT + replication-upsample assembly as the baseline
+      decoder, so a progressive and a baseline encode of the same
+      quantized coefficients decode to IDENTICAL pixels (pinned in
+      tests/test_jpegprog.py).
+
+  encode_progressive(pixels, quality, sampling) -> bytes
+      A conforming progressive encoder with a libjpeg-style scan
+      script (DC Al=1 -> AC bands at Al=2/1 -> DC refinement -> AC
+      refinements to Al=0). It reuses the Annex K Huffman tables by
+      flushing every EOB run at length 1 (EOB0 — the only EOBn symbol
+      those tables define), trading a little compression for zero new
+      table machinery. Its purpose is hermetic decoder verification
+      (no external JPEGs exist in this sandbox) plus transcode tests.
+
+The entropy decode here is scalar Python: progressive is the ROUTED
+fallback for the minority of corpus rows, while baseline bulk decode
+stays on the wide SIMD-across-lanes path (sources/jpegwide.py). The
+marker grammar (0xFF00 stuffing, RSTn) is shared with codecs.py.
+"""
+
+from __future__ import annotations
+
+import struct
+
+import numpy as np
+
+from .codecs import (
+    _HT_AC_CHR,
+    _HT_AC_LUM,
+    _HT_DC_CHR,
+    _HT_DC_LUM,
+    _T,
+    _ZZ,
+    SAMPLING_HV,
+    _huff_decode_table,
+    _huff_encode_table,
+    _quality_tables,
+    _rgb_to_ycbcr,
+    _stuff_ff,
+    _ycbcr_to_rgb,
+    entropy_segments,
+)
+
+# ---------------------------------------------------------------------------
+# decode
+
+
+class _BitReader:
+    """MSB-first bit reader over an unstuffed entropy segment. Refills
+    fabricate 0xFF pad bytes past the end (legal only for final-byte
+    padding; the consumed-bits check catches real truncation)."""
+
+    __slots__ = ("d", "n", "acc", "nacc", "bp")
+
+    def __init__(self, d: bytes):
+        self.d = d
+        self.n = len(d)
+        self.acc = 0
+        self.nacc = 0
+        self.bp = 0
+
+    def bits(self, k: int) -> int:
+        if k == 0:
+            return 0
+        while self.nacc < k:
+            self.acc = (self.acc << 8) | (self.d[self.bp] if self.bp < self.n else 0xFF)
+            self.bp += 1
+            self.nacc += 8
+        self.nacc -= k
+        v = (self.acc >> self.nacc) & ((1 << k) - 1)
+        self.acc &= (1 << self.nacc) - 1
+        return v
+
+    def huff(self, lut) -> int:
+        sym_l, len_l = lut
+        while self.nacc < 16:
+            self.acc = (self.acc << 8) | (self.d[self.bp] if self.bp < self.n else 0xFF)
+            self.bp += 1
+            self.nacc += 8
+        window = (self.acc >> (self.nacc - 16)) & 0xFFFF
+        ln = len_l[window]
+        if ln == 0:
+            raise ValueError("invalid Huffman code")
+        self.nacc -= ln
+        self.acc &= (1 << self.nacc) - 1
+        return sym_l[window]
+
+    def receive_extend(self, s: int) -> int:
+        if s == 0:
+            return 0
+        v = self.bits(s)
+        return v if v >= (1 << (s - 1)) else v - (1 << s) + 1
+
+    def overran(self) -> bool:
+        return 8 * self.bp - self.nacc > 8 * self.n
+
+
+def decode_progressive(data: bytes) -> np.ndarray:
+    if data[:2] != b"\xff\xd8":
+        raise ValueError("not a JPEG")
+    pos, n = 2, len(data)
+    qtabs: dict[int, np.ndarray] = {}
+    htabs: dict[tuple[int, int], tuple[list, list]] = {}
+    comps: list[tuple[int, int]] = []  # (cid, tq) in SOF order
+    hvs: list[tuple[int, int]] = []
+    h = w = 0
+    dri = 0
+    coefs: list[list[list[int]]] = []  # per comp: nblk x 64 zigzag ints
+    geo = None  # (mcux, mcuy, bpr per comp, plane block dims per comp)
+    pred_geo: dict = {}
+    eob_hist = False
+
+    while pos < n:
+        if data[pos] != 0xFF:
+            raise ValueError(f"marker expected at {pos}")
+        while pos + 1 < n and data[pos + 1] == 0xFF:
+            pos += 1
+        marker = data[pos + 1]
+        pos += 2
+        if marker == 0xD9:  # EOI
+            break
+        (ln,) = struct.unpack(">H", data[pos : pos + 2])
+        body = data[pos + 2 : pos + ln]
+        if marker == 0xDB:
+            bpos = 0
+            while bpos < len(body):
+                pq, tq = body[bpos] >> 4, body[bpos] & 15
+                if pq != 0:
+                    raise NotImplementedError("16-bit quant tables")
+                zz = np.frombuffer(body[bpos + 1 : bpos + 65], dtype=np.uint8)
+                qt = np.zeros(64, dtype=np.int32)
+                qt[_ZZ] = zz
+                qtabs[tq] = qt.reshape(8, 8)
+                bpos += 65
+        elif marker == 0xC2:  # SOF2
+            prec, h, w, nc = struct.unpack(">BHHB", body[:6])
+            if prec != 8:
+                raise NotImplementedError("non-8-bit JPEG")
+            for ci in range(nc):
+                cid, samp, tq = body[6 + 3 * ci : 9 + 3 * ci]
+                comps.append((cid, tq))
+                hvs.append((samp >> 4, samp & 15))
+            hmax = max(H for H, _ in hvs)
+            vmax = max(V for _, V in hvs)
+            mcux = -(-w // (8 * hmax))
+            mcuy = -(-h // (8 * vmax))
+            bpr = [mcux * H for H, _ in hvs]
+            # non-interleaved scans cover only the REAL block grid of
+            # the component (T.81 A.2.2), not the MCU-padded grid:
+            # ceil(ceil(dim*f/fmax)/8) == ceil(dim*f/(fmax*8))
+            bdim = [
+                (-(-h * V // (vmax * 8)), -(-w * H // (hmax * 8)))
+                for H, V in hvs
+            ]
+            geo = (mcux, mcuy, bpr, bdim, hmax, vmax)
+            coefs = [
+                [[0] * 64 for _ in range(mcux * H * mcuy * V)] for H, V in hvs
+            ]
+        elif marker in (0xC0, 0xC1, 0xC3):
+            raise ValueError("not a progressive JPEG (SOF%d)" % (marker - 0xC0))
+        elif marker == 0xC4:
+            bpos = 0
+            while bpos < len(body):
+                tc, th = body[bpos] >> 4, body[bpos] & 15
+                bits_ = list(body[bpos + 1 : bpos + 17])
+                nv = sum(bits_)
+                htabs[(tc, th)] = _huff_decode_table(
+                    bits_, list(body[bpos + 17 : bpos + 17 + nv])
+                )
+                bpos += 17 + nv
+        elif marker == 0xDD:
+            (dri,) = struct.unpack(">H", body[:2])
+        elif marker == 0xDA:  # SOS: decode one scan
+            if geo is None:
+                raise ValueError("SOS before SOF2")
+            ns = body[0]
+            scomps = []  # (comp index in SOF order, dc table, ac table)
+            for si in range(ns):
+                cid, tt = body[1 + 2 * si : 3 + 2 * si]
+                idx = next(i for i, (c, _) in enumerate(comps) if c == cid)
+                scomps.append((idx, tt >> 4, tt & 15))
+            ss, se, a = body[1 + 2 * ns : 4 + 2 * ns]
+            ah, al = a >> 4, a & 15
+            pos += ln
+            # entropy span: up to the next non-RST, non-stuffed marker
+            span_end = _scan_span_end(data, pos)
+            _decode_scan(
+                data[pos:span_end], scomps, ss, se, ah, al,
+                htabs, coefs, geo, hvs, dri,
+            )
+            pos = span_end
+            continue
+        pos += ln
+    if geo is None:
+        raise ValueError("JPEG missing SOF2")
+    mcux, mcuy, bpr, bdim, hmax, vmax = geo
+    from .codecs import _idct_assemble
+
+    arrays = [np.array(c, dtype=np.int32) for c in coefs]
+    return _idct_assemble(arrays, qtabs, comps, hvs, h, w, mcux, mcuy)
+
+
+def _scan_span_end(data: bytes, pos: int) -> int:
+    """First offset >= pos where a real marker (not 0xFF00 stuffing,
+    not RSTn, not fill 0xFF) begins."""
+    arr = np.frombuffer(data, dtype=np.uint8)
+    ff = np.flatnonzero(arr[pos:-1] == 0xFF) + pos
+    nxt = arr[ff + 1]
+    real = ff[(nxt != 0x00) & ((nxt < 0xD0) | (nxt > 0xD7)) & (nxt != 0xFF)]
+    return int(real[0]) if len(real) else len(data)
+
+
+def _decode_scan(span, scomps, ss, se, ah, al, htabs, coefs, geo, hvs, dri):
+    mcux, mcuy, bpr, bdim, hmax, vmax = geo
+    segments = entropy_segments(span)
+    interleaved = len(scomps) > 1
+    if interleaved:
+        if ss != 0 or se != 0:
+            raise ValueError("interleaved AC scan is not legal in progressive")
+        units = mcux * mcuy
+        pattern = [
+            (idx, v, u)
+            for idx, tdc, tac in scomps
+            for v in range(hvs[idx][1])
+            for u in range(hvs[idx][0])
+        ]
+    else:
+        idx = scomps[0][0]
+        bh, bw = bdim[idx]
+        units = bh * bw
+    per = dri if dri else units
+    nseg_expected = max(1, -(-units // per))
+    if len(segments) != nseg_expected:
+        raise ValueError(
+            f"JPEG restart segments: found {len(segments)}, expected {nseg_expected}"
+        )
+    # lazily: refinement DC scans read no Huffman table at all, and
+    # encoders may leave the unused selector pointing at a table that
+    # was never defined
+    dc_lut = {idx: htabs.get((0, tdc)) for idx, tdc, tac in scomps if ss == 0}
+    ac_lut = {idx: htabs.get((1, tac)) for idx, tdc, tac in scomps if se > 0}
+    u0 = 0
+    for segarr in segments:
+        br = _BitReader(segarr.tobytes())
+        pred = {idx: 0 for idx, _, _ in scomps}
+        eobrun = 0
+        hi = min(u0 + per, units)
+        for unit in range(u0, hi):
+            if interleaved:
+                my, mx = divmod(unit, mcux)
+                for idx, v, u in pattern:
+                    bi = (my * hvs[idx][1] + v) * bpr[idx] + mx * hvs[idx][0] + u
+                    blk = coefs[idx][bi]
+                    if ah == 0:  # DC first
+                        t = br.huff(dc_lut[idx])
+                        pred[idx] += br.receive_extend(t)
+                        blk[0] = pred[idx] << al
+                    else:  # DC refinement
+                        if br.bits(1):
+                            blk[0] |= 1 << al
+            else:
+                idx = scomps[0][0]
+                by, bx = divmod(unit, bdim[idx][1])
+                blk = coefs[idx][by * bpr[idx] + bx]
+                if ss == 0:
+                    if ah == 0:
+                        t = br.huff(dc_lut[idx])
+                        pred[idx] += br.receive_extend(t)
+                        blk[0] = pred[idx] << al
+                    else:
+                        if br.bits(1):
+                            blk[0] |= 1 << al
+                elif ah == 0:  # AC first (G.1.2.2)
+                    if eobrun > 0:
+                        eobrun -= 1
+                    else:
+                        k = ss
+                        lut = ac_lut[idx]
+                        while k <= se:
+                            rs = br.huff(lut)
+                            r, s = rs >> 4, rs & 15
+                            if s == 0:
+                                if r == 15:
+                                    k += 16
+                                    continue
+                                eobrun = (1 << r) - 1
+                                if r:
+                                    eobrun += br.bits(r)
+                                break
+                            k += r
+                            if k > se:
+                                raise ValueError("AC band overrun")
+                            blk[k] = br.receive_extend(s) << al
+                            k += 1
+                else:  # AC refinement (G.1.2.3 / jdphuff decode_mcu_AC_refine)
+                    p1 = 1 << al
+                    m1 = -1 << al
+                    k = ss
+                    lut = ac_lut[idx]
+                    if eobrun == 0:
+                        while k <= se:
+                            rs = br.huff(lut)
+                            r, s = rs >> 4, rs & 15
+                            if s:
+                                s = p1 if br.bits(1) else m1
+                            elif r != 15:
+                                eobrun = 1 << r
+                                if r:
+                                    eobrun += br.bits(r)
+                                break
+                            while k <= se:
+                                cur = blk[k]
+                                if cur != 0:
+                                    if br.bits(1) and (cur & p1) == 0:
+                                        blk[k] = cur + (p1 if cur >= 0 else m1)
+                                else:
+                                    if r == 0:
+                                        break
+                                    r -= 1
+                                k += 1
+                            if s:
+                                if k > se:
+                                    raise ValueError("AC refine overrun")
+                                blk[k] = s
+                            k += 1
+                    if eobrun > 0:
+                        while k <= se:
+                            cur = blk[k]
+                            if cur != 0:
+                                if br.bits(1) and (cur & p1) == 0:
+                                    blk[k] = cur + (p1 if cur >= 0 else m1)
+                            k += 1
+                        eobrun -= 1
+        if br.overran():
+            raise ValueError("truncated JPEG entropy segment")
+        u0 = hi
+
+
+# ---------------------------------------------------------------------------
+# encode
+
+
+class _BitWriter:
+    __slots__ = ("acc", "nbits", "buf")
+
+    def __init__(self):
+        self.acc = 0
+        self.nbits = 0
+        self.buf = bytearray()
+
+    def put(self, code: int, ln: int):
+        if ln == 0:
+            return
+        self.acc = (self.acc << ln) | code
+        self.nbits += ln
+        if self.nbits >= 512:
+            keep = self.nbits & 7
+            self.buf += (self.acc >> keep).to_bytes((self.nbits - keep) // 8, "big")
+            self.acc &= (1 << keep) - 1
+            self.nbits = keep
+
+    def flush_segment(self) -> bytes:
+        pad = (8 - (self.nbits & 7)) & 7
+        self.acc = (self.acc << pad) | ((1 << pad) - 1)
+        self.nbits += pad
+        if self.nbits:
+            self.buf += self.acc.to_bytes(self.nbits // 8, "big")
+        out = _stuff_ff(self.buf)
+        self.acc, self.nbits, self.buf = 0, 0, bytearray()
+        return out
+
+
+# libjpeg-style default scan script for 3 components; (comps, Ss, Se,
+# Ah, Al). DC uses successive approximation Al=1, AC approximates
+# 2 -> 1 -> 0 for luma and 1 -> 0 for chroma.
+_SCRIPT_3 = [
+    ((0, 1, 2), 0, 0, 0, 1),
+    ((0,), 1, 5, 0, 2),
+    ((2,), 1, 63, 0, 1),
+    ((1,), 1, 63, 0, 1),
+    ((0,), 6, 63, 0, 2),
+    ((0,), 1, 63, 2, 1),
+    ((0, 1, 2), 0, 0, 1, 0),
+    ((2,), 1, 63, 1, 0),
+    ((1,), 1, 63, 1, 0),
+    ((0,), 1, 63, 1, 0),
+]
+_SCRIPT_1 = [
+    ((0,), 0, 0, 0, 1),
+    ((0,), 1, 63, 0, 2),
+    ((0,), 1, 63, 2, 1),
+    ((0,), 0, 0, 1, 0),
+    ((0,), 1, 63, 1, 0),
+]
+
+
+def encode_progressive(
+    pixels: np.ndarray, quality: int = 90, sampling: str = "444"
+) -> bytes:
+    """uint8 pixels -> progressive (SOF2) JPEG with the scan script
+    above. Quantized coefficients are IDENTICAL to encode_jpeg's at
+    the same quality/sampling, so decode(progressive) must equal
+    decode(baseline) bit-for-bit — the hermetic correctness pin."""
+    gray = pixels.ndim == 2
+    h, w = pixels.shape[:2]
+    ql, qc = _quality_tables(quality)
+    hv = (((1, 1),) if gray else SAMPLING_HV[sampling])[: 1 if gray else 3]
+    hmax = max(H for H, _ in hv)
+    vmax = max(V for _, V in hv)
+    mcux = -(-w // (8 * hmax))
+    mcuy = -(-h // (8 * vmax))
+    PH, PW = mcuy * 8 * vmax, mcux * 8 * hmax
+    chans = (
+        [pixels.astype(np.float64)]
+        if gray
+        else [
+            _rgb_to_ycbcr(pixels)[..., ci] for ci in range(3)
+        ]
+    )
+    qts = [ql] if gray else [ql, qc, qc]
+    plane_zz: list[np.ndarray] = []
+    bpr: list[int] = []
+    for ci, (H, V) in enumerate(hv):
+        pad = np.pad(chans[ci], ((0, PH - h), (0, PW - w)), mode="edge")
+        fy, fx = vmax // V, hmax // H
+        if fy > 1 or fx > 1:
+            pad = pad.reshape(PH // fy, fy, PW // fx, fx).mean(axis=(1, 3))
+        ph, pw = pad.shape
+        blk = (
+            (pad - 128.0)
+            .reshape(ph // 8, 8, pw // 8, 8)
+            .transpose(0, 2, 1, 3)
+            .reshape(-1, 8, 8)
+        )
+        coef = np.matmul(np.matmul(_T, blk), _T.T)
+        plane_zz.append(
+            np.round(coef / qts[ci]).astype(np.int32).reshape(-1, 64)[:, _ZZ]
+        )
+        bpr.append(pw // 8)
+    bdim = [(-(-h * V // (vmax * 8)), -(-w * H // (hmax * 8))) for H, V in hv]
+
+    enc_dc = [_huff_encode_table(*_HT_DC_LUM), _huff_encode_table(*_HT_DC_CHR)]
+    enc_ac = [_huff_encode_table(*_HT_AC_LUM), _huff_encode_table(*_HT_AC_CHR)]
+
+    # header
+    def seg(marker: int, body: bytes) -> bytes:
+        return struct.pack(">HH", marker, len(body) + 2) + body
+
+    out = bytearray(b"\xff\xd8")
+    out += seg(0xFFE0, b"JFIF\x00\x01\x01\x00\x00\x01\x00\x01\x00\x00")
+    out += seg(0xFFDB, b"\x00" + bytes(ql.reshape(64)[_ZZ].astype(np.uint8)))
+    if not gray:
+        out += seg(0xFFDB, b"\x01" + bytes(qc.reshape(64)[_ZZ].astype(np.uint8)))
+    ncomp = 1 if gray else 3
+    sof = struct.pack(">BHHB", 8, h, w, ncomp)
+    for ci in range(ncomp):
+        sof += bytes([ci + 1, (hv[ci][0] << 4) | hv[ci][1], 0 if ci == 0 else 1])
+    out += seg(0xFFC2, sof)  # SOF2 progressive
+    for cls, tid, (bits_, vals) in (
+        (0, 0, _HT_DC_LUM), (1, 0, _HT_AC_LUM), (0, 1, _HT_DC_CHR), (1, 1, _HT_AC_CHR),
+    ):
+        if gray and tid == 1:
+            continue
+        out += seg(0xFFC4, bytes([(cls << 4) | tid]) + bytes(bits_) + bytes(vals))
+
+    script = _SCRIPT_1 if gray else _SCRIPT_3
+    for members, ss, se, ah, al in script:
+        sos = bytes([len(members)])
+        for idx in members:
+            t = 0 if idx == 0 else 1
+            sos += bytes([idx + 1, (t << 4) | t])
+        sos += bytes([ss, se, (ah << 4) | al])
+        out += seg(0xFFDA, sos)
+        out += _encode_scan(
+            members, ss, se, ah, al, plane_zz, bpr, bdim, hv,
+            mcux, mcuy, enc_dc, enc_ac,
+        )
+    out += b"\xff\xd9"
+    return bytes(out)
+
+
+def _encode_scan(
+    members, ss, se, ah, al, plane_zz, bpr, bdim, hv, mcux, mcuy, enc_dc, enc_ac
+) -> bytes:
+    bw = _BitWriter()
+    if ss == 0:  # DC scan
+        if len(members) > 1:
+            pattern = [
+                (idx, v, u)
+                for idx in members
+                for v in range(hv[idx][1])
+                for u in range(hv[idx][0])
+            ]
+            blocks = [
+                (idx, (my * hv[idx][1] + v) * bpr[idx] + mx * hv[idx][0] + u)
+                for my in range(mcuy)
+                for mx in range(mcux)
+                for idx, v, u in pattern
+            ]
+        else:
+            idx = members[0]
+            blocks = [
+                (idx, by * bpr[idx] + bx)
+                for by in range(bdim[idx][0])
+                for bx in range(bdim[idx][1])
+            ]
+        if ah == 0:
+            pred = {i: 0 for i in members}
+            for idx, bi in blocks:
+                v = int(plane_zz[idx][bi, 0]) >> al
+                diff = v - pred[idx]
+                pred[idx] = v
+                size = diff.bit_length() if diff > 0 else (-diff).bit_length()
+                code, ln = enc_dc[min(idx, 1)][size]
+                bw.put(code, ln)
+                if size:
+                    bw.put(diff if diff >= 0 else diff + (1 << size) - 1, size)
+        else:
+            for idx, bi in blocks:
+                bw.put((int(plane_zz[idx][bi, 0]) >> al) & 1, 1)
+        return bw.flush_segment()
+
+    # AC scan: single component, band [ss, se]
+    idx = members[0]
+    tac = enc_ac[min(idx, 1)]
+    eob_code, eob_ln = tac[0x00]
+    zrl_code, zrl_ln = tac[0xF0]
+    for by in range(bdim[idx][0]):
+        for bx in range(bdim[idx][1]):
+            blk = plane_zz[idx][by * bpr[idx] + bx]
+            if ah == 0:  # AC first (G.1.2.2); EOB runs flushed per block
+                run = 0
+                wrote = False
+                for k in range(ss, se + 1):
+                    v = int(blk[k])
+                    av = (-v if v < 0 else v) >> al
+                    if av == 0:
+                        run += 1
+                        continue
+                    while run > 15:
+                        bw.put(zrl_code, zrl_ln)
+                        run -= 16
+                    s = av.bit_length()
+                    code, ln = tac[(run << 4) | s]
+                    bw.put(code, ln)
+                    t = av if v >= 0 else -av
+                    bw.put(t if t >= 0 else t + (1 << s) - 1, s)
+                    run = 0
+                    wrote = True
+                if run > 0 or not wrote:
+                    # end-of-band: EOB0 (run length 1, no extension bits)
+                    bw.put(eob_code, eob_ln)
+            else:  # AC refinement (jcphuff encode_mcu_AC_refine shape)
+                p_absv = []
+                last_nz = ss - 1
+                for k in range(ss, se + 1):
+                    v = int(blk[k])
+                    av = (-v if v < 0 else v) >> al
+                    p_absv.append(av)
+                    if av == 1:
+                        last_nz = k  # newly-significant in this pass
+                run = 0
+                corr: list[int] = []
+                for k in range(ss, se + 1):
+                    av = p_absv[k - ss]
+                    if av == 0:
+                        run += 1
+                        continue
+                    while run > 15 and k <= last_nz:
+                        bw.put(zrl_code, zrl_ln)
+                        run -= 16
+                        for b in corr:
+                            bw.put(b, 1)
+                        corr = []
+                    if av > 1:
+                        # history coefficient: buffer its correction bit
+                        corr.append(av & 1)
+                        continue
+                    # newly significant: (run<<4)|1 + sign + buffered bits
+                    code, ln = tac[(run << 4) | 1]
+                    bw.put(code, ln)
+                    bw.put(0 if int(blk[k]) < 0 else 1, 1)
+                    for b in corr:
+                        bw.put(b, 1)
+                    corr = []
+                    run = 0
+                if run > 0 or corr:
+                    bw.put(eob_code, eob_ln)  # EOB0 flushes this block
+                    for b in corr:
+                        bw.put(b, 1)
+    return bw.flush_segment()

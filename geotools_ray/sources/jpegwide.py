@@ -86,14 +86,23 @@ def _dec_tables(bits, vals) -> np.ndarray:
 
 
 class _Meta:
-    __slots__ = ("h", "w", "ncomp", "dri", "qt_zz", "dc_bv", "ac_bv", "entropy", "hdr_len")
+    __slots__ = (
+        "h", "w", "ncomp", "dri", "qt_zz", "dc_bv", "ac_bv", "entropy",
+        "hdr_len", "hv",
+    )
+
+
+class ProgressiveJpeg(Exception):
+    """Raised by _parse on SOF2 — decode_jpeg_batch catches it and
+    routes the payload to the scalar Annex G decoder (jpegprog)."""
 
 
 def _parse(data) -> _Meta:
     """Marker-segment parse up to SOS; returns per-component table
     CONTENT (so the batch can registry-index identical tables across
-    images). Same subset as codecs.decode_jpeg: baseline, 8-bit,
-    1x1 sampling."""
+    images). Same subset as codecs.decode_jpeg: baseline (SOF0/SOF1),
+    8-bit, any sampling factors; SOF2 raises ProgressiveJpeg for the
+    caller to route."""
     data = bytes(data)
     if data[:2] != b"\xff\xd8":
         raise ValueError("not a JPEG")
@@ -101,6 +110,7 @@ def _parse(data) -> _Meta:
     qtabs: dict[int, np.ndarray] = {}
     htabs: dict[tuple[int, int], tuple[list, list]] = {}
     comps: list[tuple[int, int]] = []
+    hvs: list[tuple[int, int]] = []
     h = w = 0
     dri = 0
     scan = None
@@ -124,17 +134,18 @@ def _parse(data) -> _Meta:
                 zz = np.frombuffer(body[bpos + 1 : bpos + 65], dtype=np.uint8)
                 qtabs[tq] = zz.astype(np.float64)  # zigzag-ordered dequant vec
                 bpos += 65
-        elif marker == 0xC0:
+        elif marker in (0xC0, 0xC1):
             prec, h, w, nc = struct.unpack(">BHHB", body[:6])
             if prec != 8:
                 raise NotImplementedError("non-8-bit JPEG")
             for ci in range(nc):
                 cid, samp, tq = body[6 + 3 * ci : 9 + 3 * ci]
-                if samp != 0x11:
-                    raise NotImplementedError("subsampled JPEG (not 4:4:4)")
                 comps.append((cid, tq))
-        elif marker in (0xC1, 0xC2, 0xC3):
-            raise NotImplementedError("non-baseline JPEG (SOF%d)" % (marker - 0xC0))
+                hvs.append((samp >> 4, samp & 15))
+        elif marker == 0xC2:
+            raise ProgressiveJpeg()
+        elif marker == 0xC3:
+            raise NotImplementedError("lossless JPEG (SOF3)")
         elif marker == 0xC4:
             bpos = 0
             while bpos < len(body):
@@ -159,6 +170,7 @@ def _parse(data) -> _Meta:
     end = data.rfind(b"\xff\xd9")
     m = _Meta()
     m.h, m.w, m.ncomp, m.dri = h, w, len(comps), dri
+    m.hv = tuple(hvs)
     m.qt_zz = [qtabs[tq] for _, tq in comps]
     m.dc_bv = [htabs[(0, next(t for c, t, _ in scan if c == cid))] for cid, _ in comps]
     m.ac_bv = [htabs[(1, next(a for c, _, a in scan if c == cid))] for cid, _ in comps]
@@ -182,6 +194,7 @@ def _parse_cached(data) -> _Meta:
         if hit is not None:
             m2 = _Meta()
             m2.h, m2.w, m2.ncomp, m2.dri = hit.h, hit.w, hit.ncomp, hit.dri
+            m2.hv = hit.hv
             m2.qt_zz, m2.dc_bv, m2.ac_bv = hit.qt_zz, hit.dc_bv, hit.ac_bv
             end = db.rfind(b"\xff\xd9")
             m2.entropy = db[hdr_len : end if end > hdr_len else len(db)]
@@ -211,7 +224,27 @@ def decode_jpeg_batch(payloads, _chunk: int = 512) -> list[np.ndarray]:
         for s in range(0, nimg, _chunk):
             out.extend(decode_jpeg_batch(payloads[s : s + _chunk], _chunk))
         return out
+    # progressive detect-and-route: SOF2 payloads go to the scalar
+    # Annex G decoder; the baseline remainder stays on the wide machine
     metas: list[_Meta] = []
+    prog: dict[int, object] = {}
+    for ii, data in enumerate(payloads):
+        try:
+            metas.append(_parse_cached(data))
+        except ProgressiveJpeg:
+            prog[ii] = data
+            metas.append(None)
+    if prog:
+        from .jpegprog import decode_progressive
+
+        keep = [i for i in range(nimg) if i not in prog]
+        sub = decode_jpeg_batch([payloads[i] for i in keep], _chunk) if keep else []
+        merged: list = [None] * nimg
+        for j, i in enumerate(keep):
+            merged[i] = sub[j]
+        for i, d in prog.items():
+            merged[i] = decode_progressive(bytes(d))
+        return merged
     # registries: identical Huffman/quant tables across images share
     # one stacked LUT row (the bulk table is all Annex K — 4 tables)
     tab_key2idx: dict = {}
@@ -222,8 +255,9 @@ def decode_jpeg_batch(payloads, _chunk: int = 512) -> list[np.ndarray]:
     img_ac = np.zeros((nimg, 3), dtype=np.int16)
     img_qt = np.zeros((nimg, 3), dtype=np.int16)
     img_nmcu = np.zeros(nimg, dtype=np.int64)
-    img_nc = np.zeros(nimg, dtype=np.int64)
+    img_bpm = np.zeros(nimg, dtype=np.int64)  # blocks per MCU
     img_per = np.zeros(nimg, dtype=np.int64)  # MCUs per restart segment
+    pats: list[list[int]] = []  # per image: component id per MCU block
 
     def _tab_idx(bv):
         key = (bytes(bv[0]), bytes(bv[1]))
@@ -236,13 +270,15 @@ def decode_jpeg_batch(payloads, _chunk: int = 512) -> list[np.ndarray]:
 
     spans: list[bytes] = []
     for ii, data in enumerate(payloads):
-        m = _parse_cached(data)
-        metas.append(m)
-        nby, nbx = (m.h + 7) // 8, (m.w + 7) // 8
-        nmcu = nby * nbx
+        m = metas[ii]
+        hmax = max(H for H, _ in m.hv)
+        vmax = max(V for _, V in m.hv)
+        nmcu = (-(-m.h // (8 * vmax))) * (-(-m.w // (8 * hmax)))
+        pattern = [ci for ci, (H, V) in enumerate(m.hv) for _ in range(H * V)]
         img_nmcu[ii] = nmcu
-        img_nc[ii] = m.ncomp
+        img_bpm[ii] = len(pattern)
         img_per[ii] = m.dri if m.dri else nmcu
+        pats.append(pattern)
         for ci in range(m.ncomp):
             img_dc[ii, ci] = _tab_idx(m.dc_bv[ci])
             img_ac[ii, ci] = _tab_idx(m.ac_bv[ci])
@@ -254,6 +290,10 @@ def decode_jpeg_batch(payloads, _chunk: int = 512) -> list[np.ndarray]:
                 qt_rows.append(m.qt_zz[ci])
             img_qt[ii, ci] = qi
         spans.append(m.entropy)
+    max_bpm = int(img_bpm.max())
+    PAT = np.zeros((nimg, max_bpm), dtype=np.int64)
+    for ii, pattern in enumerate(pats):
+        PAT[ii, : len(pattern)] = pattern
 
     # ---- ONE global marker scan over every image's entropy span ----
     # (the byte-level grammar — 0xFF00 stuffing, RSTn boundaries — is
@@ -303,8 +343,8 @@ def decode_jpeg_batch(payloads, _chunk: int = 512) -> list[np.ndarray]:
     BUF[int(seg_off[-1]) :] = 0xFF  # final-lane refill pad (1-bits)
     BUF[: int(seg_off[-1])] = arr[keep]
 
-    nc_lane = img_nc[seg_img_a]
-    nblk_lane = seg_nmcu_a * nc_lane
+    bpm_lane = img_bpm[seg_img_a]
+    nblk_lane = seg_nmcu_a * bpm_lane
     block_base = np.zeros(L, dtype=np.int64)
     np.cumsum(nblk_lane[:-1], out=block_base[1:])
     total_blocks = int(nblk_lane.sum())
@@ -330,14 +370,18 @@ def decode_jpeg_batch(payloads, _chunk: int = 512) -> list[np.ndarray]:
     nacc = np.zeros(L, dtype=np.int64)
     blk_rem = nblk_lane.copy()
     kk = np.zeros(L, dtype=np.int64)
-    comp = np.zeros(L, dtype=np.int64)
+    # MCU block pattern per lane: comp = PATL[lane, pat_pos], pat_pos
+    # cycling mod bpm — the 4:4:4 case degenerates to [0, 1, 2]
+    PATL = PAT[seg_img_a]  # (L, max_bpm)
+    bpml = bpm_lane.copy()
+    pat_pos = np.zeros(L, dtype=np.int64)
+    comp = PATL[:, 0].copy()
     row = block_base.copy()  # current global block row
-    nc = nc_lane.copy()
     dcpred = np.zeros((L, 3), dtype=np.int64)
     DCT = img_dc[seg_img_a].astype(np.int64)  # (L, 3)
     ACT = img_ac[seg_img_a].astype(np.int64)
-    cur_dc = DCT[:, 0].copy()
-    cur_ac = ACT[:, 0].copy()
+    cur_dc = DCT[np.arange(L), comp].copy()
+    cur_ac = ACT[np.arange(L), comp].copy()
     lane_img = seg_img_a.copy()
     # int32 coefficients: |AC| <= 1023, DC prediction sums stay far
     # below 2^31 for any lane length — 2x less scatter-write memory
@@ -414,8 +458,10 @@ def decode_jpeg_batch(payloads, _chunk: int = 512) -> list[np.ndarray]:
             ai = np.flatnonzero(adv)
             row[ai] += 1
             blk_rem[ai] -= 1
-            c2 = comp[ai] + 1
-            c2[c2 >= nc[ai]] = 0
+            p2 = pat_pos[ai] + 1
+            p2[p2 >= bpml[ai]] = 0
+            pat_pos[ai] = p2
+            c2 = PATL[ai, p2]
             comp[ai] = c2
             cur_dc[ai] = DCT[ai, c2]
             cur_ac[ai] = ACT[ai, c2]
@@ -446,7 +492,9 @@ def decode_jpeg_batch(payloads, _chunk: int = 512) -> list[np.ndarray]:
                     kk = kk[keep]
                     comp = comp[keep]
                     row = row[keep]
-                    nc = nc[keep]
+                    PATL = PATL[keep]
+                    bpml = bpml[keep]
+                    pat_pos = pat_pos[keep]
                     dcpred = dcpred[keep]
                     DCT = DCT[keep]
                     ACT = ACT[keep]
@@ -469,24 +517,25 @@ def decode_jpeg_batch(payloads, _chunk: int = 512) -> list[np.ndarray]:
     # coefficients are already in natural order (scatter-time LUT);
     # qt entries are INTEGERS (T.81 stores uint8 tables), so the
     # int32*float64 product is exactly the scalar decoder's value.
-    # Fast path: every image uses the same component/table layout (the
-    # bulk-table case) -> the per-block table id is a period-ncp
-    # pattern and a (ncp, 64) broadcast replaces a (blocks, 64) gather.
-    uniq_layout = {
-        (int(img_nc[ii]),) + tuple(img_qt[ii, : int(img_nc[ii])]) for ii in range(nimg)
-    }
+    # Fast path: every image uses the same MCU block pattern + table
+    # layout (the bulk-table case) -> the per-block table id is a
+    # period-bpm pattern and a (bpm, 64) broadcast replaces a
+    # (blocks, 64) gather.
+    img_qpat = [
+        [int(img_qt[ii, ci]) for ci in pats[ii]] for ii in range(nimg)
+    ]
+    uniq_layout = {tuple(q) for q in img_qpat}
     if len(uniq_layout) == 1:
-        ((ncp0, *qsel),) = (next(iter(uniq_layout)),)
-        nat = (coef.reshape(-1, ncp0, 64) * QTN[list(qsel)][None]).reshape(
+        qsel = list(next(iter(uniq_layout)))
+        nat = (coef.reshape(-1, len(qsel), 64) * QTN[qsel][None]).reshape(
             total_blocks, 64
         )
     else:
         qtb = np.empty(total_blocks, dtype=np.int64)
         for ii in range(nimg):
-            ncp = int(img_nc[ii])
-            nb = int(img_nmcu[ii]) * ncp
+            nb = int(img_nmcu[ii] * img_bpm[ii])
             qtb[img_base[ii] : img_base[ii] + nb] = np.tile(
-                img_qt[ii, :ncp].astype(np.int64), int(img_nmcu[ii])
+                np.asarray(img_qpat[ii], dtype=np.int64), int(img_nmcu[ii])
             )
         nat = coef * QTN[qtb]
     # batched-matmul IDCT, identical formulation to codecs.decode_jpeg
@@ -501,36 +550,87 @@ def decode_jpeg_batch(payloads, _chunk: int = 512) -> list[np.ndarray]:
     outs: list = [None] * nimg
     groups: dict[tuple, list[int]] = {}
     for ii, m in enumerate(metas):
-        groups.setdefault((m.h, m.w, m.ncomp), []).append(ii)
-    for (h, w, ncp), members in groups.items():
-        nby, nbx = (h + 7) // 8, (w + 7) // 8
-        nmcu = nby * nbx
+        groups.setdefault((m.h, m.w, m.ncomp, m.hv), []).append(ii)
+    for (h, w, ncp, hv), members in groups.items():
         n = len(members)
         bases = img_base[members]
-        bidx = bases[:, None] + (ncp * np.arange(nmcu, dtype=np.int64))[None, :]
-        if ncp == 1:
-            y = spat[bidx.reshape(-1)]
-            px8 = np.clip(np.round(y), 0, 255).astype(np.uint8)[..., None]
-        else:
-            y = spat[bidx.reshape(-1)]
-            cb = spat[bidx.reshape(-1) + 1]
-            cb -= 128.0
-            cr = spat[bidx.reshape(-1) + 2]
-            cr -= 128.0
-            px8 = np.empty(y.shape + (3,), dtype=np.uint8)
-            px8[..., 0] = np.clip(np.round(y + 1.402 * cr), 0, 255)
-            px8[..., 1] = np.clip(
-                np.round(y - 0.344136 * cb - 0.714136 * cr), 0, 255
+        if all(x == (1, 1) for x in hv):
+            # 1x1 fast path: color in block space, then one uint8
+            # transpose — pixels move as bytes, not floats
+            nby, nbx = (h + 7) // 8, (w + 7) // 8
+            nmcu = nby * nbx
+            bidx = bases[:, None] + (ncp * np.arange(nmcu, dtype=np.int64))[None, :]
+            if ncp == 1:
+                y = spat[bidx.reshape(-1)]
+                px8 = np.clip(np.round(y), 0, 255).astype(np.uint8)[..., None]
+            else:
+                y = spat[bidx.reshape(-1)]
+                cb = spat[bidx.reshape(-1) + 1]
+                cb -= 128.0
+                cr = spat[bidx.reshape(-1) + 2]
+                cr -= 128.0
+                px8 = np.empty(y.shape + (3,), dtype=np.uint8)
+                px8[..., 0] = np.clip(np.round(y + 1.402 * cr), 0, 255)
+                px8[..., 1] = np.clip(
+                    np.round(y - 0.344136 * cb - 0.714136 * cr), 0, 255
+                )
+                px8[..., 2] = np.clip(np.round(y + 1.772 * cb), 0, 255)
+            # (n*nmcu, 8, 8, c) -> (n, nby, 8, nbx, 8, c) -> crop
+            stack = (
+                px8.reshape(n, nby, nbx, 8, 8, px8.shape[-1])
+                .transpose(0, 1, 3, 2, 4, 5)
+                .reshape(n, nby * 8, nbx * 8, px8.shape[-1])[:, :h, :w, :]
             )
-            px8[..., 2] = np.clip(np.round(y + 1.772 * cb), 0, 255)
-        # (n*nmcu, 8, 8, c) -> (n, nby, 8, nbx, 8, c) -> crop, in uint8
-        stack = (
-            px8.reshape(n, nby, nbx, 8, 8, px8.shape[-1])
-            .transpose(0, 1, 3, 2, 4, 5)
-            .reshape(n, nby * 8, nbx * 8, px8.shape[-1])[:, :h, :w, :]
-        )
-        if ncp == 1:
-            stack = stack[..., 0]
+            if ncp == 1:
+                stack = stack[..., 0]
+        else:
+            # subsampled: assemble each component plane at its sampled
+            # resolution, replication-upsample, color at full res —
+            # elementwise-identical to codecs._idct_assemble
+            hmax = max(H for H, _ in hv)
+            vmax = max(V for _, V in hv)
+            mcux, mcuy = -(-w // (8 * hmax)), -(-h // (8 * vmax))
+            nmcu = mcux * mcuy
+            bpm = sum(H * V for H, V in hv)
+            offs = np.cumsum([0] + [H * V for H, V in hv])
+            planes = []
+            mI = np.arange(nmcu, dtype=np.int64) * bpm
+            for ci in range(ncp):
+                Hc, Vc = hv[ci]
+                sub = (
+                    np.arange(Vc, dtype=np.int64)[:, None] * Hc
+                    + np.arange(Hc, dtype=np.int64)[None, :]
+                ).reshape(-1)
+                idx = (
+                    bases[:, None, None]
+                    + mI[None, :, None]
+                    + int(offs[ci])
+                    + sub[None, None, :]
+                )
+                blkpix = spat[idx.reshape(-1)]  # (n*nmcu*Vc*Hc, 8, 8)
+                plane = (
+                    blkpix.reshape(n, mcuy, mcux, Vc, Hc, 8, 8)
+                    .transpose(0, 1, 3, 5, 2, 4, 6)
+                    .reshape(n, mcuy * Vc * 8, mcux * Hc * 8)
+                )
+                sh, sw = -(-h * Vc // vmax), -(-w * Hc // hmax)
+                plane = plane[:, :sh, :sw]
+                fy, fx = vmax // Vc, hmax // Hc
+                if fy > 1:
+                    plane = np.repeat(plane, fy, axis=1)
+                if fx > 1:
+                    plane = np.repeat(plane, fx, axis=2)
+                planes.append(plane[:, :h, :w])
+            if ncp == 1:
+                stack = np.clip(np.round(planes[0]), 0, 255).astype(np.uint8)
+            else:
+                y, cb, cr = planes[0], planes[1] - 128.0, planes[2] - 128.0
+                stack = np.empty((n, h, w, 3), dtype=np.uint8)
+                stack[..., 0] = np.clip(np.round(y + 1.402 * cr), 0, 255)
+                stack[..., 1] = np.clip(
+                    np.round(y - 0.344136 * cb - 0.714136 * cr), 0, 255
+                )
+                stack[..., 2] = np.clip(np.round(y + 1.772 * cb), 0, 255)
         for j, ii in enumerate(members):
             outs[ii] = stack[j]
     return outs
