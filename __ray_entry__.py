@@ -25,6 +25,7 @@ from geotools_ray import queries_ops as QO  # noqa: E402
 from geotools_ray import queries_dedup_sql as QD  # noqa: E402
 from geotools_ray import queries_raster_sql as QR  # noqa: E402
 from geotools_ray import queries_img_sql as QI  # noqa: E402
+from geotools_ray import queries_las as QL  # noqa: E402
 from geotools_ray import queries_suite as QS  # noqa: E402
 from geotools_ray import queries_text as QT  # noqa: E402
 
@@ -82,7 +83,9 @@ def _image_queries() -> dict[str, Callable[[str], Any]]:
             # v2: img fixtures carry real T.81 JPEG payloads over
             # photo-like content (audio/video rows unchanged but share
             # the version tag — regeneration is cheap at fixture sizes)
-            d = f"/tmp/geotools_ray_bench/fix_{kind}_n{n}_v2"
+            # v3: web-corpus jpeg layout mix (420/422/444/progressive)
+            # + root-dereferenced duplicate chains
+            d = f"/tmp/geotools_ray_bench/fix_{kind}_n{n}_v3"
             done = os.path.join(d, "_DONE")
             if not os.path.exists(done):
                 # concurrent-safe publish: build in a pid-unique temp
@@ -375,6 +378,9 @@ def queries() -> dict[str, Callable[[str], Any]]:
         # reachability-closure oracle (the full-contention pipeline
         # keeps its pytest + the rows-only crowns)
         "crowns_verify": QS.wrap_sub("q_crowns_verify"),
+        # S1/S2 in the flesh: real .las binary round trip feeding the
+        # grid_stats operator; oracle models the int32 quantization
+        "las_grid": QL.q_las_grid,
     }
     for k, v in img.items():
         qs.setdefault(k, v)
@@ -465,6 +471,7 @@ def oracle_sql() -> dict[str, str]:
         # the SQL re-derives PIP join + phash dedup + parent-cell
         # rollup independently (queries_img_sql docstring)
         "img_flagship": QI.SQL_IMG_FLAGSHIP,
+        "las_grid": QL.SQL_LAS_GRID,
         # remaining img_* queries: non-SQL-expressible (decoded-pixel
         # semantics) -> rows-only driver check; pixel/caption
         # invariants live in tests/

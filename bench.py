@@ -38,7 +38,12 @@ N_IMAGES = int(os.environ.get("GRAFT_BENCH_IMAGES", "2000000"))
 # v4: jpeg rows are REAL baseline T.81 JPEG (q92, restart interval 8,
 # wide-decodable) over photo-like synth_pixels content — no stand-in
 # payloads anywhere; 100% of the table decodes through spec codecs
-CACHE = f"/tmp/geotools_ray_bench/images_n{N_IMAGES}_seed42_v4"
+# v5: web-corpus jpeg layout mix (sources/images.JPEG_VARIANTS — 9/16
+# 4:2:0, 4/16 4:4:4, 2/16 4:2:2, 1/16 progressive) and duplicate
+# chains dereference to their root (meme-style growing clusters).
+# Progressive rows decode on the routed scalar Annex G path, so the
+# headline now pays the real mixed-corpus cost (see BASELINE.md).
+CACHE = f"/tmp/geotools_ray_bench/images_n{N_IMAGES}_seed42_v5"
 
 
 def ensure_image_cache():

@@ -55,6 +55,16 @@ FMTS = ("png", "jpeg")
 GROUND_RES = 1e-4  # degrees per pixel for footprint extent
 JPEG_QUALITY = 92  # min PSNR ~43 dB on synth_pixels content (gate: 40)
 JPEG_RESTART = 8  # MCUs per restart segment (wide-decode parallelism)
+# Per-row JPEG layout, cycled over jpeg rows — the realistic
+# web-corpus mix (scraped corpora are mostly 4:2:0 baseline with a
+# progressive slice): 9/16 4:2:0, 4/16 4:4:4, 2/16 4:2:2, 1/16
+# progressive 4:2:0. Subsampled rows hold luma PSNR >= 40 dB (chroma
+# is genuinely band-limited by the layout itself — full-RGB gate 33,
+# see tests/test_images.py).
+JPEG_VARIANTS = (
+    "420", "444", "420", "422", "420", "444", "420", "420",
+    "420", "444", "420", "422", "420", "444", "420", "prog",
+)
 FIELD_STEP = 16  # control-point spacing of the low-frequency field
 NOISE_SIGMA = 1.0  # sensor-noise sigma added to the field
 
@@ -65,14 +75,44 @@ _PLACES = ["oslo", "quito", "lagos", "perth", "lima", "kyoto", "reno", "turin"]
 # ---------------------------------------------------------------------------
 # codecs (real spec implementations in sources/codecs.py)
 
-def encode_image(pixels: np.ndarray, fmt: str) -> bytes:
+def jpeg_variant(src: int) -> str:
+    """Layout variant of a jpeg row, keyed by the SOURCE index (dup
+    rows inherit the root's variant so duplicates stay byte-exact)."""
+    return JPEG_VARIANTS[(src // len(FMTS)) % len(JPEG_VARIANTS)]
+
+
+def dup_root(i: int, dup_every: int) -> int | None:
+    """Source row a dup row copies, dereferenced to the chain ROOT:
+    every dup_every-th row duplicates the row dup_every earlier, and
+    when that row is itself a dup the copy follows through to the
+    first real row — so img000...099's pixels reappear at 199, 299,
+    399, ... (a realistic meme-style growing duplicate cluster; the
+    pre-round-5 fixture left 299+ as orphans that duplicated
+    nothing)."""
+    if not dup_every or i % dup_every != dup_every - 1 or i < dup_every:
+        return None
+    j = i - dup_every
+    while j % dup_every == dup_every - 1 and j >= dup_every:
+        j -= dup_every
+    return j
+
+
+def encode_image(pixels: np.ndarray, fmt: str, variant: str | None = None) -> bytes:
     """pixels: (h, w, 3) uint8 -> bytes (see module docstring for the
-    per-format story)."""
+    per-format story). `variant` picks the jpeg layout (444/422/420/
+    prog); None keeps the legacy 4:4:4 bytes."""
     if fmt == "png":
         return codecs.encode_png(pixels)
     if fmt == "jpeg":
+        v = variant or "444"
+        if v == "prog":
+            from . import jpegprog
+
+            return jpegprog.encode_progressive(
+                pixels, quality=JPEG_QUALITY, sampling="420"
+            )
         return codecs.encode_jpeg(
-            pixels, quality=JPEG_QUALITY, restart_interval=JPEG_RESTART
+            pixels, quality=JPEG_QUALITY, restart_interval=JPEG_RESTART, sampling=v
         )
     if fmt == "jpeg_real":  # legacy alias from the stand-in era
         return codecs.encode_jpeg(pixels, quality=98)
@@ -168,27 +208,29 @@ def synth_pixels(rng: np.random.RandomState, h: int, w: int) -> np.ndarray:
 
 
 def _row_meta(i: int, seed: int, dup_of: int | None):
-    """(image_id, w, h, fmt, pixels, caption) for one row — the pixel
-    and size draws shared by the scalar and batched generators."""
+    """(image_id, w, h, fmt, pixels, caption, variant) for one row —
+    the pixel / size / layout draws shared by the scalar and batched
+    generators."""
     src = i if dup_of is None else dup_of
     rng = _rng_for(f"img{src:012d}", seed)
     w = int(SIZES[rng.randint(len(SIZES))])
     h = int(SIZES[rng.randint(len(SIZES))])
     fmt = FMTS[src % len(FMTS)]
+    variant = jpeg_variant(src) if fmt == "jpeg" else None
     pixels = synth_pixels(rng, h, w)
     caption = (
         f"a photo of {_NOUNS[src % len(_NOUNS)]} near "
         f"{_PLACES[(src // len(_NOUNS)) % len(_PLACES)]}"
     )
-    return f"img{i:012d}", w, h, fmt, pixels, caption
+    return f"img{i:012d}", w, h, fmt, pixels, caption, variant
 
 
 def make_image_row(i: int, seed: int = 42, dup_of: int | None = None) -> dict:
     """One deterministic row (the scalar oracle for image_rows).
     dup_of: generate identical pixels to row `dup_of` (the ~1%
-    duplicate fixture for dedup)."""
-    image_id, w, h, fmt, pixels, caption = _row_meta(i, seed, dup_of)
-    data = encode_image(pixels, fmt)
+    duplicate fixture for dedup) — pass dup_root(i, dup_every)."""
+    image_id, w, h, fmt, pixels, caption, variant = _row_meta(i, seed, dup_of)
+    data = encode_image(pixels, fmt, variant)
     ph = perceptual_hash(decode_image(data))
     return {
         "image_id": image_id,
@@ -241,38 +283,59 @@ def image_rows(ids, seed: int, dup_every: int) -> pa.Table:
     content depends only on the global index, so generation
     parallelizes under any partitioning.
 
-    Batched: JPEG rows group by (h, w) through the wide stack encoder
-    + wide decoder (jpegwide.py; byte/bit-identical to the scalar
-    codec, pytest-pinned vs make_image_row) so bulk-table generation
-    is not entropy-coding-bound. PNG is lossless, so its phash comes
-    straight from the source pixels."""
+    Batched: 4:4:4 JPEG rows group by (h, w) through the wide stack
+    encoder; 4:2:0/4:2:2/progressive rows encode through the scalar
+    subsampled / Annex G encoders (byte-identical to make_image_row,
+    pytest-pinned); phash for every lossy row comes from ONE wide
+    batch decode. PNG is lossless, so its phash comes straight from
+    the source pixels."""
     from . import jpegwide as jw
 
     metas = []
     for i in ids:
         i = int(i)
-        dup_of = None
-        if dup_every and i % dup_every == dup_every - 1 and i >= dup_every:
-            dup_of = i - dup_every
-        metas.append(_row_meta(i, seed, dup_of))
+        metas.append(_row_meta(i, seed, dup_root(i, dup_every)))
 
     n = len(metas)
     data: list = [None] * n
     ph: list = [0] * n
-    jpeg_groups: dict[tuple[int, int], list[int]] = {}
-    for j, (_, w, h, fmt, px, _) in enumerate(metas):
+    jpeg_groups: dict[tuple, list[int]] = {}
+    for j, (_, w, h, fmt, px, _, var) in enumerate(metas):
         if fmt == "jpeg":
-            jpeg_groups.setdefault((h, w), []).append(j)
+            jpeg_groups.setdefault((h, w, var), []).append(j)
         else:
             data[j] = codecs.encode_png(px)
             ph[j] = perceptual_hash(px)  # lossless: decode == source
-    for (h, w), members in jpeg_groups.items():
-        stack = np.stack([metas[j][4] for j in members])
-        payloads = jw.encode_jpeg_stack(
-            stack, quality=JPEG_QUALITY, restart_interval=JPEG_RESTART
-        )
-        decoded = jw.decode_jpeg_batch(payloads)
-        for j, payload, px in zip(members, payloads, decoded):
+    jpg_j: list[int] = []
+    jpg_pay: list[bytes] = []
+    for (h, w, var), members in jpeg_groups.items():
+        if var == "444":
+            stack = np.stack([metas[j][4] for j in members])
+            payloads = jw.encode_jpeg_stack(
+                stack, quality=JPEG_QUALITY, restart_interval=JPEG_RESTART
+            )
+        elif var == "prog":
+            from . import jpegprog
+
+            payloads = [
+                jpegprog.encode_progressive(
+                    metas[j][4], quality=JPEG_QUALITY, sampling="420"
+                )
+                for j in members
+            ]
+        else:
+            payloads = [
+                codecs.encode_jpeg(
+                    metas[j][4], quality=JPEG_QUALITY,
+                    restart_interval=JPEG_RESTART, sampling=var,
+                )
+                for j in members
+            ]
+        jpg_j.extend(members)
+        jpg_pay.extend(payloads)
+    if jpg_j:
+        decoded = jw.decode_jpeg_batch(jpg_pay)
+        for j, payload, px in zip(jpg_j, jpg_pay, decoded):
             data[j] = payload
             ph[j] = perceptual_hash(px)
 

@@ -33,13 +33,14 @@ def test_jpeg_q98_holds_gate_on_noise():
 
 
 def test_image_rows_matches_scalar_oracle():
-    """The batched generator (wide stack encode + wide decode for
-    phash) is row-identical to per-row make_image_row."""
+    """The batched generator (wide stack encode for 4:4:4, scalar
+    subsampled/progressive encoders, one wide decode for phash) is
+    row-identical to per-row make_image_row — across a window wide
+    enough to hit every JPEG_VARIANTS entry."""
     t = I.image_rows(range(90, 130), 42, 100)
     for j, i in enumerate(range(90, 130)):
-        dup_of = i - 100 if (i % 100 == 99 and i >= 100) else None
         assert t.slice(j, 1).to_pylist()[0] == I.make_image_row(
-            i, seed=42, dup_of=dup_of
+            i, seed=42, dup_of=I.dup_root(i, 100)
         )
 
 
@@ -67,11 +68,50 @@ def test_footprints_stable_under_order():
 def test_phash_duplicates_cluster():
     t = I.generate_image_table(400, seed=42)
     ph = t.column("phash").to_pylist()
-    # duplicates share phash; distinct rows rarely collide
-    assert ph[199] == ph[99] and ph[299] == ph[199 - 0] or True
+    # dup chains dereference to the root: 199, 299, 399 are all
+    # byte-exact copies of row 99 (a growing meme-style cluster)
+    assert ph[199] == ph[99]
+    assert ph[299] == ph[99]
+    assert ph[399] == ph[99]
+    b = t.column("bytes").to_pylist()
+    assert b[299] == b[99] and b[399] == b[99]
     n_unique = len(set(ph))
     assert n_unique < 400  # some dups exist
     assert n_unique > 390  # but not many collisions
+
+
+def test_fixture_carries_web_corpus_layout_mix():
+    """The table genuinely contains 4:2:0 / 4:2:2 / 4:4:4 / progressive
+    jpeg rows, and every lossy row meets the layout-aware fidelity
+    gates: full-RGB PSNR >= 33 dB and luma PSNR >= 40 dB (luma is
+    never subsampled; chroma bandwidth is bounded by the layout)."""
+    from geotools_ray.sources import codecs as C
+
+    t = I.image_rows(range(0, 64), 42, 0)
+    seen = set()
+    for row in t.to_pylist():
+        if row["fmt"] != "jpeg":
+            continue
+        data = row["bytes"]
+        if b"\xff\xc2" in data[:200]:
+            seen.add("prog")
+        else:
+            sof = data.find(b"\xff\xc0")
+            seen.add({0x11: "444", 0x21: "422", 0x22: "420"}[data[sof + 11]])
+        # fidelity gates vs the deterministic source pixels
+        i = int(row["image_id"][3:])
+        rng = I._rng_for(f"img{i:012d}", 42)
+        w = int(I.SIZES[rng.randint(len(I.SIZES))])
+        h = int(I.SIZES[rng.randint(len(I.SIZES))])
+        src = I.synth_pixels(rng, h, w)
+        dec = I.decode_image(data)
+        assert I.psnr(src, dec) >= 33.0, row["image_id"]
+        l1 = 0.299 * src[..., 0].astype(float) + 0.587 * src[..., 1] + 0.114 * src[..., 2]
+        l2 = 0.299 * dec[..., 0].astype(float) + 0.587 * dec[..., 1] + 0.114 * dec[..., 2]
+        mse = np.mean((l1 - l2) ** 2)
+        luma_psnr = 10 * np.log10(255.0**2 / mse)
+        assert luma_psnr >= 40.0, row["image_id"]
+    assert seen == {"444", "422", "420", "prog"}
 
 
 def test_caption_equality_end_to_end(ray_session, tmp_path):
