@@ -381,6 +381,9 @@ def queries() -> dict[str, Callable[[str], Any]]:
         # S1/S2 in the flesh: real .las binary round trip feeding the
         # grid_stats operator; oracle models the int32 quantization
         "las_grid": QL.q_las_grid,
+        # S6 via a real .shp/.dbf pair (sources/shp.py); same oracle
+        # as zonal_pairs, proving binary vector ingestion end to end
+        "zonal_shp": QO.q_zonal_shp,
     }
     for k, v in img.items():
         qs.setdefault(k, v)
@@ -472,6 +475,7 @@ def oracle_sql() -> dict[str, str]:
         # rollup independently (queries_img_sql docstring)
         "img_flagship": QI.SQL_IMG_FLAGSHIP,
         "las_grid": QL.SQL_LAS_GRID,
+        "zonal_shp": Q.SQL_ZONAL_PAIRS,
         # remaining img_* queries: non-SQL-expressible (decoded-pixel
         # semantics) -> rows-only driver check; pixel/caption
         # invariants live in tests/

@@ -1099,6 +1099,39 @@ def q_zonal_wkb(sf_dir: str):
     return Z.zonal_join(pts, polys, keep_cols=("l_orderkey", "l_linenumber"))
 
 
+def q_zonal_shp(sf_dir: str):
+    """S6 via a REAL .shp/.dbf pair (sources/shp.py, the OGR-read
+    restatement — src/lasclip.cpp:60-97): the rect zones are written
+    as a shapefile fixture, parsed back into the WKB polygon table,
+    and joined with the same zonal operator — same oracle as
+    zonal_pairs, proving the binary ingestion end to end."""
+    import os
+    import tempfile
+
+    from .ops import zonal as Z
+    from .queries import RECT_POLYS
+    from .sources.shp import read_shapefile, write_shapefile
+    from .sources.wkb import read_polygon_table
+
+    d = tempfile.mkdtemp(prefix="geotools_shp_")
+    base = os.path.join(d, "zones")
+    write_shapefile(
+        base,
+        [p.rings for p in RECT_POLYS],
+        {
+            "polygon_id": [p.polygon_id for p in RECT_POLYS],
+            "name": [f"zone{p.polygon_id}" for p in RECT_POLYS],
+        },
+    )
+    ptab = read_shapefile(base + ".shp")
+    polys, attrs = read_polygon_table(ptab, attr_cols=("name",))
+    assert [attrs.loc[p.polygon_id, "name"] for p in RECT_POLYS] == [
+        f"zone{p.polygon_id}" for p in RECT_POLYS
+    ]
+    pts = tpch.read_points(sf_dir)
+    return Z.zonal_join(pts, polys, keep_cols=("l_orderkey", "l_linenumber"))
+
+
 def q_raster_correction(sf_dir: str):
     """R8 mosaic-graph diff correction: four class-filtered mean
     rasters (rid 0 = all points = the root), all-pairs overlap diff
