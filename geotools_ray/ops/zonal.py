@@ -96,24 +96,34 @@ def zonal_stats(
     joined = zonal_join(points, polygons, keep_cols=keep)
     keys = ["polygon_id", "cls"] if by_cls else ["polygon_id"]
 
-    def per_zone(g: pd.DataFrame) -> pd.DataFrame:
-        v = g[value_col].to_numpy(dtype=np.float64)
-        n = len(v)
-        row = {k: [g[k].iloc[0]] for k in keys}
-        row.update(
-            {
-                "n": [float(n)],
-                "sum_v": [float(v.sum())],
-                "min_v": [float(v.min())],
-                "max_v": [float(v.max())],
-                "mean_v": [float(v.sum() / n)],
-                "median_v": [K.ref_median(v)],
-                "var_v": [K.ref_variance(v, sample=True)],
-                "stddev_v": [K.ref_stddev(v, sample=True)],
-            }
-        )
-        for i in range(1, quantiles + 1):
-            row[f"q{i}"] = [K.ref_quantile(v, i, quantiles)]
-        return pd.DataFrame(row)
+    # ONE hash-partitioned shuffle + a vectorized per-PARTITION apply
+    # (stages/grouped.py), not a Ray-level map_groups whose Python
+    # dispatch is per group — the same pattern every other grouped
+    # stage in this engine uses (a per-group map_groups measured ~30x
+    # slower on the dedup path at 100k rows)
+    from ..stages.grouped import grouped_map
 
-    return joined.groupby(keys).map_groups(per_zone, batch_format="pandas")
+    def per_part(df: pd.DataFrame) -> pd.DataFrame:
+        stat_cols = ["n", "sum_v", "min_v", "max_v", "mean_v", "median_v",
+                     "var_v", "stddev_v"] + [f"q{i}" for i in range(1, quantiles + 1)]
+        rows: dict[str, list] = {k: [] for k in [*keys, *stat_cols]}
+        for keyvals, g in df.groupby(keys, sort=False):
+            if not isinstance(keyvals, tuple):
+                keyvals = (keyvals,)
+            v = g[value_col].to_numpy(dtype=np.float64)
+            n = len(v)
+            for k, kv in zip(keys, keyvals):
+                rows[k].append(kv)
+            rows["n"].append(float(n))
+            rows["sum_v"].append(float(v.sum()))
+            rows["min_v"].append(float(v.min()))
+            rows["max_v"].append(float(v.max()))
+            rows["mean_v"].append(float(v.sum() / n))
+            rows["median_v"].append(K.ref_median(v))
+            rows["var_v"].append(K.ref_variance(v, sample=True))
+            rows["stddev_v"].append(K.ref_stddev(v, sample=True))
+            for i in range(1, quantiles + 1):
+                rows[f"q{i}"].append(K.ref_quantile(v, i, quantiles))
+        return pd.DataFrame(rows)
+
+    return grouped_map(joined, keys, per_part)

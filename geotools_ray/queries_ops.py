@@ -15,6 +15,7 @@ from .kernels.grid import cell_centroids
 from .ops.gridstats import GridConfig, compute_bounds, grid_stats
 from .queries import R6, RES, _round_away
 from .stages import tpch
+from .stages.grouped import parts_for_tiles
 
 # ---------------------------------------------------------------------------
 # R2 IDW / R3 avg-kNN at every grid cell centroid (oracle-checked)
@@ -270,7 +271,7 @@ def q_raster_smooth(sf_dir: str):
     from .ops.raster import smooth_tiles
 
     tiles, b, H, W = _mean_tiles(sf_dir)
-    out = smooth_tiles(tiles, sigma=1.0, size=3, H=H, W=W, tile=16, num_parts=8)
+    out = smooth_tiles(tiles, sigma=1.0, size=3, H=H, W=W, tile=16, num_parts=parts_for_tiles(H, W, 16))
     return _tile_checksums(out)
 
 
@@ -281,8 +282,8 @@ def q_treetops(sf_dir: str):
     from .ops.raster import local_maxima_tiles, smooth_tiles
 
     tiles, b, H, W = _mean_tiles(sf_dir)
-    sm = smooth_tiles(tiles, sigma=1.0, size=3, H=H, W=W, tile=16, num_parts=8)
-    out = local_maxima_tiles(sm, window=3, min_height=20.0, H=H, W=W, tile=16, num_parts=8)
+    sm = smooth_tiles(tiles, sigma=1.0, size=3, H=H, W=W, tile=16, num_parts=parts_for_tiles(H, W, 16))
+    out = local_maxima_tiles(sm, window=3, min_height=20.0, H=H, W=W, tile=16, num_parts=parts_for_tiles(H, W, 16))
 
     def fin(df: pd.DataFrame) -> pd.DataFrame:
         df = df.copy()
@@ -339,7 +340,7 @@ def q_mosaic(sf_dir: str):
     bt = mt.map_batches(pick("mean"), batch_format="pyarrow")
     ot = mt.map_batches(pick("ocount"), batch_format="pyarrow")
     H, W = rows, cols
-    out = mosaic_tiles(bt, ot, distance=3.0, resolution=1.0, H=H, W=W, tile=16, num_parts=8)
+    out = mosaic_tiles(bt, ot, distance=3.0, resolution=1.0, H=H, W=W, tile=16, num_parts=parts_for_tiles(H, W, 16))
     return _tile_checksums(out)
 
 
@@ -499,9 +500,9 @@ def q_crowns(sf_dir: str):
     from .ops.raster import local_maxima_tiles, smooth_tiles
 
     tiles, b, H, W = _mean_tiles(sf_dir)
-    sm = smooth_tiles(tiles, sigma=1.0, size=3, H=H, W=W, tile=16, num_parts=8).materialize()
+    sm = smooth_tiles(tiles, sigma=1.0, size=3, H=H, W=W, tile=16, num_parts=parts_for_tiles(H, W, 16)).materialize()
     tops_df = (
-        local_maxima_tiles(sm, window=3, min_height=20.0, H=H, W=W, tile=16, num_parts=8)
+        local_maxima_tiles(sm, window=3, min_height=20.0, H=H, W=W, tile=16, num_parts=parts_for_tiles(H, W, 16))
         .to_pandas()
         .sort_values(["row", "col"])  # kernel's row-major emission order
         .reset_index(drop=True)
@@ -515,7 +516,7 @@ def q_crowns(sf_dir: str):
         }
     )
     out = crown_growth_tiles(sm, tops, min_height=5.0, height_fraction=0.5,
-                             radius=4.0, H=H, W=W, tile=16, num_parts=8)
+                             radius=4.0, H=H, W=W, tile=16, num_parts=parts_for_tiles(H, W, 16))
 
     def fin(t: pa.Table) -> pd.DataFrame:
         from .ops.raster import list_col_views
@@ -555,10 +556,10 @@ def q_crowns_verify(sf_dir: str):
 
     tiles, b, H, W = _mean_tiles(sf_dir)
     sm = smooth_tiles(
-        tiles, sigma=1.0, size=3, H=H, W=W, tile=16, num_parts=8
+        tiles, sigma=1.0, size=3, H=H, W=W, tile=16, num_parts=parts_for_tiles(H, W, 16)
     ).materialize()
     tops_df = (
-        local_maxima_tiles(sm, window=3, min_height=20.0, H=H, W=W, tile=16, num_parts=8)
+        local_maxima_tiles(sm, window=3, min_height=20.0, H=H, W=W, tile=16, num_parts=parts_for_tiles(H, W, 16))
         .to_pandas()
         .sort_values(["row", "col"])  # kernel's row-major emission order
         .reset_index(drop=True)
@@ -581,7 +582,7 @@ def q_crowns_verify(sf_dir: str):
     tops = pa.table({"id": ids, "col": col, "row": row, "z": z})
     out = crown_growth_tiles(
         sm, tops, min_height=5.0, height_fraction=0.5, radius=2.0,
-        H=H, W=W, tile=16, num_parts=8,
+        H=H, W=W, tile=16, num_parts=parts_for_tiles(H, W, 16),
     )
     # per-id stats need the claimed cells' smoothed values: zip the id
     # tiles with the sm tiles by (trow, tcol) DISTRIBUTED — each tile
@@ -714,7 +715,7 @@ def q_void_fill(sf_dir: str):
 
     tiles, b, H, W = _mean_tiles(sf_dir)
     out = void_fill_tiles(tiles, radius=2.0, count=3, exp=1.0, H=H, W=W,
-                          tile=16, max_radius=6, num_parts=8)
+                          tile=16, max_radius=6, num_parts=parts_for_tiles(H, W, 16))
     return _tile_checksums(out)
 
 
@@ -839,7 +840,7 @@ def q_minima(sf_dir: str):
     from .ops.raster import minima_tiles
 
     tiles, b, H, W = _mean_tiles(sf_dir)
-    out = minima_tiles(tiles, H=H, W=W, tile=16, num_parts=8)
+    out = minima_tiles(tiles, H=H, W=W, tile=16, num_parts=parts_for_tiles(H, W, 16))
 
     def fin(df: pd.DataFrame) -> pd.DataFrame:
         df = df.copy()

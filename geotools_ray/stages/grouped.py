@@ -84,6 +84,19 @@ def parts_for_rows(
     return max(int(min_parts), -(-int(n_rows) // int(rows_per_part)))
 
 
+def parts_for_tiles(
+    H: int, W: int, tile: int, tiles_per_part: int = 64, min_parts: int = 8
+) -> int:
+    """Data-proportional width for the raster tile exchanges:
+    ceil(#tiles / tiles_per_part), floored at min_parts. At fixture
+    sizes this equals the old fixed 8; a 100k x 100k raster at
+    tile=16 yields ~610k tiles -> ~9.5k partitions of 64 tiles
+    (~64 x tile^2 x 8 B = 131 KB of payload each plus halos), which is
+    the memory bound that matters at cluster scale."""
+    ntiles = (-(-int(H) // int(tile))) * (-(-int(W) // int(tile)))
+    return max(int(min_parts), -(-ntiles // int(tiles_per_part)))
+
+
 def grouped_map(
     ds: ray.data.Dataset,
     keys: list[str],
