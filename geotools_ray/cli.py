@@ -39,6 +39,20 @@ def _session(args):
 def _read(args):
     import ray.data
 
+    fmt = getattr(args, "in_format", "parquet")
+    if fmt == "wds":
+        from .sources.wds import read_wds_shards
+
+        return read_wds_shards(args.input)
+    if fmt == "tfrecord":
+        from .sources.images import IMAGE_SCHEMA
+        from .sources.tfrecord import read_tfrecord_shards
+
+        # the image table's types pinned exactly (schema-driven decode)
+        return read_tfrecord_shards(
+            args.input, string_cols=("image_id", "fmt", "caption"),
+            schema=IMAGE_SCHEMA,
+        )
     return ray.data.read_parquet(args.input)
 
 
@@ -315,6 +329,10 @@ def main(argv=None):
         "(checkpoint-resumable; the ray-job-submit entrypoint)",
     )
     common(sp)
+    sp.add_argument("--in-format", dest="in_format",
+                    choices=["parquet", "wds", "tfrecord"], default="parquet",
+                    help="input layout: parquet dir, webdataset tar "
+                         "shards, or TFRecord shards (schema-pinned)")
     sp.add_argument("--checkpoint", default=None,
                     help="manifest dir for the durable restart boundary")
     sp.add_argument("--checkpoint-parts", type=int, default=32)

@@ -226,3 +226,50 @@ def test_flagship_verify_gate_drops_corrupt_rows(ray_session, tmp_path):
     out = flagship_full(ray.data.from_arrow(bad)).to_pandas()
     assert out["n_images"].sum() <= full["n_images"].sum()
     assert out["n_images"].sum() >= full["n_images"].sum() - 1
+
+
+def test_cli_flagship_wds_and_tfrecord_resume(ray_session, tmp_path):
+    """The job entrypoint reads interchange layouts end to end: the
+    SAME image table through parquet, webdataset tar shards and
+    TFRecord shards produces identical flagship output, and re-running
+    over the shard dir with the same checkpoint resumes byte-equal."""
+    from types import SimpleNamespace
+
+    import pyarrow.parquet as pq
+    import ray.data
+
+    from geotools_ray import cli
+    from geotools_ray.sources.images import IMAGE_SCHEMA, make_image_row
+    from geotools_ray.sources.tfrecord import write_tfrecord_shards
+    from geotools_ray.sources.wds import write_wds_shards
+
+    # ids 300-379: a footprint cluster that lands inside the flagship
+    # polygons (the hash-derived clusters of low ids miss them all)
+    rows = [make_image_row(i, seed=33) for i in range(300, 380)]
+    t = pa.Table.from_pylist(rows, schema=IMAGE_SCHEMA)
+    wds_dir = str(tmp_path / "wds")
+    write_wds_shards(ray.data.from_arrow(t).repartition(2), wds_dir, shard_rows=40)
+    tfr_dir = str(tmp_path / "tfr")
+    write_tfrecord_shards(ray.data.from_arrow(t).repartition(2), tfr_dir, shard_rows=40)
+    pq_dir = str(tmp_path / "pq")
+    os.makedirs(pq_dir)
+    pq.write_table(t, os.path.join(pq_dir, "part0.parquet"))
+
+    def run(fmt, inp, out, ckpt):
+        cli.cmd_flagship(
+            SimpleNamespace(
+                input=inp, output=out, in_format=fmt,
+                checkpoint=ckpt, checkpoint_parts=4,
+            )
+        )
+        df = pq.read_table(out).to_pandas()
+        return df.sort_values(list(df.columns)).reset_index(drop=True)
+
+    o_wds = run("wds", wds_dir, str(tmp_path / "o1"), str(tmp_path / "c1"))
+    # resume over the same shard dir + checkpoint: byte-equal output
+    o_wds2 = run("wds", wds_dir, str(tmp_path / "o2"), str(tmp_path / "c1"))
+    assert o_wds.equals(o_wds2)
+    o_tfr = run("tfrecord", tfr_dir, str(tmp_path / "o3"), str(tmp_path / "c3"))
+    o_pq = run("parquet", pq_dir, str(tmp_path / "o4"), None)
+    assert o_wds.equals(o_tfr)
+    assert o_wds.equals(o_pq)
