@@ -384,6 +384,9 @@ def queries() -> dict[str, Callable[[str], Any]]:
         # S6 via a real .shp/.dbf pair (sources/shp.py); same oracle
         # as zonal_pairs, proving binary vector ingestion end to end
         "zonal_shp": QO.q_zonal_shp,
+        # R6 kriging solve vs closed-form Lagrange solutions (the
+        # fitted-variogram pipeline stays rows-only + pytest)
+        "kriging_verify": QO.q_kriging_verify,
     }
     for k, v in img.items():
         qs.setdefault(k, v)
@@ -476,6 +479,7 @@ def oracle_sql() -> dict[str, str]:
         "img_flagship": QI.SQL_IMG_FLAGSHIP,
         "las_grid": QL.SQL_LAS_GRID,
         "zonal_shp": Q.SQL_ZONAL_PAIRS,
+        "kriging_verify": QO.SQL_KRIGING_VERIFY,
         # remaining img_* queries: non-SQL-expressible (decoded-pixel
         # semantics) -> rows-only driver check; pixel/caption
         # invariants live in tests/

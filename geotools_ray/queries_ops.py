@@ -1100,6 +1100,59 @@ def q_zonal_wkb(sf_dir: str):
     return Z.zonal_join(pts, polys, keep_cols=("l_orderkey", "l_linenumber"))
 
 
+def q_kriging_verify(sf_dir: str):
+    """R6 kriging solve pinned by a closed-form design: with nugget=0
+    and a vanishing variogram range, every distinct pair sits at the
+    sill, so the (n+1)x(n+1) Lagrange system has KNOWN solutions —
+    a target AT sample k solves to the unit weight vector e_k (exact
+    interpolation, prediction = z_k) and any other target solves to
+    uniform weights 1/n (prediction = mean z). The query runs the
+    REAL assembly + inverse + batched solve (ops/interp.kriging_at)
+    on 5 supplier samples and 3 far probes; the oracle states the
+    closed forms in SQL. The fitted-variogram pipeline keeps its
+    pytest + the rows-only `kriging` query."""
+    from .ops.interp import kriging_at
+
+    smp = tpch.read_samples_table(sf_dir)
+    order = np.argsort(smp["s_suppkey"].to_numpy())[:5]
+    s5 = smp.take(pa.array(order, pa.int64()))
+    far = [(-50.0, -50.0), (150.0, 123.0), (777.5, -3.25)]
+    tids = np.array([1, 2, 3, 4, 5, 101, 102, 103], dtype=np.int64)
+    cx = np.concatenate([s5["sx"].to_numpy(), [p[0] for p in far]])
+    cy = np.concatenate([s5["sy"].to_numpy(), [p[1] for p in far]])
+    targets = ray.data.from_arrow(
+        pa.table({"tid": tids, "cx": cx, "cy": cy})
+    )
+    out = kriging_at(targets, s5, params=(0.0, 10.0, 1e-9))
+
+    def fin(t: pa.Table) -> pa.Table:
+        return pa.table(
+            {
+                "tid": t["tid"],
+                "krige_z": pa.array(
+                    _round_away(
+                        t["krige_z"].to_numpy(zero_copy_only=False), R6
+                    )
+                ),
+            }
+        )
+
+    return out.map_batches(fin, batch_format="pyarrow")
+
+
+SQL_KRIGING_VERIFY = f"""
+WITH smp AS ({tpch.SAMPLES_SQL}),
+s5 AS (
+  SELECT sx, sy, CAST(sz AS DOUBLE) AS sz,
+         row_number() OVER (ORDER BY s_suppkey) AS tid
+  FROM smp ORDER BY s_suppkey LIMIT 5),
+m AS (SELECT avg(sz) AS mz FROM s5)
+SELECT tid, round(sz, {R6}) AS krige_z FROM s5
+UNION ALL
+SELECT t.tid, round(m.mz, {R6}) AS krige_z
+FROM (VALUES (101), (102), (103)) AS t(tid), m"""
+
+
 def q_zonal_shp(sf_dir: str):
     """S6 via a REAL .shp/.dbf pair (sources/shp.py, the OGR-read
     restatement — src/lasclip.cpp:60-97): the rect zones are written
