@@ -376,6 +376,28 @@ def main():
                 "efficiency_cpu_normalized": round(raw_eff / cpu_eff, 3)
                 if cpu_eff else None,
             }
+            # second, fully self-contained two-level pair at 4 -> 16:
+            # below the box's DRAM-bandwidth saturation point both legs
+            # get their full memory share, so the RAW ratio is the
+            # honest N -> 4N evidence (repeatedly >= 0.8 in BASELINE
+            # §6-§8) and no probe normalization argument is needed
+            legs = {}
+            for n2 in (4, 16):
+                env2 = dict(os.environ, RAY_GRAFT_CPUS=str(n2))
+                out2 = subprocess.run(
+                    [sys.executable, __file__, "--headline-only"],
+                    env=env2, capture_output=True, text=True, check=True,
+                ).stdout
+                legs[n2] = json.loads(out2.strip().splitlines()[-1])["headline"]
+            raw2 = (legs[4]["sec"] / legs[16]["sec"]) / 4.0
+            scaling["two_level_4_16"] = {
+                "cpus": [4, 16],
+                "sec_lo": round(legs[4]["sec"], 3),
+                "sec_hi": round(legs[16]["sec"], 3),
+                "images_per_sec_lo": round(legs[4]["images_per_sec"], 1),
+                "images_per_sec_hi": round(legs[16]["images_per_sec"], 1),
+                "efficiency_raw": round(raw2, 3),
+            }
         except Exception as e:
             scaling = {"err": f"{type(e).__name__}: {e}"}
 

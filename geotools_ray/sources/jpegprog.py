@@ -107,20 +107,38 @@ class _BitReader:
         return 8 * self.bp - self.nacc > 8 * self.n
 
 
-def decode_progressive(data: bytes) -> np.ndarray:
+class ProgMeta:
+    """Parsed progressive stream: geometry + one entry per scan with
+    its TABLES RESOLVED AT SCAN TIME (DHT may redefine between scans)
+    and its raw entropy span sliced out — decode applies scans in
+    file order over zigzag coefficient grids."""
+
+    __slots__ = ("h", "w", "comps", "hvs", "qtabs", "geo", "scans", "nblk")
+
+
+class _Scan:
+    __slots__ = ("scomps", "ss", "se", "ah", "al", "dri", "span")
+
+
+def parse_progressive(data: bytes) -> ProgMeta:
     if data[:2] != b"\xff\xd8":
         raise ValueError("not a JPEG")
     pos, n = 2, len(data)
-    qtabs: dict[int, np.ndarray] = {}
-    htabs: dict[tuple[int, int], tuple[list, list]] = {}
-    comps: list[tuple[int, int]] = []  # (cid, tq) in SOF order
-    hvs: list[tuple[int, int]] = []
-    h = w = 0
+    m = ProgMeta()
+    m.qtabs = {}
+    m.comps = []
+    m.hvs = []
+    m.geo = None
+    m.scans = []
+    m.h = m.w = 0
+    htabs_raw: dict[tuple[int, int], tuple[list, list]] = {}
     dri = 0
-    coefs: list[list[list[int]]] = []  # per comp: nblk x 64 zigzag ints
-    geo = None  # (mcux, mcuy, bpr per comp, plane block dims per comp)
-    pred_geo: dict = {}
-    eob_hist = False
+    # one global marker scan for every scan span end (the per-scan
+    # rescan-from-pos variant cost ~20% of decode on small files)
+    arr = np.frombuffer(data, dtype=np.uint8)
+    ff = np.flatnonzero(arr[:-1] == 0xFF)
+    nxt = arr[ff + 1]
+    real_markers = ff[(nxt != 0x00) & ((nxt < 0xD0) | (nxt > 0xD7)) & (nxt != 0xFF)]
 
     while pos < n:
         if data[pos] != 0xFF:
@@ -142,32 +160,30 @@ def decode_progressive(data: bytes) -> np.ndarray:
                 zz = np.frombuffer(body[bpos + 1 : bpos + 65], dtype=np.uint8)
                 qt = np.zeros(64, dtype=np.int32)
                 qt[_ZZ] = zz
-                qtabs[tq] = qt.reshape(8, 8)
+                m.qtabs[tq] = qt.reshape(8, 8)
                 bpos += 65
         elif marker == 0xC2:  # SOF2
-            prec, h, w, nc = struct.unpack(">BHHB", body[:6])
+            prec, m.h, m.w, nc = struct.unpack(">BHHB", body[:6])
             if prec != 8:
                 raise NotImplementedError("non-8-bit JPEG")
             for ci in range(nc):
                 cid, samp, tq = body[6 + 3 * ci : 9 + 3 * ci]
-                comps.append((cid, tq))
-                hvs.append((samp >> 4, samp & 15))
-            hmax = max(H for H, _ in hvs)
-            vmax = max(V for _, V in hvs)
-            mcux = -(-w // (8 * hmax))
-            mcuy = -(-h // (8 * vmax))
-            bpr = [mcux * H for H, _ in hvs]
+                m.comps.append((cid, tq))
+                m.hvs.append((samp >> 4, samp & 15))
+            hmax = max(H for H, _ in m.hvs)
+            vmax = max(V for _, V in m.hvs)
+            mcux = -(-m.w // (8 * hmax))
+            mcuy = -(-m.h // (8 * vmax))
+            bpr = [mcux * H for H, _ in m.hvs]
             # non-interleaved scans cover only the REAL block grid of
             # the component (T.81 A.2.2), not the MCU-padded grid:
             # ceil(ceil(dim*f/fmax)/8) == ceil(dim*f/(fmax*8))
             bdim = [
-                (-(-h * V // (vmax * 8)), -(-w * H // (hmax * 8)))
-                for H, V in hvs
+                (-(-m.h * V // (vmax * 8)), -(-m.w * H // (hmax * 8)))
+                for H, V in m.hvs
             ]
-            geo = (mcux, mcuy, bpr, bdim, hmax, vmax)
-            coefs = [
-                [[0] * 64 for _ in range(mcux * H * mcuy * V)] for H, V in hvs
-            ]
+            m.geo = (mcux, mcuy, bpr, bdim, hmax, vmax)
+            m.nblk = [mcux * H * mcuy * V for H, V in m.hvs]
         elif marker in (0xC0, 0xC1, 0xC3):
             raise ValueError("not a progressive JPEG (SOF%d)" % (marker - 0xC0))
         elif marker == 0xC4:
@@ -176,53 +192,56 @@ def decode_progressive(data: bytes) -> np.ndarray:
                 tc, th = body[bpos] >> 4, body[bpos] & 15
                 bits_ = list(body[bpos + 1 : bpos + 17])
                 nv = sum(bits_)
-                htabs[(tc, th)] = _huff_decode_table(
+                htabs_raw[(tc, th)] = (
                     bits_, list(body[bpos + 17 : bpos + 17 + nv])
                 )
                 bpos += 17 + nv
         elif marker == 0xDD:
             (dri,) = struct.unpack(">H", body[:2])
-        elif marker == 0xDA:  # SOS: decode one scan
-            if geo is None:
+        elif marker == 0xDA:  # SOS: snapshot one scan
+            if m.geo is None:
                 raise ValueError("SOS before SOF2")
             ns = body[0]
-            scomps = []  # (comp index in SOF order, dc table, ac table)
+            sc = _Scan()
+            sc.scomps = []  # (comp idx, dc (bits, vals), ac (bits, vals))
             for si in range(ns):
                 cid, tt = body[1 + 2 * si : 3 + 2 * si]
-                idx = next(i for i, (c, _) in enumerate(comps) if c == cid)
-                scomps.append((idx, tt >> 4, tt & 15))
-            ss, se, a = body[1 + 2 * ns : 4 + 2 * ns]
-            ah, al = a >> 4, a & 15
+                idx = next(i for i, (c, _) in enumerate(m.comps) if c == cid)
+                sc.scomps.append(
+                    (idx, htabs_raw.get((0, tt >> 4)), htabs_raw.get((1, tt & 15)))
+                )
+            sc.ss, sc.se, a = body[1 + 2 * ns : 4 + 2 * ns]
+            sc.ah, sc.al = a >> 4, a & 15
+            sc.dri = dri
             pos += ln
-            # entropy span: up to the next non-RST, non-stuffed marker
-            span_end = _scan_span_end(data, pos)
-            _decode_scan(
-                data[pos:span_end], scomps, ss, se, ah, al,
-                htabs, coefs, geo, hvs, dri,
-            )
+            j = np.searchsorted(real_markers, pos)
+            span_end = int(real_markers[j]) if j < len(real_markers) else n
+            sc.span = data[pos:span_end]
+            m.scans.append(sc)
             pos = span_end
             continue
         pos += ln
-    if geo is None:
+    if m.geo is None:
         raise ValueError("JPEG missing SOF2")
-    mcux, mcuy, bpr, bdim, hmax, vmax = geo
+    return m
+
+
+def decode_progressive(data: bytes) -> np.ndarray:
+    m = parse_progressive(data)
+    coefs = [[[0] * 64 for _ in range(nb)] for nb in m.nblk]
+    for sc in m.scans:
+        _decode_scan(
+            sc.span, sc.scomps, sc.ss, sc.se, sc.ah, sc.al,
+            coefs, m.geo, m.hvs, sc.dri,
+        )
     from .codecs import _idct_assemble
 
+    mcux, mcuy = m.geo[0], m.geo[1]
     arrays = [np.array(c, dtype=np.int32) for c in coefs]
-    return _idct_assemble(arrays, qtabs, comps, hvs, h, w, mcux, mcuy)
+    return _idct_assemble(arrays, m.qtabs, m.comps, m.hvs, m.h, m.w, mcux, mcuy)
 
 
-def _scan_span_end(data: bytes, pos: int) -> int:
-    """First offset >= pos where a real marker (not 0xFF00 stuffing,
-    not RSTn, not fill 0xFF) begins."""
-    arr = np.frombuffer(data, dtype=np.uint8)
-    ff = np.flatnonzero(arr[pos:-1] == 0xFF) + pos
-    nxt = arr[ff + 1]
-    real = ff[(nxt != 0x00) & ((nxt < 0xD0) | (nxt > 0xD7)) & (nxt != 0xFF)]
-    return int(real[0]) if len(real) else len(data)
-
-
-def _decode_scan(span, scomps, ss, se, ah, al, htabs, coefs, geo, hvs, dri):
+def _decode_scan(span, scomps, ss, se, ah, al, coefs, geo, hvs, dri):
     mcux, mcuy, bpr, bdim, hmax, vmax = geo
     segments = entropy_segments(span)
     interleaved = len(scomps) > 1
@@ -232,7 +251,7 @@ def _decode_scan(span, scomps, ss, se, ah, al, htabs, coefs, geo, hvs, dri):
         units = mcux * mcuy
         pattern = [
             (idx, v, u)
-            for idx, tdc, tac in scomps
+            for idx, _dcbv, _acbv in scomps
             for v in range(hvs[idx][1])
             for u in range(hvs[idx][0])
         ]
@@ -249,8 +268,16 @@ def _decode_scan(span, scomps, ss, se, ah, al, htabs, coefs, geo, hvs, dri):
     # lazily: refinement DC scans read no Huffman table at all, and
     # encoders may leave the unused selector pointing at a table that
     # was never defined
-    dc_lut = {idx: htabs.get((0, tdc)) for idx, tdc, tac in scomps if ss == 0}
-    ac_lut = {idx: htabs.get((1, tac)) for idx, tdc, tac in scomps if se > 0}
+    dc_lut = {
+        idx: _huff_decode_table(*dcbv) if dcbv else None
+        for idx, dcbv, _acbv in scomps
+        if ss == 0
+    }
+    ac_lut = {
+        idx: _huff_decode_table(*acbv) if acbv else None
+        for idx, _dcbv, acbv in scomps
+        if se > 0
+    }
     u0 = 0
     for segarr in segments:
         br = _BitReader(segarr.tobytes())
@@ -407,12 +434,15 @@ _SCRIPT_1 = [
 
 
 def encode_progressive(
-    pixels: np.ndarray, quality: int = 90, sampling: str = "444"
+    pixels: np.ndarray, quality: int = 90, sampling: str = "444",
+    restart_interval: int = 0,
 ) -> bytes:
     """uint8 pixels -> progressive (SOF2) JPEG with the scan script
     above. Quantized coefficients are IDENTICAL to encode_jpeg's at
     the same quality/sampling, so decode(progressive) must equal
-    decode(baseline) bit-for-bit — the hermetic correctness pin."""
+    decode(baseline) bit-for-bit — the hermetic correctness pin.
+    restart_interval > 0 emits DRI and an RSTn every that many scan
+    units (MCUs interleaved, blocks otherwise) in EVERY scan."""
     gray = pixels.ndim == 2
     h, w = pixels.shape[:2]
     ql, qc = _quality_tables(quality)
@@ -463,6 +493,8 @@ def encode_progressive(
     out += seg(0xFFDB, b"\x00" + bytes(ql.reshape(64)[_ZZ].astype(np.uint8)))
     if not gray:
         out += seg(0xFFDB, b"\x01" + bytes(qc.reshape(64)[_ZZ].astype(np.uint8)))
+    if restart_interval:
+        out += seg(0xFFDD, struct.pack(">H", restart_interval))
     ncomp = 1 if gray else 3
     sof = struct.pack(">BHHB", 8, h, w, ncomp)
     for ci in range(ncomp):
@@ -485,16 +517,29 @@ def encode_progressive(
         out += seg(0xFFDA, sos)
         out += _encode_scan(
             members, ss, se, ah, al, plane_zz, bpr, bdim, hv,
-            mcux, mcuy, enc_dc, enc_ac,
+            mcux, mcuy, enc_dc, enc_ac, restart_interval,
         )
     out += b"\xff\xd9"
     return bytes(out)
 
 
 def _encode_scan(
-    members, ss, se, ah, al, plane_zz, bpr, bdim, hv, mcux, mcuy, enc_dc, enc_ac
+    members, ss, se, ah, al, plane_zz, bpr, bdim, hv, mcux, mcuy,
+    enc_dc, enc_ac, ri=0,
 ) -> bytes:
     bw = _BitWriter()
+    out = bytearray()
+    rst_n = 0
+
+    def maybe_restart(unit_idx: int) -> bool:
+        nonlocal rst_n
+        if ri and unit_idx and unit_idx % ri == 0:
+            out.extend(bw.flush_segment())
+            out.extend(bytes((0xFF, 0xD0 + (rst_n & 7))))
+            rst_n += 1
+            return True
+        return False
+
     if ss == 0:  # DC scan
         if len(members) > 1:
             pattern = [
@@ -503,42 +548,50 @@ def _encode_scan(
                 for v in range(hv[idx][1])
                 for u in range(hv[idx][0])
             ]
-            blocks = [
-                (idx, (my * hv[idx][1] + v) * bpr[idx] + mx * hv[idx][0] + u)
+            units = [
+                [
+                    (idx, (my * hv[idx][1] + v) * bpr[idx] + mx * hv[idx][0] + u)
+                    for idx, v, u in pattern
+                ]
                 for my in range(mcuy)
                 for mx in range(mcux)
-                for idx, v, u in pattern
             ]
         else:
             idx = members[0]
-            blocks = [
-                (idx, by * bpr[idx] + bx)
+            units = [
+                [(idx, by * bpr[idx] + bx)]
                 for by in range(bdim[idx][0])
                 for bx in range(bdim[idx][1])
             ]
-        if ah == 0:
-            pred = {i: 0 for i in members}
-            for idx, bi in blocks:
-                v = int(plane_zz[idx][bi, 0]) >> al
-                diff = v - pred[idx]
-                pred[idx] = v
-                size = diff.bit_length() if diff > 0 else (-diff).bit_length()
-                code, ln = enc_dc[min(idx, 1)][size]
-                bw.put(code, ln)
-                if size:
-                    bw.put(diff if diff >= 0 else diff + (1 << size) - 1, size)
-        else:
-            for idx, bi in blocks:
-                bw.put((int(plane_zz[idx][bi, 0]) >> al) & 1, 1)
-        return bw.flush_segment()
+        pred = {i: 0 for i in members}
+        for ui, unit in enumerate(units):
+            if maybe_restart(ui):
+                pred = {i: 0 for i in members}
+            for idx, bi in unit:
+                if ah == 0:
+                    v = int(plane_zz[idx][bi, 0]) >> al
+                    diff = v - pred[idx]
+                    pred[idx] = v
+                    size = diff.bit_length() if diff > 0 else (-diff).bit_length()
+                    code, ln = enc_dc[min(idx, 1)][size]
+                    bw.put(code, ln)
+                    if size:
+                        bw.put(diff if diff >= 0 else diff + (1 << size) - 1, size)
+                else:
+                    bw.put((int(plane_zz[idx][bi, 0]) >> al) & 1, 1)
+        out.extend(bw.flush_segment())
+        return bytes(out)
 
     # AC scan: single component, band [ss, se]
     idx = members[0]
     tac = enc_ac[min(idx, 1)]
     eob_code, eob_ln = tac[0x00]
     zrl_code, zrl_ln = tac[0xF0]
+    ui = -1
     for by in range(bdim[idx][0]):
         for bx in range(bdim[idx][1]):
+            ui += 1
+            maybe_restart(ui)  # EOB runs flush per block; no carried state
             blk = plane_zz[idx][by * bpr[idx] + bx]
             if ah == 0:  # AC first (G.1.2.2); EOB runs flushed per block
                 run = 0
@@ -600,4 +653,5 @@ def _encode_scan(
                     bw.put(eob_code, eob_ln)  # EOB0 flushes this block
                     for b in corr:
                         bw.put(b, 1)
-    return bw.flush_segment()
+    out.extend(bw.flush_segment())
+    return bytes(out)
