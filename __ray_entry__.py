@@ -208,6 +208,22 @@ def _image_queries() -> dict[str, Callable[[str], Any]]:
         )
         return out
 
+    def img_transcode(sf_dir: str):
+        # corpus normalization: progressive rows -> baseline LOSSLESSLY
+        # (same coefficients), then the standard decode+verify proves
+        # every row still matches its stored phash on the wide path
+        from geotools_ray.stages.imaging import (decode_features_batch,
+                                                 transcode_batch)
+
+        ds = _table(sf_dir).repartition(8)
+        normalized = ds.map_batches(
+            transcode_batch, batch_format="pyarrow", batch_size=512
+        )
+        out = normalized.map_batches(
+            decode_features_batch, batch_format="pyarrow", batch_size=512
+        )
+        return out.select_columns(["image_id", "fmt", "verify_ok"])
+
     def img_codecs(sf_dir: str):
         # real-codec interchange: spec PNG (lossless) + baseline T.81
         # JPEG q98 (PSNR >= 40 dB asserted per row) over the image table
@@ -235,6 +251,7 @@ def _image_queries() -> dict[str, Callable[[str], Any]]:
         "audio_features": audio_features,
         "video_frames": video_frames,
         "img_codecs": img_codecs,
+        "img_transcode": img_transcode,
     }
 
 

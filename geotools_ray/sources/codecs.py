@@ -511,6 +511,21 @@ def _encode_jpeg_subsampled(
         )
         bpr.append(pw // 8)
 
+    entropy = entropy_encode_interleaved(
+        plane_zz, bpr, hv, mcux, mcuy, restart_interval
+    )
+    hdr = jpeg_header_bytes(False, ql, qc, h, w, restart_interval, samp=hv)
+    return hdr + entropy + b"\xff\xd9"
+
+
+def entropy_encode_interleaved(
+    plane_zz, bpr, hv, mcux, mcuy, restart_interval: int = 0
+) -> bytes:
+    """Baseline interleaved entropy coding (T.81 F.1.2) of quantized
+    zigzag coefficient grids — one (nblk, 64) int array per component
+    in MCU-padded plane-raster order, Annex K tables (luma tables for
+    component 0, chroma for the rest). Shared by the subsampled
+    encoder and the progressive->baseline lossless transcoder."""
     # stream order: per MCU, per component, blocks raster within MCU
     order: list[tuple[int, int]] = []  # (comp, plane block index)
     for my in range(mcuy):
@@ -523,8 +538,9 @@ def _encode_jpeg_subsampled(
 
     enc_dc = [_huff_encode_table(*_HT_DC_LUM), _huff_encode_table(*_HT_DC_CHR)]
     enc_ac = [_huff_encode_table(*_HT_AC_LUM), _huff_encode_table(*_HT_AC_CHR)]
-    q_lists = [q.tolist() for q in plane_zz]
-    prev_dc = [0, 0, 0]
+    q_lists = [np.asarray(q).tolist() for q in plane_zz]
+    ncomp = len(plane_zz)
+    prev_dc = [0] * ncomp
     acc = 0
     nbits = 0
     buf = bytearray()
@@ -547,7 +563,7 @@ def _encode_jpeg_subsampled(
             entropy += bytes((0xFF, 0xD0 + (rst_count & 7)))
             rst_count += 1
             acc, nbits, buf = 0, 0, bytearray()
-            prev_dc = [0, 0, 0]
+            prev_dc = [0] * ncomp
         zz = q_lists[ci][bi]
         tdc, tac = enc_dc[min(ci, 1)], enc_ac[min(ci, 1)]
         dc = zz[0]
@@ -598,8 +614,7 @@ def _encode_jpeg_subsampled(
     if nbits:
         buf += acc.to_bytes(nbits // 8, "big")
     entropy += _stuff_ff(buf)
-    hdr = jpeg_header_bytes(False, ql, qc, h, w, restart_interval, samp=hv)
-    return hdr + entropy + b"\xff\xd9"
+    return bytes(entropy)
 
 
 def _stuff_ff(raw: bytearray) -> bytes:

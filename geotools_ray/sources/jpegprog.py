@@ -226,7 +226,9 @@ def parse_progressive(data: bytes) -> ProgMeta:
     return m
 
 
-def decode_progressive(data: bytes) -> np.ndarray:
+def decode_progressive_coefficients(data: bytes):
+    """-> (ProgMeta, per-component (nblk, 64) int32 zigzag arrays) —
+    the quantized coefficients after ALL scans, before dequant/IDCT."""
     m = parse_progressive(data)
     coefs = [[[0] * 64 for _ in range(nb)] for nb in m.nblk]
     for sc in m.scans:
@@ -234,11 +236,80 @@ def decode_progressive(data: bytes) -> np.ndarray:
             sc.span, sc.scomps, sc.ss, sc.se, sc.ah, sc.al,
             coefs, m.geo, m.hvs, sc.dri,
         )
+    return m, [np.array(c, dtype=np.int32) for c in coefs]
+
+
+def decode_progressive(data: bytes) -> np.ndarray:
+    m, arrays = decode_progressive_coefficients(data)
     from .codecs import _idct_assemble
 
-    mcux, mcuy = m.geo[0], m.geo[1]
-    arrays = [np.array(c, dtype=np.int32) for c in coefs]
-    return _idct_assemble(arrays, m.qtabs, m.comps, m.hvs, m.h, m.w, mcux, mcuy)
+    return _idct_assemble(
+        arrays, m.qtabs, m.comps, m.hvs, m.h, m.w, m.geo[0], m.geo[1]
+    )
+
+
+def transcode_to_baseline(data: bytes, restart_interval: int = 8) -> bytes:
+    """LOSSLESS progressive -> baseline transcode (jpegtran -copy
+    none semantics): the decoded quantized coefficients re-enter a
+    baseline interleaved entropy stream with the ORIGINAL quant
+    tables, so the output decodes to pixels IDENTICAL to the
+    progressive source — but through the wide SIMD batch decoder.
+    This is the corpus-normalization operator a 100 TB ingest runs
+    once so every downstream pass stays on the vectorized path.
+    Baseline inputs pass through unchanged. restart_interval gives
+    the output the restart structure the wide decoder parallelizes
+    over (default 8, the bulk-table convention)."""
+    # cheap dispatch: first SOF marker decides
+    arr = np.frombuffer(data, dtype=np.uint8)
+    ff = np.flatnonzero(arr[:-1] == 0xFF)
+    sofs = ff[np.isin(arr[ff + 1], (0xC0, 0xC1, 0xC2, 0xC3))]
+    if len(sofs) == 0:
+        raise ValueError("no SOF marker")
+    if arr[sofs[0] + 1] != 0xC2:
+        return data  # already sequential
+    m, arrays = decode_progressive_coefficients(data)
+    from .codecs import _ZZ as _zz
+    from .codecs import entropy_encode_interleaved
+
+    mcux, mcuy, bpr, bdim, hmax, vmax = m.geo
+    entropy = entropy_encode_interleaved(
+        arrays, bpr, m.hvs, mcux, mcuy, restart_interval
+    )
+    # header: original quant tables + sampling, Annex K huffman (the
+    # tables entropy_encode_interleaved used)
+    from .codecs import _HT_AC_CHR, _HT_AC_LUM, _HT_DC_CHR, _HT_DC_LUM
+
+    def seg(marker: int, body: bytes) -> bytes:
+        return struct.pack(">HH", marker, len(body) + 2) + body
+
+    out = bytearray(b"\xff\xd8")
+    out += seg(0xFFE0, b"JFIF\x00\x01\x01\x00\x00\x01\x00\x01\x00\x00")
+    # one DQT per distinct table id actually referenced, in id order
+    for tq in sorted({tq for _, tq in m.comps}):
+        zzbytes = bytes(m.qtabs[tq].reshape(64)[_zz].astype(np.uint8))
+        out += seg(0xFFDB, bytes([tq]) + zzbytes)
+    if restart_interval:
+        out += seg(0xFFDD, struct.pack(">H", restart_interval))
+    ncomp = len(m.comps)
+    sof = struct.pack(">BHHB", 8, m.h, m.w, ncomp)
+    for ci, (cid, tq) in enumerate(m.comps):
+        sof += bytes([cid, (m.hvs[ci][0] << 4) | m.hvs[ci][1], tq])
+    out += seg(0xFFC0, sof)
+    for cls, tid, (bits_, vals) in (
+        (0, 0, _HT_DC_LUM), (1, 0, _HT_AC_LUM), (0, 1, _HT_DC_CHR), (1, 1, _HT_AC_CHR),
+    ):
+        if ncomp == 1 and tid == 1:
+            continue
+        out += seg(0xFFC4, bytes([(cls << 4) | tid]) + bytes(bits_) + bytes(vals))
+    sos = bytes([ncomp])
+    for ci, (cid, _tq) in enumerate(m.comps):
+        t = 0 if ci == 0 else 1
+        sos += bytes([cid, (t << 4) | t])
+    sos += b"\x00\x3f\x00"
+    out += seg(0xFFDA, sos)
+    out += entropy
+    out += b"\xff\xd9"
+    return bytes(out)
 
 
 def _decode_scan(span, scomps, ss, se, ah, al, coefs, geo, hvs, dri):

@@ -283,6 +283,25 @@ def codec_roundtrip_batch(t: pa.Table) -> pa.Table:
     )
 
 
+def transcode_batch(t: pa.Table) -> pa.Table:
+    """Corpus normalization (jpegtran-style): progressive JPEG rows
+    losslessly re-enter baseline entropy coding (same quantized
+    coefficients, original quant tables — decoded pixels IDENTICAL,
+    phash column stays valid), so every downstream pass decodes on
+    the wide SIMD batch path instead of the scalar Annex G fallback.
+    Baseline JPEG / PNG / other rows pass through untouched. A 100 TB
+    ingest runs this once; it is STATELESS, so Ray fuses it into the
+    read tasks."""
+    from ..sources.jpegprog import transcode_to_baseline
+
+    out: list[bytes] = []
+    for d in _binary_views(t["bytes"]):
+        b = bytes(d)
+        out.append(transcode_to_baseline(b) if b[:2] == b"\xff\xd8" else b)
+    idx = t.schema.get_field_index("bytes")
+    return t.set_column(idx, "bytes", pa.array(out, type=t.schema.field(idx).type))
+
+
 def resize_bilinear_stack(px: np.ndarray, out_h: int, out_w: int) -> np.ndarray:
     """Vectorized bilinear resize of a same-size stack: (n, h, w, c)
     uint8 -> (n, out_h, out_w, c) uint8, half-pixel-center convention

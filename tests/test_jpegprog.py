@@ -111,6 +111,54 @@ def test_wide_batch_mixed_sampling_bit_identical():
         assert np.array_equal(got[i], want[i]), i
 
 
+@pytest.mark.parametrize("samp", ["444", "420"])
+def test_transcode_lossless_and_wide_decodable(samp):
+    """progressive -> baseline transcode keeps the EXACT quantized
+    coefficients: decoded pixels identical through the scalar AND the
+    wide batch decoder, and the output is SOF0 with restart markers."""
+    px = _photo(61, 47, seed=31)
+    prog = P.encode_progressive(px, 92, sampling=samp)
+    tc = P.transcode_to_baseline(prog)
+    assert b"\xff\xc0" in tc and b"\xff\xc2" not in tc[: tc.find(b"\xff\xda")]
+    assert b"\xff\xdd" in tc  # restart structure for wide parallelism
+    want = P.decode_progressive(prog)
+    assert np.array_equal(want, C.decode_jpeg(tc))
+    assert np.array_equal(want, W.decode_jpeg_batch([tc])[0])
+    # gray + baseline passthrough
+    g = px[..., 0]
+    tg = P.transcode_to_baseline(P.encode_progressive(g, 85))
+    assert np.array_equal(C.decode_jpeg(tg), P.decode_progressive(P.encode_progressive(g, 85)))
+    base = C.encode_jpeg(px, 90)
+    assert P.transcode_to_baseline(base) == base
+
+
+def test_transcode_batch_preserves_phash():
+    """The normalization stage keeps every row's stored phash valid
+    (losslessness is what makes transcode-on-ingest legitimate)."""
+    import pyarrow as pa
+
+    from geotools_ray.sources.images import image_rows
+    from geotools_ray.stages.imaging import decode_features_batch, transcode_batch
+
+    t = image_rows(range(0, 64), 42, 0)  # covers every JPEG_VARIANTS entry
+    t2 = transcode_batch(t)
+    # progressive rows were rewritten, others byte-identical
+    rewritten = sum(
+        a.as_py() != b.as_py() for a, b in zip(t["bytes"], t2["bytes"])
+    )
+    assert rewritten > 0
+    out = decode_features_batch(t2)
+    assert all(out["verify_ok"].to_pylist())
+    # nothing progressive remains among jpeg rows (PNG payloads may
+    # contain \xff\xc2 as compressed data — check SOF markers only)
+    from geotools_ray.sources.jpegwide import _parse_cached
+
+    for b in t2["bytes"]:
+        raw = b.as_py()
+        if raw[:2] == b"\xff\xd8":
+            _parse_cached(raw)  # raises ProgressiveJpeg if still SOF2
+
+
 def test_decode_stage_handles_subsampled_and_progressive():
     """The pipeline decode stage (decode_pixel_stacks consumers) must
     verify phash on 4:2:0 and progressive rows like any other."""

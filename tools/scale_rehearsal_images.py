@@ -33,6 +33,11 @@ def main():
     ap.add_argument("--cpus", type=int, default=int(os.environ.get("RAY_GRAFT_CPUS", 32)))
     ap.add_argument("--subsets", type=str, default="8,16,32,64",
                     help="comma list of file counts from the 64-file cache")
+    ap.add_argument("--compose-resize", action="store_true",
+                    help="prepend the bilinear ResizeStage (decode -> "
+                         "32x32 thumbs -> re-encode to a VALID image "
+                         "table) so the ladder measures the multi-stage "
+                         "resize-then-flagship composition")
     args = ap.parse_args()
 
     import ray
@@ -75,6 +80,13 @@ def main():
         try:
             t0 = time.time()
             images = ray.data.read_parquet(sub, override_num_blocks=nb)
+            if args.compose_resize:
+                from geotools_ray.stages.imaging import ResizeStage
+
+                images = images.map_batches(
+                    ResizeStage(out_w=32, out_h=32, fmt="jpeg"),
+                    batch_format="pyarrow", batch_size=256,
+                )
             out = IP.flagship_full(images, checkpoint_dir=ck)
             n_out = out.count()
             dt = time.time() - t0
