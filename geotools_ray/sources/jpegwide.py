@@ -547,10 +547,22 @@ def decode_jpeg_batch(payloads, _chunk: int = 512) -> list[np.ndarray]:
     # to codecs._ycbcr_to_rgb (same constants, same round/clip order);
     # running it before the spatial transpose means the assembly
     # gather/transpose moves 1-byte pixels, not 8-byte floats ----
+    return _assemble_outputs(
+        spat, img_base, [(m.h, m.w, m.ncomp, m.hv) for m in metas]
+    )
+
+
+def _assemble_outputs(spat, img_base, shapes) -> list:
+    """Shared pixel assembly: (total_blocks, 8, 8) IDCT output in
+    stream order ([mcu, pattern-block] per image, bases in img_base)
+    -> per-image uint8 arrays, batched per (h, w, ncomp, hv) group.
+    Used by the wide baseline machine AND the batched progressive
+    finisher."""
+    nimg = len(shapes)
     outs: list = [None] * nimg
     groups: dict[tuple, list[int]] = {}
-    for ii, m in enumerate(metas):
-        groups.setdefault((m.h, m.w, m.ncomp, m.hv), []).append(ii)
+    for ii, sh in enumerate(shapes):
+        groups.setdefault(sh, []).append(ii)
     for (h, w, ncp, hv), members in groups.items():
         n = len(members)
         bases = img_base[members]
