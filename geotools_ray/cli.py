@@ -231,6 +231,15 @@ def cmd_flagship(args):
 
     t0 = time.time()
     images = _read(args)
+    if getattr(args, "transcode", False):
+        # corpus normalization on ingest: progressive jpeg rows become
+        # baseline LOSSLESSLY so this and every later pass decode on
+        # the wide batch path (stateless -> fuses into the read tasks)
+        from .stages.imaging import transcode_batch
+
+        images = images.map_batches(
+            transcode_batch, batch_format="pyarrow", batch_size=512
+        )
     out = flagship_full(
         images,
         checkpoint_dir=args.checkpoint,
@@ -336,6 +345,9 @@ def main(argv=None):
     sp.add_argument("--checkpoint", default=None,
                     help="manifest dir for the durable restart boundary")
     sp.add_argument("--checkpoint-parts", type=int, default=32)
+    sp.add_argument("--transcode", action="store_true",
+                    help="losslessly normalize progressive JPEG rows "
+                         "to baseline on ingest (jpegtran-style)")
     sp.set_defaults(fn=cmd_flagship)
 
     sp = sub.add_parser("dedup", help="exact / minhash near-dup")

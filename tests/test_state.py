@@ -255,11 +255,11 @@ def test_cli_flagship_wds_and_tfrecord_resume(ray_session, tmp_path):
     os.makedirs(pq_dir)
     pq.write_table(t, os.path.join(pq_dir, "part0.parquet"))
 
-    def run(fmt, inp, out, ckpt):
+    def run(fmt, inp, out, ckpt, transcode=False):
         cli.cmd_flagship(
             SimpleNamespace(
                 input=inp, output=out, in_format=fmt,
-                checkpoint=ckpt, checkpoint_parts=4,
+                checkpoint=ckpt, checkpoint_parts=4, transcode=transcode,
             )
         )
         df = pq.read_table(out).to_pandas()
@@ -273,3 +273,7 @@ def test_cli_flagship_wds_and_tfrecord_resume(ray_session, tmp_path):
     o_pq = run("parquet", pq_dir, str(tmp_path / "o4"), None)
     assert o_wds.equals(o_tfr)
     assert o_wds.equals(o_pq)
+    # --transcode normalizes progressive rows LOSSLESSLY: phash (and
+    # therefore the whole flagship result) must be unchanged
+    o_tc = run("parquet", pq_dir, str(tmp_path / "o5"), None, transcode=True)
+    assert o_tc.equals(o_pq)
