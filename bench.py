@@ -122,9 +122,11 @@ def run_headline() -> dict:
     # share swings minute-scale (BASELINE.md §7-§10), and the minimum
     # over repetitions is the standard least-noise estimator on a noisy
     # host — both raw runs are published alongside it.
+    # GRAFT_HEADLINE_RUNS=1 halves the cost of subprocess scaling legs
+    n_runs = int(os.environ.get("GRAFT_HEADLINE_RUNS", "2"))
     runs = []
     n_out = 0
-    for _ in range(2):
+    for _ in range(max(1, n_runs)):
         ck = tempfile.mkdtemp(prefix="graft_flagship_ck_")
         try:
             t0 = time.time()
@@ -354,7 +356,9 @@ def main():
     if os.environ.get("GRAFT_BENCH_SCALING", "1") != "0":
         lo = int(os.environ.get("GRAFT_SCALE_LO", "8"))
         try:
-            env = dict(os.environ, RAY_GRAFT_CPUS=str(lo))
+            env = dict(
+                os.environ, RAY_GRAFT_CPUS=str(lo), GRAFT_HEADLINE_RUNS="1"
+            )
             out_lo = subprocess.run(
                 [sys.executable, __file__, "--headline-only"],
                 env=env, capture_output=True, text=True, check=True,
@@ -383,7 +387,9 @@ def main():
             # §6-§8) and no probe normalization argument is needed
             legs = {}
             for n2 in (4, 16):
-                env2 = dict(os.environ, RAY_GRAFT_CPUS=str(n2))
+                env2 = dict(
+                    os.environ, RAY_GRAFT_CPUS=str(n2), GRAFT_HEADLINE_RUNS="1"
+                )
                 out2 = subprocess.run(
                     [sys.executable, __file__, "--headline-only"],
                     env=env2, capture_output=True, text=True, check=True,

@@ -179,6 +179,11 @@ def read_las(
                     "ox": hdr["offset"][0], "oy": hdr["offset"][1], "oz": hdr["offset"][2],
                 }
             )
+    if not chunks:  # all files hold zero points: empty typed dataset
+        return ray.data.from_arrow(
+            _chunk_to_table(paths[0], fmt0, _POINT_DTYPES[fmt0].itemsize,
+                            HEADER_SIZE, 0, 0, (1, 1, 1), (0, 0, 0), columns)
+        )
     plan = pa.Table.from_pylist(chunks)
 
     def parse(t: pa.Table) -> pa.Table:
@@ -211,6 +216,18 @@ def write_las(
     corpus writes one file per partition). Columns x/y/z required;
     intensity/cls/return_num/num_returns/scan_angle/gps_time/red/
     green/blue/point_source_id used when present. Returns rows."""
+    hdr, payload, n = _render_las(t, point_format, scale, offset)
+    tmp = f"{path}.tmp.{os.getpid()}"
+    with open(tmp, "wb") as f:
+        f.write(hdr)
+        f.write(payload)
+    os.replace(tmp, path)
+    return n
+
+
+def _render_las(t: pa.Table, point_format: int, scale, offset):
+    """-> (header bytes, point payload bytes, rows) — deterministic
+    for a given table, so sinks can content-address whole files."""
     dt = _POINT_DTYPES[point_format]
     n = len(t)
     rec = np.zeros(n, dtype=dt)
@@ -268,12 +285,7 @@ def write_las(
             float(xr.max()), float(xr.min()), float(yr.max()),
             float(yr.min()), float(zr.max()), float(zr.min()),
         )
-    tmp = f"{path}.tmp.{os.getpid()}"
-    with open(tmp, "wb") as f:
-        f.write(hdr)
-        f.write(rec.tobytes())
-    os.replace(tmp, path)
-    return n
+    return bytes(hdr), rec.tobytes(), n
 
 
 def write_las_partitioned(
@@ -288,15 +300,18 @@ def write_las_partitioned(
     os.makedirs(out_dir, exist_ok=True)
 
     def write_batch(t: pa.Table) -> pa.Table:
-        # content-addressed tile name (x/y payload hash) so a
-        # re-executed task overwrites its own tile, not a sibling's
-        name = "tile-" + hashlib.md5(
-            t["x"].to_numpy(zero_copy_only=False).tobytes()
-            + t["y"].to_numpy(zero_copy_only=False).tobytes()
-        ).hexdigest()[:16] + ".las"
-        rows = write_las(
-            t, os.path.join(out_dir, name), point_format, scale, offset
-        )
+        # hash the WHOLE rendered file, not a column subset: two tiles
+        # sharing x/y but differing in z/intensity must not collide
+        # into one name and silently overwrite (the prefix-hash bug
+        # class fixed in tfrecord/wds)
+        hdr, payload, rows = _render_las(t, point_format, scale, offset)
+        name = "tile-" + hashlib.md5(hdr + payload).hexdigest()[:16] + ".las"
+        path = os.path.join(out_dir, name)
+        tmp = f"{path}.tmp.{os.getpid()}"
+        with open(tmp, "wb") as f:
+            f.write(hdr)
+            f.write(payload)
+        os.replace(tmp, path)  # idempotent on retry
         return pa.table({
             "file": pa.array([name], type=pa.string()),
             "rows": pa.array([rows], type=pa.int64()),

@@ -33,7 +33,7 @@ _TYPE_POLYGON = 5
 _TYPE_POLYGONZ = 15
 
 
-def _parse_polygon_content(buf: memoryview, off: int, end: int):
+def _parse_polygon_content(buf: memoryview, off: int):
     """One record's content -> tuple of rings ((x, y), ...) with the
     closing vertex dropped (the PIP kernel closes implicitly)."""
     (stype,) = struct.unpack_from("<i", buf, off)
@@ -72,7 +72,7 @@ def read_shp_geometries(path: str) -> list[tuple[int, tuple]]:
     while off + 8 <= end:
         recnum, content_words = struct.unpack_from(">2i", buf, off)
         off += 8
-        rings = _parse_polygon_content(buf, off, off + content_words * 2)
+        rings = _parse_polygon_content(buf, off)
         out.append((recnum, rings))
         off += content_words * 2
     return out

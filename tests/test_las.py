@@ -128,6 +128,25 @@ def test_errors_are_loud(ray_session, tmp_path):
         L.read_las([p, p4])
 
 
+def test_partitioned_sink_hashes_whole_payload(tmp_path):
+    """Two tiles with IDENTICAL x/y but different z must get distinct
+    content-addressed names — a coordinate-only hash would let a
+    retried sibling silently overwrite (the wds/tfrecord bug class)."""
+    import hashlib
+
+    t1 = _point_table(50, seed=2)
+    t2 = t1.set_column(
+        t1.schema.get_field_index("z"), "z",
+        pa.array(np.round(t1["z"].to_numpy() + 1.0, 2)),
+    )
+    h1, p1, _ = L._render_las(t1, 1, (0.1, 0.1, 0.01), (0.0, 0.0, 0.0))
+    h2, p2, _ = L._render_las(t2, 1, (0.1, 0.1, 0.01), (0.0, 0.0, 0.0))
+    assert hashlib.md5(h1 + p1).digest() != hashlib.md5(h2 + p2).digest()
+    # determinism: same table -> same bytes (retry idempotence)
+    h3, p3, _ = L._render_las(t1, 1, (0.1, 0.1, 0.01), (0.0, 0.0, 0.0))
+    assert (h1, p1) == (h3, p3)
+
+
 def test_partitioned_sink_manifest(ray_session, tmp_path):
     import os
 
