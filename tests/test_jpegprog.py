@@ -192,3 +192,23 @@ def test_decode_stage_handles_subsampled_and_progressive():
     t = pa.Table.from_pylist(rows)
     out = decode_features_batch(t)
     assert out["verify_ok"].to_pylist() == [True] * len(rows)
+
+
+def test_truncated_progressive_raises():
+    """A progressive stream cut mid-scan must fail loudly (the refill
+    fabricates pad bytes, the consumed-bits window check rejects)."""
+    px = _photo(48, 48, seed=9)
+    data = P.encode_progressive(px, 92)
+    # cut inside the LAST scan's entropy span (well past its start)
+    cut = data[: int(len(data) * 0.9)]
+    with pytest.raises(ValueError):
+        P.decode_progressive(cut)
+    # and a corrupted byte inside a scan span flips coefficients or
+    # dies loudly — it must never return the ORIGINAL pixels
+    bad = bytearray(data)
+    bad[len(bad) // 2] ^= 0x55
+    try:
+        out = P.decode_progressive(bytes(bad))
+        assert not np.array_equal(out, P.decode_progressive(data))
+    except (ValueError, NotImplementedError, IndexError):
+        pass

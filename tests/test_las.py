@@ -162,3 +162,28 @@ def test_partitioned_sink_manifest(ray_session, tmp_path):
     assert sorted(man["file"].to_pylist()) == files
     back = L.read_las(out).to_pandas()
     assert len(back) == 400
+
+
+def test_quantization_property_random_tables(ray_session, tmp_path):
+    """LAS round trip re-quantizes to the grid: |x' - x| <= scale/2
+    for every axis, across random magnitudes/offsets."""
+    rng = np.random.RandomState(77)
+    for trial, (scale, offset) in enumerate(
+        [((0.001, 0.001, 0.001), (500000.0, 4000000.0, 0.0)),
+         ((0.5, 0.25, 0.125), (-10.0, 3.0, 100.0))]
+    ):
+        n = 300
+        t = pa.table({
+            "x": offset[0] + rng.uniform(-1000, 1000, n),
+            "y": offset[1] + rng.uniform(-1000, 1000, n),
+            "z": offset[2] + rng.uniform(-100, 100, n),
+            # pairing key: sorting by quantized coords would mispair
+            "point_source_id": np.arange(n, dtype=np.int64),
+        })
+        p = str(tmp_path / f"q{trial}.las")
+        L.write_las(t, p, point_format=0, scale=scale, offset=offset)
+        back = L.read_las(p).to_pandas().sort_values("point_source_id")
+        src = t.to_pandas().sort_values("point_source_id")
+        for c, s in zip(("x", "y", "z"), scale):
+            d = np.abs(back[c].to_numpy() - src[c].to_numpy())
+            assert d.max() <= s / 2 + 1e-9, (trial, c, d.max())
