@@ -57,56 +57,6 @@ from .codecs import (
 # decode
 
 
-class _BitReader:
-    """MSB-first bit reader over an unstuffed entropy segment. Refills
-    fabricate 0xFF pad bytes past the end (legal only for final-byte
-    padding; the consumed-bits check catches real truncation)."""
-
-    __slots__ = ("d", "n", "acc", "nacc", "bp")
-
-    def __init__(self, d: bytes):
-        self.d = d
-        self.n = len(d)
-        self.acc = 0
-        self.nacc = 0
-        self.bp = 0
-
-    def bits(self, k: int) -> int:
-        if k == 0:
-            return 0
-        while self.nacc < k:
-            self.acc = (self.acc << 8) | (self.d[self.bp] if self.bp < self.n else 0xFF)
-            self.bp += 1
-            self.nacc += 8
-        self.nacc -= k
-        v = (self.acc >> self.nacc) & ((1 << k) - 1)
-        self.acc &= (1 << self.nacc) - 1
-        return v
-
-    def huff(self, lut) -> int:
-        sym_l, len_l = lut
-        while self.nacc < 16:
-            self.acc = (self.acc << 8) | (self.d[self.bp] if self.bp < self.n else 0xFF)
-            self.bp += 1
-            self.nacc += 8
-        window = (self.acc >> (self.nacc - 16)) & 0xFFFF
-        ln = len_l[window]
-        if ln == 0:
-            raise ValueError("invalid Huffman code")
-        self.nacc -= ln
-        self.acc &= (1 << self.nacc) - 1
-        return sym_l[window]
-
-    def receive_extend(self, s: int) -> int:
-        if s == 0:
-            return 0
-        v = self.bits(s)
-        return v if v >= (1 << (s - 1)) else v - (1 << s) + 1
-
-    def overran(self) -> bool:
-        return 8 * self.bp - self.nacc > 8 * self.n
-
-
 class ProgMeta:
     """Parsed progressive stream: geometry + one entry per scan with
     its TABLES RESOLVED AT SCAN TIME (DHT may redefine between scans)
@@ -349,10 +299,11 @@ def _decode_scan(span, scomps, ss, se, ah, al, coefs, geo, hvs, dri):
         for idx, _dcbv, acbv in scomps
         if se > 0
     }
-    # hot entropy loops with the bit reader INLINED in locals (the
-    # _BitReader method-call form measured ~25% slower on the corpus
-    # mix; the class remains as the reference-readable fallback and
-    # test oracle of the refill/extend semantics)
+    # hot entropy loops with the bit reader INLINED in locals (a
+    # method-call reader object measured ~25% slower on the corpus
+    # mix); refill fabricates 0xFF pad bytes past the segment end and
+    # the consumed-bits window check at segment close catches real
+    # truncation
     p1 = 1 << al
     m1 = -1 << al
     u0 = 0
