@@ -146,6 +146,13 @@ def _parse(data) -> _Meta:
             raise ProgressiveJpeg()
         elif marker == 0xC3:
             raise NotImplementedError("lossless JPEG (SOF3)")
+        elif 0xC5 <= marker <= 0xCF and marker not in (0xC8, 0xCC):
+            # SOF5-15: differential / arithmetic-coded / hierarchical
+            # families — refuse loudly instead of skipping the frame
+            # header and failing later with a confusing parse error
+            raise NotImplementedError(
+                "unsupported JPEG coding process (SOF%d)" % (marker - 0xC0)
+            )
         elif marker == 0xC4:
             bpos = 0
             while bpos < len(body):
