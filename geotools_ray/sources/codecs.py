@@ -1050,41 +1050,87 @@ def _decode_jpeg_progressive(data: bytes) -> np.ndarray:
 # WAV (RIFF/WAVE PCM 16-bit)
 
 
-def encode_wav(samples: np.ndarray, sample_rate: int) -> bytes:
-    """int16 (n,) or (n, ch) -> RIFF/WAVE PCM bytes (bit-exact)."""
+def encode_wav(
+    samples: np.ndarray, sample_rate: int, sample_format: str = "pcm16"
+) -> bytes:
+    """int16 (n,) or (n, ch) -> RIFF/WAVE bytes. sample_format picks
+    the container encoding: pcm8 (unsigned), pcm16 (bit-exact, the
+    default), pcm24, pcm32, or float32 (IEEE, fmt tag 3)."""
     s = np.asarray(samples, dtype="<i2")
     nch = 1 if s.ndim == 1 else s.shape[1]
-    raw = s.tobytes()
+    tag = 1
+    if sample_format == "pcm16":
+        raw = s.tobytes()
+        bps = 16
+    elif sample_format == "pcm8":
+        raw = ((s.astype(np.int32) >> 8) + 128).astype(np.uint8).tobytes()
+        bps = 8
+    elif sample_format == "pcm24":
+        i32 = (s.astype("<i4") << 8).reshape(-1)
+        raw = np.ascontiguousarray(i32).view(np.uint8).reshape(-1, 4)[:, :3].tobytes()
+        bps = 24
+    elif sample_format == "pcm32":
+        raw = (s.astype("<i4") << 16).tobytes()
+        bps = 32
+    elif sample_format == "float32":
+        raw = (s.astype("<f4") / np.float32(32768.0)).tobytes()
+        tag, bps = 3, 32
+    else:
+        raise ValueError(f"unknown sample_format {sample_format!r}")
+    blk = nch * bps // 8
     fmt = struct.pack(
-        "<HHIIHH", 1, nch, sample_rate, sample_rate * nch * 2, nch * 2, 16
+        "<HHIIHH", tag, nch, sample_rate, sample_rate * blk, blk, bps
     )
     body = b"WAVE" + b"fmt " + struct.pack("<I", len(fmt)) + fmt
     body += b"data" + struct.pack("<I", len(raw)) + raw
+    if len(raw) & 1:
+        body += b"\x00"  # data chunk word padding
     return b"RIFF" + struct.pack("<I", len(body)) + body
 
 
 def decode_wav(data: bytes) -> tuple[np.ndarray, int]:
-    """RIFF/WAVE PCM -> (float32 (n,) or (n, ch) in [-1, 1], rate).
+    """RIFF/WAVE -> (float32 (n,) or (n, ch) in [-1, 1], rate).
 
+    Accepts the sample encodings real corpora carry: unsigned 8-bit,
+    16/24/32-bit PCM and IEEE float32 (fmt tag 3), including the
+    WAVE_FORMAT_EXTENSIBLE wrapper (tag 0xFFFE, sub-format GUID).
     Walks chunks properly (skips LIST/fact/etc., honors word padding).
     """
     if data[:4] != b"RIFF" or data[8:12] != b"WAVE":
         raise ValueError("not a RIFF/WAVE file")
-    pos, rate, nch, bps, raw = 12, None, None, None, None
+    pos, rate, nch, bps, tag, raw = 12, None, None, None, None, None
     while pos + 8 <= len(data):
         cid = data[pos : pos + 4]
         (ln,) = struct.unpack("<I", data[pos + 4 : pos + 8])
         body = data[pos + 8 : pos + 8 + ln]
         if cid == b"fmt ":
             tag, nch, rate, _, _, bps = struct.unpack("<HHIIHH", body[:16])
-            if tag != 1 or bps != 16:
+            if tag == 0xFFFE and ln >= 26:  # EXTENSIBLE: real tag leads the GUID
+                (tag,) = struct.unpack("<H", body[24:26])
+            if (tag, bps) not in ((1, 8), (1, 16), (1, 24), (1, 32), (3, 32)):
                 raise NotImplementedError(f"WAV fmt tag={tag} bits={bps}")
         elif cid == b"data":
             raw = body
         pos += 8 + ln + (ln & 1)  # chunks are word-aligned
     if rate is None or raw is None:
         raise ValueError("WAV missing fmt/data chunk")
-    s = np.frombuffer(raw, dtype="<i2").astype(np.float32) / 32768.0
+    if tag == 3:
+        s = np.frombuffer(raw, dtype="<f4").astype(np.float32)
+    elif bps == 8:
+        s = (np.frombuffer(raw, dtype=np.uint8).astype(np.float32) - 128.0) / 128.0
+    elif bps == 16:
+        s = np.frombuffer(raw, dtype="<i2").astype(np.float32) / 32768.0
+    elif bps == 24:
+        b = np.frombuffer(raw[: len(raw) - len(raw) % 3], dtype=np.uint8).reshape(-1, 3)
+        i32 = (
+            b[:, 0].astype(np.int32)
+            | (b[:, 1].astype(np.int32) << 8)
+            | (b[:, 2].astype(np.int32) << 16)
+        )
+        i32 = (i32 << 8) >> 8  # sign-extend 24 -> 32
+        s = i32.astype(np.float32) / 8388608.0
+    else:  # 32-bit PCM
+        s = np.frombuffer(raw, dtype="<i4").astype(np.float32) / 2147483648.0
     if nch > 1:
         s = s.reshape(-1, nch)
     return s, int(rate)
@@ -1094,24 +1140,45 @@ def decode_wav(data: bytes) -> tuple[np.ndarray, int]:
 # Y4M (YUV4MPEG2, Cmono / C444)
 
 
-def encode_y4m(frames: np.ndarray, fps: float = 30.0) -> bytes:
-    """uint8 (n, h, w) mono or (n, 3, h, w) planar 444 -> YUV4MPEG2."""
+def encode_y4m(
+    frames: np.ndarray, fps: float = 30.0, colourspace: str | None = None
+) -> bytes:
+    """uint8 (n, h, w) mono or (n, 3, h, w) planar -> YUV4MPEG2.
+    colourspace None keeps the legacy inference (mono / C444);
+    pass "420" to box-downsample chroma into the C420 layout real
+    streams ship (even dimensions required)."""
     if frames.ndim == 3:
         n, h, w = frames.shape
         cs = "mono"
     elif frames.ndim == 4 and frames.shape[1] == 3:
         n, _, h, w = frames.shape
-        cs = "444"
+        cs = colourspace or "444"
     else:
         raise ValueError(f"unsupported frame shape {frames.shape}")
     num = int(round(fps * 1000))
     hdr = f"YUV4MPEG2 W{w} H{h} F{num}:1000 Ip A1:1 C{cs}\n".encode()
     payload = np.ascontiguousarray(frames, dtype=np.uint8)
     out = bytearray(hdr)
-    # from the shape, not payload[0]: a zero-frame clip is a valid
-    # header-only stream, not an IndexError
-    fsz = h * w * (1 if cs == "mono" else 3)
-    flat = payload.reshape(n, fsz)
+    if cs == "420":
+        if h % 2 or w % 2:
+            raise ValueError("C420 needs even frame dimensions")
+        y = payload[:, 0].reshape(n, h * w)
+        # box mean per 2x2 window, rounded like any real subsampler
+        uv = (
+            payload[:, 1:]
+            .reshape(n, 2, h // 2, 2, w // 2, 2)
+            .mean(axis=(3, 5))
+            .round()
+            .astype(np.uint8)
+            .reshape(n, 2 * (h // 2) * (w // 2))
+        )
+        flat = np.concatenate([y, uv], axis=1)
+        fsz = flat.shape[1]
+    else:
+        # from the shape, not payload[0]: a zero-frame clip is a valid
+        # header-only stream, not an IndexError
+        fsz = h * w * (1 if cs == "mono" else 3)
+        flat = payload.reshape(n, fsz)
     for i in range(n):
         out += b"FRAME\n"
         out += flat[i].tobytes()
@@ -1142,6 +1209,10 @@ def y4m_info(data: bytes) -> dict:
         planes, fsz = 1, w * h
     elif cs == "444":
         planes, fsz = 3, 3 * w * h
+    elif cs in ("420", "420jpeg", "420mpeg2", "420paldv"):
+        # the dominant real-world layout; siting variants share the
+        # byte layout (we replicate samples, no chroma filtering)
+        planes, fsz = 3, w * h + 2 * ((w + 1) // 2) * ((h + 1) // 2)
     else:
         raise NotImplementedError(f"y4m colourspace C{cs}")
     stride = 6 + fsz  # b"FRAME\n" + payload (no frame params emitted)
@@ -1149,6 +1220,7 @@ def y4m_info(data: bytes) -> dict:
     return {
         "w": w, "h": h, "fps": fps, "n_frames": n, "frame_size": fsz,
         "data_offset": nl + 1, "stride": stride, "planes": planes,
+        "cs": cs,
     }
 
 
@@ -1162,9 +1234,22 @@ def decode_y4m_frame(data: bytes, idx: int, info: dict | None = None) -> np.ndar
     if data[off : off + 6] != b"FRAME\n":
         raise ValueError(f"bad FRAME header at {off}")
     px = np.frombuffer(data, dtype=np.uint8, count=info["frame_size"], offset=off + 6)
+    h, w = info["h"], info["w"]
     if info["planes"] == 1:
-        return px.reshape(info["h"], info["w"])
-    return px.reshape(3, info["h"], info["w"])
+        return px.reshape(h, w)
+    if info.get("cs", "444").startswith("420"):
+        # chroma replication-upsample (same convention as the JPEG
+        # decoders) -> full-res planar (3, h, w)
+        h2, w2 = (h + 1) // 2, (w + 1) // 2
+        y = px[: h * w].reshape(h, w)
+        u = px[h * w : h * w + h2 * w2].reshape(h2, w2)
+        v = px[h * w + h2 * w2 :].reshape(h2, w2)
+        out = np.empty((3, h, w), dtype=np.uint8)
+        out[0] = y
+        out[1] = np.repeat(np.repeat(u, 2, axis=0), 2, axis=1)[:h, :w]
+        out[2] = np.repeat(np.repeat(v, 2, axis=0), 2, axis=1)[:h, :w]
+        return out
+    return px.reshape(3, h, w)
 
 
 def psnr(a: np.ndarray, b: np.ndarray) -> float:

@@ -438,3 +438,76 @@ def test_sliced_fixture_generation_matches_sequential():
     vfull = MM.generate_video_table(25, seed=7)
     vpart = MM.video_rows(np.array([0, 11, 24]), nfr)
     assert vpart.equals(vfull.take([0, 11, 24]))
+
+
+def test_wav_real_corpus_sample_formats():
+    """8/24/32-bit PCM and IEEE float32 decode to the same float
+    contract as pcm16 (real corpora are not all 16-bit)."""
+    import numpy as np
+
+    from geotools_ray.sources import codecs as C
+
+    rng = np.random.RandomState(4)
+    s = (rng.standard_normal(999) * 12000).astype(np.int16)
+    want = s.astype(np.float32) / 32768.0
+    for fmt, tol in (("pcm16", 0.0), ("pcm24", 0.0), ("pcm32", 0.0),
+                     ("float32", 0.0), ("pcm8", 1 / 128)):
+        out, rate = C.decode_wav(C.encode_wav(s, 16000, sample_format=fmt))
+        assert rate == 16000
+        assert np.abs(out - want).max() <= tol + 1e-7, fmt
+    # stereo 24-bit keeps channel interleave
+    st = np.stack([s, -s], axis=1)
+    out, _ = C.decode_wav(C.encode_wav(st, 8000, sample_format="pcm24"))
+    assert out.shape == (999, 2)
+    assert np.allclose(out[:, 0], want) and np.allclose(out[:, 1], -want)
+    # EXTENSIBLE wrapper: same PCM16 payload behind a 0xFFFE fmt chunk
+    # whose GUID sub-format carries the real tag
+    import struct
+
+    data = bytes(C.encode_wav(s, 16000))
+    fi = data.find(b"fmt ")
+    (old_len,) = struct.unpack("<I", data[fi + 4 : fi + 8])
+    _, nch, rate2, brate, blk, bps = struct.unpack(
+        "<HHIIHH", data[fi + 8 : fi + 8 + 16]
+    )
+    ext = struct.pack("<HHIIHH", 0xFFFE, nch, rate2, brate, blk, bps)
+    ext += struct.pack("<H", 22)  # cbSize
+    ext += struct.pack("<HI", bps, 0)  # valid bits, channel mask
+    ext += struct.pack("<H", 1) + b"\x00" * 14  # GUID: sub-format tag 1
+    newdata = (
+        data[:fi] + b"fmt " + struct.pack("<I", len(ext)) + ext
+        + data[fi + 8 + old_len :]
+    )
+    # RIFF size field is stale but decode_wav walks by chunk lengths
+    out2, _ = C.decode_wav(newdata)
+    assert np.allclose(out2, want)
+
+
+def test_y4m_c420_roundtrip_and_seek():
+    """C420 (the layout real streams ship): encode box-downsamples
+    chroma, decode replication-upsamples; luma survives exactly and
+    O(1) frame seek holds."""
+    import numpy as np
+
+    from geotools_ray.sources import codecs as C
+
+    rng = np.random.RandomState(6)
+    frames = rng.randint(0, 256, size=(5, 3, 32, 48)).astype(np.uint8)
+    data = C.encode_y4m(frames, fps=24.0, colourspace="420")
+    info = C.y4m_info(data)
+    assert info["n_frames"] == 5 and info["cs"] == "420"
+    assert info["frame_size"] == 32 * 48 + 2 * 16 * 24
+    for i in (0, 4):
+        out = C.decode_y4m_frame(data, i, info)
+        assert out.shape == (3, 32, 48)
+        assert (out[0] == frames[i, 0]).all()  # luma untouched
+        # chroma within quantization of the 2x2 box mean
+        for p in (1, 2):
+            up = out[p].reshape(16, 2, 24, 2).mean(axis=(1, 3))
+            src = frames[i, p].reshape(16, 2, 24, 2).mean(axis=(1, 3))
+            assert np.abs(up - src).max() <= 0.5 + 1e-9
+    # odd dims refused at encode (real C420 is even-dimensioned)
+    import pytest
+
+    with pytest.raises(ValueError, match="even"):
+        C.encode_y4m(frames[:, :, :31, :], colourspace="420")
