@@ -85,7 +85,9 @@ def _image_queries() -> dict[str, Callable[[str], Any]]:
             # the version tag — regeneration is cheap at fixture sizes)
             # v3: web-corpus jpeg layout mix (420/422/444/progressive)
             # + root-dereferenced duplicate chains
-            d = f"/tmp/geotools_ray_bench/fix_{kind}_n{n}_v3"
+            # v4: audio clips cycle the WAV sample-format mix
+            # (pcm8/16/24/32/float32)
+            d = f"/tmp/geotools_ray_bench/fix_{kind}_n{n}_v4"
             done = os.path.join(d, "_DONE")
             if not os.path.exists(done):
                 # concurrent-safe publish: build in a pid-unique temp

@@ -195,8 +195,19 @@ def generate_audio_table(n: int, seed: int = 0) -> pa.Table:
     return audio_rows(np.arange(n, dtype=np.int64), audio_clip_lens(n, seed))
 
 
+# real-corpus WAV sample-format mix, cycled per clip: pcm24/pcm32/
+# float32 decode bit-identically to the pcm16 source; the pcm8 slice
+# carries genuine 8-bit quantization (all through one float contract)
+WAV_FORMATS = (
+    "pcm16", "pcm24", "float32", "pcm16", "pcm32", "pcm16", "pcm8", "pcm16",
+)
+
+
 def encode_clip(i: int, n: int, sr: int) -> bytes:
-    return codecs.encode_wav(_audio_waveform(i, n, sr), sr)
+    return codecs.encode_wav(
+        _audio_waveform(i, n, sr), sr,
+        sample_format=WAV_FORMATS[i % len(WAV_FORMATS)],
+    )
 
 
 def _video_frames(i: int, n_frames: int, h: int, w: int) -> np.ndarray:
